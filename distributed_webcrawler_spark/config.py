@@ -1,0 +1,52 @@
+"""Crawl configuration.
+
+Mirrors the knobs the reference exposes (SURVEY.md §1.2) — plus the ones it
+declares but never enforces (maxPages, allowedDomains, ...) which this
+engine enforces for real. ``reference_compat`` reproduces the reference's
+*effective* behavior for parity testing:
+
+- global (not per-host) politeness budget — the reference sleeps 500ms per
+  worker thread before every fetch (BasicCrawler.java:31-32, 72-74),
+- global priority-ordered batch claim (ZREVRANGE semantics,
+  CrawlUrlRepository.java:35) instead of per-host-bucket ranking,
+- resolve-only URL canonicalization that KEEPS fragments
+  (BasicCrawler.java:154; observed in logs/webcrawler.log 00:32:17.780).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    session_id: str = "session-0"
+    max_depth: int = 2              # reference hardcodes 2 (CrawlerManager.java:65-66)
+    max_rounds: int = 50
+    batch_size: int = 20            # reference claim batch (application.properties:25)
+    # per-host fetches allowed per round; clean-mode politeness
+    # (= floor(round_seconds*1000 / politeness_delay_ms) on a wall-clock deploy)
+    budget_per_host_per_round: int = 4
+    respect_robots: bool = True
+    user_agent: str = "dws-crawler"
+    max_pages: int | None = None    # enforced in clean mode; reference stores-but-ignores
+    allowed_domains: list[str] = field(default_factory=list)
+    disallowed_url_prefixes: list[str] = field(default_factory=list)
+
+    # engine mechanics
+    reference_compat: bool = False
+    use_bloom: bool = True
+    bloom_expected_insertions: int = 10_000_000  # application.properties:33
+    bloom_fpp: float = 0.01                      # application.properties:34
+    n_host_buckets: int = 64        # frontier partitioning key fan-out
+    hot_host_salts: int = 8         # salting factor for skewed fetch joins
+    hot_host_threshold: int = 5000  # rows/round above which a host is salted
+
+    # URL validity regex — EXACTLY the reference's (BasicCrawler.java:37-39):
+    # rejects ports, IP-literal-with-port, userinfo, localhost (no dot+TLD).
+    url_regex: str = r"^https?://[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}(/.*)?$"
+
+    def child_priority_expr_doc(self) -> str:
+        """priority(child) = max(0.1, 1.0 - parent_depth*0.1)
+        (CrawlerManager.java:215)."""
+        return "greatest(0.1, 1.0 - depth*0.1)"

@@ -1,0 +1,112 @@
+"""robots.txt parsing + gating, reference-parity semantics.
+
+Mirrors BasicCrawler.java:225-287 exactly:
+- only groups whose User-agent is ``*`` or contains "crawler"/"bot"
+  (case-insensitive) apply (BasicCrawler.java:247-251),
+- ``Allow:`` prefixes are checked FIRST and win (isAllowed, :268-286),
+- empty/missing/unfetchable robots => allow everything (:197-200, 211-216),
+- null path is treated as "/" (:269),
+- empty rule values are skipped (:255, 260).
+
+Execution shape: robots is a tiny per-host table -> parse once per round
+with a pandas UDF, broadcast-join onto the scheduled frontier slice by
+host, evaluate the prefix rules vectorized on Arrow batches. The reference
+instead keeps an unbounded per-worker HashMap cache (BasicCrawler.java:41).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def parse_robots(text: str | None) -> tuple[list[str], list[str]]:
+    """-> (allowed_prefixes, disallowed_prefixes). Pure python, shared with
+    the oracle simulator so parity is by-construction testable."""
+    allowed: list[str] = []
+    disallowed: list[str] = []
+    if not text or not text.strip():
+        return allowed, disallowed
+    relevant = False
+    for raw in text.split("\n"):
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        low = line.lower()
+        if low.startswith("user-agent:"):
+            agent = line[11:].strip()
+            al = agent.lower()
+            relevant = agent == "*" or "crawler" in al or "bot" in al
+        elif relevant:
+            if low.startswith("disallow:"):
+                p = line[9:].strip()
+                if p:
+                    disallowed.append(p)
+            elif low.startswith("allow:"):
+                p = line[6:].strip()
+                if p:
+                    allowed.append(p)
+    return allowed, disallowed
+
+
+def robots_is_allowed(path: str | None, allowed: list[str], disallowed: list[str]) -> bool:
+    if path is None:
+        path = "/"
+    for a in allowed:
+        if path.startswith(a):
+            return True
+    for d in disallowed:
+        if path.startswith(d):
+            return False
+    return True
+
+
+_RULES_TYPE = T.StructType([
+    T.StructField("allow", T.ArrayType(T.StringType())),
+    T.StructField("disallow", T.ArrayType(T.StringType())),
+])
+
+
+@pandas_udf(_RULES_TYPE)
+def parse_robots_udf(texts: pd.Series) -> pd.DataFrame:
+    rows = [parse_robots(t) for t in texts]
+    return pd.DataFrame({"allow": [r[0] for r in rows], "disallow": [r[1] for r in rows]})
+
+
+@pandas_udf(T.BooleanType())
+def robots_allowed_udf(paths: pd.Series, allows: pd.Series, disallows: pd.Series) -> pd.Series:
+    out = []
+    for p, a, d in zip(paths, allows, disallows):
+        a = list(a) if a is not None else []
+        d = list(d) if d is not None else []
+        out.append(robots_is_allowed(p, a, d))
+    return pd.Series(out)
+
+
+def parse_robots_table(robots_df: DataFrame) -> DataFrame:
+    """(host, robots_txt) -> (host, allow: array, disallow: array)."""
+    parsed = robots_df.select(
+        "host", parse_robots_udf(F.col("robots_txt")).alias("rules")
+    )
+    return parsed.select("host", F.col("rules.allow").alias("allow"),
+                         F.col("rules.disallow").alias("disallow"))
+
+
+def gate_by_robots(scheduled: DataFrame, robots_rules: DataFrame, path_col: Column) -> DataFrame:
+    """Broadcast-join the (small) parsed rules table, evaluate the gate, and
+    tag each row with robots_allowed:boolean. Hosts with no robots row are
+    allowed (reference: unfetchable robots => allow-all)."""
+    joined = scheduled.join(F.broadcast(robots_rules), on="host", how="left")
+    return joined.withColumn(
+        "robots_allowed",
+        F.when(F.col("allow").isNull() & F.col("disallow").isNull(), F.lit(True)).otherwise(
+            robots_allowed_udf(
+                path_col,
+                F.coalesce(F.col("allow"), F.array()),
+                F.coalesce(F.col("disallow"), F.array()),
+            )
+        ),
+    ).drop("allow", "disallow")

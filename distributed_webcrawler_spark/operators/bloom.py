@@ -1,0 +1,140 @@
+"""Distributed Bloom filter for the URL-seen set.
+
+The reference *declares* a 10^7-insertion / fpp-0.01 bloom filter
+(application.properties:33-34, architecture.md §URL registry) but ships an
+exact Redis SET (URLFrontier.java:74) — SURVEY.md §1.1. This module
+implements the declared design the Spark way:
+
+- per-partition bitarray build (numpy, over Arrow batches / iterators),
+- OR-merge via ``RDD.treeAggregate`` (depth 2 -> log-tree combine instead
+  of hauling every partition's bits to the driver),
+- double hashing h_i = h1 + i*h2 (Kirsch-Mitzenmacher) over the already
+  computed xxhash64 url_hash, so membership tests are pure int math.
+
+CORRECTNESS CONTRACT (SURVEY.md §7b): the bloom is ONLY a prefilter. A
+candidate that misses the bloom is *definitely new* and skips the exact
+anti-join; a candidate that hits may be a false positive and MUST go
+through the authoritative full-string anti-join. No URL can be dropped by
+a bloom false positive, and bloom false negatives are impossible.
+
+Scale: at 10^10 URLs / fpp 0.01 the bits are ~12 GB — too big for one
+filter; production would shard the bloom by host_bucket (one filter per
+bucket, built per partition, merged per bucket). The API takes n/fpp so
+tests exercise the same code at small n.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+class BloomFilter:
+    def __init__(self, n_bits: int, n_hashes: int, bits: np.ndarray | None = None):
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.bits = bits if bits is not None else np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+
+    @classmethod
+    def for_capacity(cls, expected_insertions: int, fpp: float) -> "BloomFilter":
+        n = max(expected_insertions, 1)
+        m = max(8, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+        k = max(1, round(m / n * math.log(2)))
+        return cls(m, k)
+
+    # -- vectorized int-hash membership --------------------------------
+    @staticmethod
+    def _mix(h: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer — makes positions uniform even for poorly
+        distributed inputs (sequential ids, biased hashes)."""
+        with np.errstate(over="ignore"):
+            h = (h + np.uint64(0x9E3779B97F4A7C15))
+            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return h ^ (h >> np.uint64(31))
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        """(n,) int64 -> (n, k) bit positions via double hashing
+        (Kirsch-Mitzenmacher) over two independently mixed 64-bit values."""
+        h = self._mix(hashes.astype(np.uint64))
+        h1 = h % np.uint64(self.n_bits)
+        h2 = (self._mix(h) | np.uint64(1)) % np.uint64(self.n_bits)
+        i = np.arange(self.n_hashes, dtype=np.uint64)
+        return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add_many(self, hashes: np.ndarray) -> None:
+        pos = self._positions(hashes).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def might_contain_many(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(hashes)
+        present = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return present.all(axis=1)
+
+    def union(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.n_bits == other.n_bits and self.n_hashes == other.n_hashes
+        return BloomFilter(self.n_bits, self.n_hashes, np.bitwise_or(self.bits, other.bits))
+
+    # -- (de)serialization for checkpoint manifests ---------------------
+    def to_bytes(self) -> bytes:
+        head = self.n_bits.to_bytes(8, "little") + self.n_hashes.to_bytes(4, "little")
+        return head + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomFilter":
+        n_bits = int.from_bytes(data[:8], "little")
+        n_hashes = int.from_bytes(data[8:12], "little")
+        return cls(n_bits, n_hashes, np.frombuffer(data[12:], dtype=np.uint8).copy())
+
+
+def build_bloom(df: DataFrame, hash_col: str, expected_insertions: int, fpp: float,
+                tree_depth: int = 2) -> BloomFilter:
+    """Distributed build: per-partition bitarrays, treeAggregate OR-merge.
+
+    Bit-OR is associative+commutative, so the log-tree combine is exact.
+    """
+    proto = BloomFilter.for_capacity(expected_insertions, fpp)
+    n_bits, n_hashes = proto.n_bits, proto.n_hashes
+
+    def seq_op(bf: BloomFilter, row) -> BloomFilter:
+        # rows arrive one at a time from treeAggregate; buffer via numpy scalar
+        if row[0] is not None:
+            bf.add_many(np.array([row[0]], dtype=np.int64))
+        return bf
+
+    def comb_op(a: BloomFilter, b: BloomFilter) -> BloomFilter:
+        return a.union(b)
+
+    rdd = df.select(hash_col).rdd
+    # mapPartitions first: build one filter per partition vectorized,
+    # then tree-reduce the (few) filters — not one seq_op per row.
+    def per_partition(it):
+        bf = BloomFilter(n_bits, n_hashes)
+        hashes = np.fromiter((r[0] for r in it if r[0] is not None), dtype=np.int64)
+        if len(hashes):
+            bf.add_many(hashes)
+        yield bf
+
+    filters = rdd.mapPartitions(per_partition)
+    return filters.treeReduce(comb_op, depth=tree_depth)
+
+
+def bloom_prefilter_udf(bloom: BloomFilter):
+    """Series->Series pandas UDF: might_contain over Arrow batches. The
+    filter bytes ship to executors once via closure broadcast."""
+    from pyspark.sql.functions import pandas_udf
+
+    blob = bloom.to_bytes()
+
+    @pandas_udf("boolean")
+    def _might_contain(hashes: pd.Series) -> pd.Series:
+        bf = BloomFilter.from_bytes(blob)
+        vals = hashes.fillna(0).to_numpy(dtype=np.int64)
+        return pd.Series(bf.might_contain_many(vals))
+
+    return _might_contain

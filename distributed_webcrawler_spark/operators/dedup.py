@@ -1,0 +1,168 @@
+"""Deduplication operators for the training-data pipeline over ``documents``.
+
+Five families, each a DataFrame->DataFrame transform built from built-in
+functions only (portable to the DuckDB oracle, JVM-side execution):
+
+- exact            hash-groupBy on full text (one shuffle on h64(text))
+- ngram_jaccard    character-shingle self-join with stop-shingle pruning
+- minhash_lsh      MinHash signatures + LSH banding -> candidate pairs
+- simhash          16-bit sign-of-weighted-sum signature -> bucket groups
+- embedding cosine near-dup lives in operators/similarity.py
+
+Scale design (100 TB corpus):
+- exact dedup shuffles ONCE on the 60-bit text hash, never on raw text;
+  Catalyst's partial/final HashAggregate halves the shuffle volume.
+- the shingle join prunes shingles with doc-frequency > ``max_df`` (stop
+  shingles): a shingle shared by m docs yields m^2 candidate pairs, so a
+  frequency cap turns a quadratic blowup into a linear pass; the same cap
+  is part of the operator's *semantics* and is mirrored in the oracle.
+- MinHash/LSH is the sub-quadratic path: only docs sharing a band bucket
+  are paired, so the join key is the band signature (uniformly distributed
+  md5 strings -> no skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashes import h64, minhash_min_expr, shingles
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: keep min id as the canonical doc.
+    Returns (keep_id, dup_count) for groups, including singletons."""
+    return (
+        docs.groupBy(h64(text_col).alias("text_h64"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
+
+
+def shingle_table(docs: DataFrame, k: int, max_chars: int,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k, max_chars)).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 8, max_chars: int = 128,
+                        threshold: float = 0.5, max_df: int = 50,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by character-k-gram Jaccard >= threshold.
+
+    Semantics (mirrored by the oracle): distinct shingles of the first
+    max_chars chars; shingles with doc-frequency > max_df are dropped from
+    BOTH the intersection and the per-doc sizes (stop-shingle pruning).
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = shingle_table(docs, k, max_chars, text_col, id_col)
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    kept = sh.join(df_counts.where(F.col("df") <= max_df), "sh", "left_semi")
+    sizes = kept.groupBy("id").agg(F.count("*").alias("sz"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8, k: int = 6, max_chars: int = 200,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, mh_0..mh_{n-1}) MinHash signature columns (string mins of seeded
+    md5 over the shingle set — see functions.hashes.minhash_min_expr)."""
+    sh = shingle_table(docs, k, max_chars, text_col, id_col)
+    aggs = [minhash_min_expr("sh", s).alias(f"mh_{s}") for s in range(n_hashes)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 8, band_size: int = 2,
+                      k: int = 6, max_chars: int = 200, min_est: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs with estimated similarity.
+
+    Bands of ``band_size`` components; docs sharing ANY band bucket become
+    candidates; est_sim = fraction of matching signature components.
+    Output: (id_a, id_b, est_sim) with id_a < id_b, est_sim >= min_est.
+    """
+    sig = minhash_signatures(docs, n_hashes, k, max_chars, text_col, id_col).cache()
+    n_bands = n_hashes // band_size
+    bands = None
+    for bi in range(n_bands):
+        cols = [F.col(f"mh_{bi * band_size + j}") for j in range(band_size)]
+        part = sig.select("id", F.lit(bi).alias("band"), F.concat_ws("|", *cols).alias("bucket"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)])
+    sb = sig.select(F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)])
+    matches = sum(F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(n_hashes))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("est_sim", F.round(matches / F.lit(float(n_hashes)), 6))
+        .where(F.col("est_sim") >= min_est)
+        .select("id_a", "id_b", "est_sim")
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              max_chars: int = 200) -> DataFrame:
+    """16-bit SimHash over character 4-shingles (with multiplicity).
+
+    bit_b = sign( sum over shingles of (2*((h64(sh)>>b)&1) - 1) );
+    ties (sum == 0) -> bit 0. Returns (id, simhash:int).
+    16 bits (not 64) keeps the oracle SQL tractable while exercising the
+    identical algorithm; widen N_BITS for production.
+    """
+    n_bits = 16
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, 4, max_chars)).alias("sh"),
+    ).withColumn("h", h64("sh"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(n_bits)
+    ]
+    agg = sh.groupBy("id").agg(*bit_aggs)
+    sig = sum(
+        F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(n_bits)
+    )
+    return agg.select("id", sig.cast("int").alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs grouped by identical simhash16 — groups with >1 member are
+    near-dup candidates. Returns (simhash, n_docs, keep_id) for dup groups."""
+    sig = simhash16(docs, text_col, id_col)
+    return (
+        sig.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def first_wins(df: DataFrame, key_cols: list[str], order_cols: list) -> DataFrame:
+    """Generic first-wins dedup (J1 semantics, URLFrontier.java:67-74):
+    keep the first row per key under a deterministic order."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")

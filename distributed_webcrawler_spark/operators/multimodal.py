@@ -1,0 +1,86 @@
+"""Multimodal (image) column operators — Arrow-batched decode / feature
+extraction / resize over binary payload columns.
+
+The container has no PIL, so the CODEC is the deterministic fake from
+sources/codec.py (clearly a stub-swap point); everything Spark-side — the
+binary column schema, mapInPandas batch iteration, output struct, partition
+sizing — is the real production shape. Swapping `decode_image` for
+PIL.Image.open changes nothing above this module.
+
+Scale notes: payload bytes dominate row width, so these operators
+- iterate Arrow RecordBatches (mapInPandas) and never collect bytes to the
+  driver,
+- emit *metadata-width* rows (decode stats / features), so the shuffle
+  after a decode stage carries no pixels,
+- rely on spark.sql.files.maxPartitionBytes to keep a batch of ~128MB of
+  payloads per task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..sources import codec
+
+DECODE_SCHEMA = (
+    "image_id string, ok boolean, fmt string, w int, h int, "
+    "mean_r double, mean_g double, mean_b double, phash long, err string"
+)
+
+
+def decode_stats(payloads: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes") -> DataFrame:
+    """Decode every payload, emit per-image stats (validates bytes end-to-end
+    without moving pixels past the decode stage)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    px, fmt = codec.decode_image(bytes(data))
+                    m = px.astype(np.float64).mean(axis=(0, 1))
+                    rows.append((iid, True, fmt, px.shape[1], px.shape[0],
+                                 round(float(m[0]), 4), round(float(m[1]), 4),
+                                 round(float(m[2]), 4), codec.phash64(px), None))
+                except codec.CodecError as e:
+                    rows.append((iid, False, None, None, None, None, None, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "ok", "fmt", "w", "h", "mean_r", "mean_g", "mean_b", "phash", "err"])
+
+    return payloads.select(id_col, bytes_col).mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def resize(payloads: DataFrame, out_w: int, out_h: int,
+           id_col: str = "image_id", bytes_col: str = "bytes") -> DataFrame:
+    """Nearest-neighbor resize, re-encoded lossless. (A PIL/real codec slots
+    into the same mapInPandas body.)"""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    px, _ = codec.decode_image(bytes(data))
+                    ys = (np.arange(out_h) * px.shape[0] // out_h).astype(int)
+                    xs = (np.arange(out_w) * px.shape[1] // out_w).astype(int)
+                    out = px[ys][:, xs]
+                    rows.append((iid, codec.encode_image(out, "png"), out_w, out_h, "png"))
+                except codec.CodecError:
+                    continue
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return payloads.select(id_col, bytes_col).mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def frame_sample_stub(*_args, **_kwargs):
+    """Video frame sampling requires a real media library (not in this
+    container). The Spark-side plumbing would be identical to
+    :func:`decode_stats` (binary column -> mapInPandas -> typed frames)."""
+    raise NotImplementedError("video decode libraries are not available in this sandbox")

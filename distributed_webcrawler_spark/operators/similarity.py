@@ -1,0 +1,101 @@
+"""Similarity search over array<float> embedding columns.
+
+- brute_force_topk: exact cosine top-k — the correctness baseline. The
+  cross join is bounded by broadcasting the (small) query side; at scale
+  this is queries x corpus with the corpus streamed partition-parallel and
+  a per-query rank window (no global sort).
+- lsh_topk: random-hyperplane LSH — the scale path. Plane weights are
+  derived DETERMINISTICALLY from md5(plane, dim) so Spark and the DuckDB
+  oracle build identical planes (no RNG; re-runs identical). Docs are
+  bucketed by sign-bit signature; candidates share the query's bucket, so
+  the quadratic cross join becomes a bucket-equi-join.
+- embedding_near_dup_pairs: all-pairs cosine >= threshold (near-dup dedup
+  by embedding) — exact at test scale; at 100 TB you'd run lsh bucketing
+  first and verify within buckets (the composition is the same operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query by cosine (excluding self).
+    Output: (query_id, neighbor_id, sim, rk)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)  # Catalyst broadcasts the small query side
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def hyperplane_expr(vec_col: str, plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane dot product: weight(plane, d) =
+    (h64(md5('p<plane>:<d>')) % 2001 - 1000) / 1000.0 — portable to SQL."""
+    from ..functions.hashes import h64
+
+    terms = F.zip_with(
+        F.col(vec_col),
+        F.expr(f"transform(sequence(0, {dim - 1}), d ->"
+               f" (cast(conv(substring(md5(concat('p{plane}:', cast(d as string))), 1, 15), 16, 10) as bigint)"
+               f" % 2001 - 1000) / 1000.0)"),
+        lambda x, wgt: x.cast("double") * wgt,
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def lsh_signature(df: DataFrame, n_planes: int, dim: int,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket:int) — sign-bit signature over n_planes hyperplanes."""
+    sig = sum(
+        F.when(hyperplane_expr(vec_col, p, dim) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(n_planes)
+    )
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.cast("int").alias("bucket"))
+
+
+def lsh_topk(df: DataFrame, k: int, n_planes: int, dim: int,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k neighbors within each vector's LSH bucket.
+    Output: (query_id, neighbor_id, sim, rk). Joins on bucket -> candidate
+    set is |bucket|^2 per bucket instead of N^2 overall."""
+    sig = lsh_signature(df, n_planes, dim, id_col, vec_col)
+    a = sig.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket")
+    b = sig.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine >= threshold, id_a < id_b."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,365 @@
+"""CrawlEngine — the crawl loop as a sequence of Spark batch jobs.
+
+One crawl round = ONE Spark job (SURVEY.md §3.2 Spark equivalent):
+
+    pending = frontier ANTI-JOIN progress            (claim set, F3/J2)
+    scheduled = rank window per host under budget    (W1/W4; compat: global ZREVRANGE order)
+    gate by robots (broadcast join + Arrow UDF)      (J3/F4/C9)
+    fetch = join web_graph, join payloads, decode    (J4/S5/C7, Arrow batches)
+    append pages; expand links -> canonicalize ->    (S7/C1/C2/C4/C5)
+    first-wins in-round dedup -> bloom prefilter ->
+    exact seen anti-join -> append frontier          (J1)
+    append progress + metrics; checkpoint            (A8, exact resume)
+
+State lives in SnapshotStore tables (frontier / progress / pages /
+metrics); the driver is the only committer, so rounds are snapshot-isolated
+and idempotent: resume = rollback to the last checkpoint and re-enter the
+loop (SURVEY.md §4.2 "exact resume").
+
+Reference semantics preserved (each cited in the operator modules):
+enqueue-time first-wins dedup, priority = max(0.1, 1 - parent_depth*0.1),
+depth gate `depth < max_depth`, validity regex on extracted links only
+(seeds bypass it, CrawlerManager.java:109-120), robots-blocked pages saved
+with 403 and marked FAILED (BasicCrawler.java:54-69 -> markFailed), failed
+URLs never retried (URLFrontier.java:198-202).
+
+Scale design notes:
+- pending/scheduled shuffles on `host` once; the robots join is broadcast;
+  the fetch join is salted for hot hosts above config.hot_host_threshold
+  (plus AQE skew splitting as backstop),
+- the seen anti-join is bloom-prefiltered: at fpp 0.01 ~99% of truly-new
+  candidates skip the frontier-sized join entirely (J1 scale path),
+- the global `orderBy().limit()` exists ONLY behind reference_compat for
+  parity testing; the clean path never globally sorts the frontier,
+- all timestamps/sequence numbers are derived from (round, sort keys) —
+  no wall clock in data, so reruns and resumes are byte-identical.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions import urls as U
+from ..functions.robots_fn import gate_by_robots, parse_robots_table
+from ..operators import topk
+from ..operators.bloom import BloomFilter, bloom_prefilter_udf, build_bloom
+from ..operators.dedup import first_wins
+from ..sources import codec
+from ..sources.store import SnapshotStore
+
+PAGES_SCHEMA = (
+    "session_id string, round int, sched_seq int, url string, url_hash long, host string, "
+    "depth int, parent_url string, status_code int, error_message string, image_id string, "
+    "caption string, bytes binary, fmt string, content_length long, decoded_w int, "
+    "decoded_h int, phash long, crawl_duration_ms long, partition_id int"
+)
+
+
+def _fetch_decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: per Arrow batch, resolve fetch outcome + decode the
+    image payload. The decode is the single PIL-swap point (sources/codec)."""
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+    for pdf in it:
+        out = []
+        for r in pdf.itertuples(index=False):
+            web_status = r.web_status
+            if web_status is None or pd.isna(web_status):
+                status, err = 0, "connection failed"
+            else:
+                status = int(web_status)
+                err = None if status == 200 else ("I/O error" if status == 0 else f"HTTP {status}")
+            by = r.pbytes
+            caption = r.caption if status == 200 else None
+            dw = dh = ph = None
+            blob = None
+            if status == 200 and by is not None and not (isinstance(by, float) and pd.isna(by)):
+                blob = bytes(by)
+                try:
+                    px, _fmt = codec.decode_image(blob)
+                    dh, dw = px.shape[0], px.shape[1]
+                    ph = codec.phash64(px)
+                except codec.CodecError as e:
+                    err = f"decode error: {e}"
+            out.append((
+                r.session_id, int(r.round), int(r.sched_seq), r.url, int(r.url_hash), r.host,
+                int(r.depth), r.parent_url, status, err, r.image_id, caption, blob,
+                r.fmt if status == 200 else None, len(blob) if blob is not None else None,
+                dw, dh, ph, 0, pid,
+            ))
+        yield pd.DataFrame(out, columns=[
+            "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth",
+            "parent_url", "status_code", "error_message", "image_id", "caption", "bytes",
+            "fmt", "content_length", "decoded_w", "decoded_h", "phash",
+            "crawl_duration_ms", "partition_id"])
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, store: SnapshotStore, config: CrawlConfig,
+                 web_graph: DataFrame, payloads: DataFrame, robots: DataFrame | None = None):
+        self.spark = spark
+        self.store = store
+        self.cfg = config
+        self.web_graph = web_graph
+        self.payloads = payloads
+        self.robots_rules = (
+            parse_robots_table(robots).cache() if (robots is not None and config.respect_robots) else None
+        )
+        self.bloom: BloomFilter | None = None
+
+    # ------------------------------------------------------------- helpers
+    def _t(self, name: str):
+        return self.store.table(name)
+
+    def _discovered_at(self, round_col):
+        return F.timestamp_seconds(round_col.cast("long") * 60)
+
+    def _frontier_row_cols(self):
+        return ["session_id", "url", "url_hash", "host", "host_bucket", "depth",
+                "priority", "parent_url", "discovered_round", "discovered_at"]
+
+    # ------------------------------------------------------------ session
+    def start_session(self, seeds: DataFrame) -> None:
+        """Seed injection (S1/S2): depth 0, priority 1.0, round 0. Seeds
+        bypass the validity regex (the reference only validates extracted
+        links, CrawlerManager.java:109-120); first-wins dedup by seed order."""
+        cfg = self.cfg
+        s = seeds.select("url", "seq")
+        if not cfg.reference_compat:
+            s = s.withColumn("url", U.canonicalize_urls(keep_fragment=False)(F.col("url")))
+        s = first_wins(s, ["url"], [F.col("seq").asc()])
+        rows = s.select(
+            F.lit(cfg.session_id).alias("session_id"),
+            F.col("url"),
+            U.url_hash(F.col("url")).alias("url_hash"),
+            U.url_host(F.col("url")).alias("host"),
+            U.host_bucket(U.url_host(F.col("url")), cfg.n_host_buckets).alias("host_bucket"),
+            F.lit(0).alias("depth"),
+            F.lit(1.0).alias("priority"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(0).alias("discovered_round"),
+            self._discovered_at(F.lit(0)).alias("discovered_at"),
+        )
+        self._t("frontier").append(rows)
+        if cfg.use_bloom:
+            fr = self._t("frontier").read(self.spark)
+            self.bloom = build_bloom(fr, "url_hash", cfg.bloom_expected_insertions, cfg.bloom_fpp)
+        self._checkpoint(0)
+
+    # ------------------------------------------------------------- views
+    def pending(self) -> DataFrame:
+        """PENDING = discovered but never attempted: frontier ANTI progress.
+        (Append-only status log + derived view — the SURVEY §7(d) shape —
+        instead of Iceberg MERGE status flips.)"""
+        fr = self._t("frontier").read(self.spark)
+        pg = self._t("progress").read(self.spark)
+        if pg is None:
+            return fr
+        return fr.join(pg.select("url").distinct(), "url", "left_anti")
+
+    # ------------------------------------------------------------- rounds
+    def _schedule(self, pending: DataFrame, rnd: int) -> DataFrame:
+        cfg = self.cfg
+        order = topk.tie_break_cols()
+        if cfg.reference_compat:
+            sched = topk.global_topk(pending, order, cfg.batch_size)
+        else:
+            sched = topk.topk_per_group_salted(
+                pending, ["session_id", "host"], order, cfg.budget_per_host_per_round,
+                n_salts=cfg.hot_host_salts, salt_source="url").drop("rk")
+            if cfg.max_pages is not None:
+                pg = self._t("progress").read(self.spark)
+                attempted = pg.count() if pg is not None else 0
+                remaining = max(cfg.max_pages - attempted, 0)
+                sched = topk.global_topk(sched, order, remaining)
+        # deterministic in-round sequence over the (small) scheduled set
+        w = Window.orderBy(*order)
+        return sched.withColumn("sched_seq", F.row_number().over(w)).withColumn("round", F.lit(rnd))
+
+    def _gate_robots(self, sched: DataFrame) -> DataFrame:
+        if self.robots_rules is None:
+            return sched.withColumn("robots_allowed", F.lit(True))
+        return gate_by_robots(sched, self.robots_rules, U.url_path(F.col("url")))
+
+    def _fetch(self, allowed: DataFrame) -> DataFrame:
+        """J4 + S5/C7: equi-join against web_graph, left join payloads,
+        Arrow-batched decode. Returns the joined frame INCLUDING out_links
+        (expansion reads it before the decode projection drops pixels).
+
+        Skew note: this join's key is ``url`` — unique per row — so hash
+        partitioning already spreads a hot host's URLs uniformly; the
+        host-level skew lives in the scheduling window and is salted there
+        (topk_per_group_salted). AQE skew-join stays on as the backstop for
+        web_graph build-side imbalance.
+        """
+        wg = self.web_graph.select(
+            F.col("url"), F.col("out_links"), F.col("image_id"),
+            F.col("status_code").alias("web_status"))
+        joined = allowed.join(wg, "url", "left")
+        pay = self.payloads.select(
+            "image_id", F.col("bytes").alias("pbytes"), F.col("caption"), F.col("fmt"))
+        return joined.join(F.broadcast(pay), "image_id", "left")
+
+    def _expand(self, fetched: DataFrame, rnd: int) -> DataFrame:
+        """C1/C2/C4/C5 + J1: explode out_links of ok-pages under the depth
+        gate, resolve+canonicalize, validity-filter, first-wins in-round
+        dedup, bloom-prefiltered exact seen anti-join."""
+        cfg = self.cfg
+        parents = fetched.where(
+            (F.col("web_status") == 200) & (F.col("depth") < cfg.max_depth)
+            & F.col("out_links").isNotNull())
+        links = parents.select(
+            "session_id", F.col("url").alias("parent_url"), "depth", "sched_seq",
+            F.posexplode(F.col("out_links")).alias("link_idx", "href"))
+        resolved = links.withColumn(
+            "child_url",
+            U.resolve_links_udf(keep_fragment=cfg.reference_compat)(F.col("parent_url"), F.col("href")))
+        if not cfg.reference_compat:
+            resolved = resolved.withColumn(
+                "child_url", U.canonicalize_urls(keep_fragment=False)(F.col("child_url")))
+        valid = resolved.where(U.is_valid_url(F.col("child_url")))
+        if cfg.allowed_domains and not cfg.reference_compat:
+            valid = valid.where(U.url_host(F.col("child_url")).isin(cfg.allowed_domains))
+        for pref in (cfg.disallowed_url_prefixes if not cfg.reference_compat else []):
+            valid = valid.where(~F.col("child_url").startswith(pref))
+        # first discovery wins inside the round: order by who was scheduled
+        # first, then link position (the reference's sequential enqueue order)
+        cand = first_wins(valid, ["child_url"], [F.col("sched_seq").asc(), F.col("link_idx").asc()])
+        cand = cand.select(
+            "session_id",
+            F.col("child_url").alias("url"),
+            U.url_hash(F.col("child_url")).alias("url_hash"),
+            U.url_host(F.col("child_url")).alias("host"),
+            U.host_bucket(U.url_host(F.col("child_url")), cfg.n_host_buckets).alias("host_bucket"),
+            (F.col("depth") + 1).alias("depth"),
+            U.child_priority(F.col("depth")).alias("priority"),
+            "parent_url",
+            F.lit(rnd).alias("discovered_round"),
+            self._discovered_at(F.lit(rnd)).alias("discovered_at"),
+        )
+        seen = self._t("frontier").read(self.spark).select("url")
+        if cfg.use_bloom and self.bloom is not None:
+            maybe = bloom_prefilter_udf(self.bloom)
+            tagged = cand.withColumn("__maybe_seen", maybe(F.col("url_hash"))).cache()
+            definitely_new = tagged.where(~F.col("__maybe_seen")).drop("__maybe_seen")
+            needs_check = tagged.where(F.col("__maybe_seen")).drop("__maybe_seen")
+            new_rows = definitely_new.unionByName(needs_check.join(seen, "url", "left_anti"))
+        else:
+            new_rows = cand.join(seen, "url", "left_anti")
+        return new_rows
+
+    def run_round(self, rnd: int) -> dict:
+        t0 = time.monotonic()
+        cfg = self.cfg
+        sched = self._schedule(self.pending(), rnd).cache()
+        n_sched = sched.count()
+        if n_sched == 0:
+            sched.unpersist()
+            return {"round": rnd, "scheduled": 0}
+
+        gated = self._gate_robots(sched)
+        blocked = gated.where(~F.col("robots_allowed"))
+        allowed = gated.where(F.col("robots_allowed")).drop("robots_allowed")
+
+        fetched = self._fetch(allowed).cache()
+        pages = fetched.select(
+            "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth",
+            "parent_url", "web_status", "image_id", "pbytes", "caption", "fmt",
+        ).mapInPandas(_fetch_decode, schema=PAGES_SCHEMA)
+        blocked_pages = blocked.select(
+            "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth", "parent_url",
+            F.lit(403).alias("status_code"), F.lit("Blocked by robots.txt").alias("error_message"),
+            F.lit(None).cast("string").alias("image_id"), F.lit(None).cast("string").alias("caption"),
+            F.lit(None).cast("binary").alias("bytes"), F.lit(None).cast("string").alias("fmt"),
+            F.lit(None).cast("long").alias("content_length"), F.lit(None).cast("int").alias("decoded_w"),
+            F.lit(None).cast("int").alias("decoded_h"), F.lit(None).cast("long").alias("phash"),
+            F.lit(0).cast("long").alias("crawl_duration_ms"), F.lit(-1).alias("partition_id"),
+        )
+        all_pages = pages.unionByName(blocked_pages).cache()
+        self._t("pages").append(all_pages)
+
+        new_rows = self._expand(fetched, rnd).cache()
+        n_new = new_rows.count()
+        if n_new > 0:
+            self._t("frontier").append(new_rows.select(*self._frontier_row_cols()))
+            if cfg.use_bloom and self.bloom is not None:
+                rb = build_bloom(new_rows, "url_hash", cfg.bloom_expected_insertions, cfg.bloom_fpp)
+                self.bloom = self.bloom.union(rb)
+
+        progress = sched.select(
+            "session_id", "url", F.col("round"),
+            F.lit("ATTEMPTED").alias("status"), F.lit("driver").alias("assigned_to"))
+        # refine status from outcome (COMPLETED on 200 else FAILED — never retried)
+        outcome = all_pages.select(
+            "url", F.when(F.col("status_code") == 200, "COMPLETED").otherwise("FAILED").alias("st"))
+        progress = progress.join(outcome, "url", "left").withColumn(
+            "status", F.coalesce(F.col("st"), F.col("status"))).drop("st")
+        self._t("progress").append(progress)
+
+        stats_row = all_pages.agg(
+            F.count("*").alias("scheduled"),
+            F.sum(F.when(F.col("status_code") == 200, 1).otherwise(0)).alias("ok"),
+            F.sum(F.when((F.col("status_code") != 200) & (F.col("status_code") != 403), 1).otherwise(0)).alias("failed"),
+            F.sum(F.when(F.col("status_code") == 403, 1).otherwise(0)).alias("robots_blocked"),
+            F.sum(F.coalesce(F.col("content_length"), F.lit(0))).alias("bytes_total"),
+            F.avg("depth").alias("avg_depth"),
+        ).collect()[0].asDict()
+        wall = time.monotonic() - t0
+        stats = {"session_id": cfg.session_id, "round": rnd, **{k: (int(v) if k != "avg_depth" else float(v)) for k, v in stats_row.items()},
+                 "new_urls": int(n_new), "wall_secs": float(wall)}
+        self._t("metrics").append(self.spark.createDataFrame(
+            [stats], "session_id string, round int, scheduled long, ok long, failed long, "
+                     "robots_blocked long, bytes_total long, avg_depth double, new_urls long, wall_secs double"))
+        self._checkpoint(rnd)
+        sched.unpersist()
+        fetched.unpersist()
+        all_pages.unpersist()
+        new_rows.unpersist()
+        return stats
+
+    def run(self, seeds: DataFrame | None = None) -> list[dict]:
+        if seeds is not None:
+            self.start_session(seeds)
+        start_round = (self.store.latest_checkpoint() or {"round": 0})["round"] + 1
+        history = []
+        for rnd in range(start_round, start_round + self.cfg.max_rounds):
+            stats = self.run_round(rnd)
+            if stats.get("scheduled", 0) == 0:
+                break
+            history.append(stats)
+        return history
+
+    # --------------------------------------------------------- checkpoints
+    def _checkpoint(self, rnd: int) -> None:
+        tables = {n: self._t(n).snapshot_id() for n in ("frontier", "progress", "pages", "metrics")}
+        bloom_file = None
+        if self.bloom is not None:
+            bloom_file = f"bloom-r{rnd:05d}.bin"
+            with open(os.path.join(self.store.warehouse, bloom_file), "wb") as f:
+                f.write(self.bloom.to_bytes())
+        self.store.write_checkpoint({"round": rnd, "tables": tables, "bloom": bloom_file})
+
+    def resume(self) -> list[dict]:
+        """Exact resume: roll every table back to the last durable checkpoint
+        (discarding any torn round), reload the bloom, re-enter the loop.
+        The resumed run's tables are byte-identical to an uninterrupted one
+        (asserted in tests/test_resume.py)."""
+        ckpt = self.store.latest_checkpoint()
+        if ckpt is None:
+            raise RuntimeError("no checkpoint to resume from")
+        self.store.rollback_to_checkpoint(ckpt)
+        if ckpt.get("bloom"):
+            with open(os.path.join(self.store.warehouse, ckpt["bloom"]), "rb") as f:
+                self.bloom = BloomFilter.from_bytes(f.read())
+        elif self.cfg.use_bloom:
+            fr = self._t("frontier").read(self.spark)
+            self.bloom = build_bloom(fr, "url_hash", self.cfg.bloom_expected_insertions, self.cfg.bloom_fpp)
+        return self.run()

@@ -1,0 +1,112 @@
+"""Deterministic image codec + PSNR for the image+caption payload pipeline.
+
+The container has no PIL/imageio, so real PNG/JPEG/WebP codecs are STUBBED
+by a deterministic fake codec ("DWS1" container). What is REAL and what this
+buys us:
+
+- the Spark-side plumbing (binary column, Arrow batch shapes, mapInPandas
+  decode signatures, schema) is identical to what a PIL-backed codec needs;
+  `encode_image`/`decode_image` are the single swap point,
+- the lossless/lossy split is real: fmt='png' round-trips bit-exactly;
+  fmt='jpeg'/'webp' quantize pixel channels (6 / 7 bits), giving true
+  reconstruction error with PSNR ≈ 46 dB / 51 dB — so the BASELINE.json
+  per-row invariant (decoded-pixel allclose, PSNR >= 40 dB for lossy) is a
+  real computed check, not a tautology.
+
+Wire format (little-endian):
+  b"DWS1" | fmt_code u8 (0=png 1=jpeg 2=webp) | w u16 | h u16 | zlib(payload)
+payload = H*W*3 uint8 RGB (quantized for lossy formats).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"DWS1"
+_FMT_CODES = {"png": 0, "jpeg": 1, "webp": 2}
+_FMT_NAMES = {v: k for k, v in _FMT_CODES.items()}
+# bits kept per channel; png lossless
+_FMT_BITS = {"png": 8, "jpeg": 6, "webp": 7}
+
+
+class CodecError(ValueError):
+    pass
+
+
+def _quantize(pixels: np.ndarray, bits: int) -> np.ndarray:
+    if bits >= 8:
+        return pixels
+    shift = 8 - bits
+    q = (pixels >> shift) << shift
+    # midpoint reconstruction to halve the max error
+    return (q + (1 << (shift - 1))).astype(np.uint8) if shift > 1 else q
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """pixels: (h, w, 3) uint8 -> container bytes. Lossy fmts quantize."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise CodecError(f"expected (h,w,3) uint8, got {pixels.shape} {pixels.dtype}")
+    if fmt not in _FMT_CODES:
+        raise CodecError(f"unknown fmt {fmt!r}")
+    h, w = pixels.shape[:2]
+    payload = _quantize(pixels, _FMT_BITS[fmt]).tobytes()
+    header = MAGIC + struct.pack("<BHH", _FMT_CODES[fmt], w, h)
+    return header + zlib.compress(payload, level=1)
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """container bytes -> ((h, w, 3) uint8, fmt). Raises CodecError on junk."""
+    if not isinstance(data, (bytes, bytearray)) or len(data) < 9 or data[:4] != MAGIC:
+        raise CodecError("bad magic")
+    fmt_code, w, h = struct.unpack("<BHH", bytes(data[4:9]))
+    if fmt_code not in _FMT_NAMES:
+        raise CodecError(f"bad fmt code {fmt_code}")
+    raw = zlib.decompress(bytes(data[9:]))
+    if len(raw) != h * w * 3:
+        raise CodecError("payload size mismatch")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3), _FMT_NAMES[fmt_code]
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    if a.shape != b.shape:
+        return float("-inf")
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash: grayscale -> 8x8 block means -> mean threshold.
+
+    Deterministic; signed int64 range so it stores in a Spark LongType.
+    """
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i] : max(ys[i] + 1, ys[i + 1]), xs[j] : max(xs[j] + 1, xs[j + 1])].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic pixels from image_id (md5-seeded PRNG + smooth gradient,
+    so zlib gets some compressible structure like a real image would)."""
+    seed = int.from_bytes(hashlib.md5(image_id.encode()).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    noise = rng.integers(0, 64, size=(h, w, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = ((yy[..., None] * 3 + xx[..., None] * 5 + seed % 97) % 192).astype(np.uint8)
+    return (noise + grad).astype(np.uint8)

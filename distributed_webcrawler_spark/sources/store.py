@@ -1,0 +1,141 @@
+"""SnapshotStore — an append-only, snapshot-isolated Parquet table layer.
+
+The design target is Iceberg (SURVEY.md §1.3): ACID appends, snapshot ids,
+time travel, exact checkpoint resume. This sandbox has no Iceberg runtime
+jar, so we implement the minimal subset on plain Parquet with the same
+interface shape. On a real cluster, `Table` maps 1:1 onto an Iceberg table
+(`writeTo(...).append()`, `VERSION AS OF`), and nothing above this module
+changes.
+
+Layout per table:
+    <warehouse>/<name>/snap-00000001/part-*.parquet   (one dir per commit)
+    <warehouse>/<name>/manifest.json                  {"snapshots": [...]}
+
+Commit protocol: write data dir first, then atomically os.replace() the
+manifest — a crashed commit leaves an orphan data dir that no manifest
+references (cleaned lazily), never a torn table. Readers list the manifest,
+so they always see a consistent snapshot set (snapshot isolation for our
+single-writer round model; matches the engine's "one Spark batch per crawl
+round" design where the driver is the only committer).
+
+Scale notes (100 TB): each snapshot dir holds however many files the write
+produced (we do NOT coalesce(1) — writes keep the job's parallelism);
+reads pass the full dir list to spark.read.parquet so Spark plans one scan
+over all files with normal partition packing; status flips are modelled as
+append-only logs + latest-wins views (no rewrite amplification), exactly
+the fallback SURVEY.md §7(d) prescribes when MERGE would dominate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Table:
+    def __init__(self, warehouse: str, name: str):
+        self.name = name
+        self.path = os.path.join(warehouse, name)
+        os.makedirs(self.path, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def _read_manifest(self) -> list[str]:
+        if not os.path.exists(self._manifest_path):
+            return []
+        with open(self._manifest_path) as f:
+            return json.load(f)["snapshots"]
+
+    def _write_manifest(self, snapshots: list[str]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"snapshots": snapshots}, f)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    # -- write -------------------------------------------------------------
+    def append(self, df: DataFrame) -> int:
+        """Append df as a new snapshot; returns the new snapshot id
+        (= number of snapshots after commit)."""
+        snaps = self._read_manifest()
+        snap_name = f"snap-{len(snaps) + 1:08d}"
+        out = os.path.join(self.path, snap_name)
+        df.write.mode("errorifexists").parquet(out)
+        self._write_manifest(snaps + [snap_name])
+        return len(snaps) + 1
+
+    # -- read --------------------------------------------------------------
+    def snapshot_id(self) -> int:
+        return len(self._read_manifest())
+
+    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame | None:
+        """Read the table at the given snapshot (default: latest).
+        Returns None when the table has no committed data yet."""
+        snaps = self._read_manifest()
+        if as_of is not None:
+            snaps = snaps[:as_of]
+        if not snaps:
+            return None
+        paths = [os.path.join(self.path, s) for s in snaps]
+        return spark.read.parquet(*paths)
+
+    # -- resume ------------------------------------------------------------
+    def rollback(self, snapshot_id: int) -> None:
+        """Truncate to snapshot_id (checkpoint resume). Data dirs beyond the
+        kept set are removed so a resumed run is byte-equivalent to an
+        uninterrupted one."""
+        snaps = self._read_manifest()
+        keep, drop = snaps[:snapshot_id], snaps[snapshot_id:]
+        self._write_manifest(keep)
+        for s in drop:
+            shutil.rmtree(os.path.join(self.path, s), ignore_errors=True)
+
+
+class SnapshotStore:
+    """A warehouse of Tables + a checkpoint manifest for exact resume."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def table(self, name: str) -> Table:
+        return Table(self.warehouse, name)
+
+    # engine checkpoints: {round, tables: {name: snapshot_id}, extras...}
+    @property
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.warehouse, "checkpoints.json")
+
+    def write_checkpoint(self, payload: dict) -> None:
+        ckpts = self.read_checkpoints()
+        ckpts.append(payload)
+        fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".ckpt.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(ckpts, f)
+        os.replace(tmp, self._ckpt_path)
+
+    def read_checkpoints(self) -> list[dict]:
+        if not os.path.exists(self._ckpt_path):
+            return []
+        with open(self._ckpt_path) as f:
+            return json.load(f)
+
+    def latest_checkpoint(self) -> dict | None:
+        ckpts = self.read_checkpoints()
+        return ckpts[-1] if ckpts else None
+
+    def rollback_to_checkpoint(self, ckpt: dict) -> None:
+        """Roll every table referenced by the checkpoint back to its recorded
+        snapshot id and drop newer checkpoints."""
+        for name, snap_id in ckpt["tables"].items():
+            self.table(name).rollback(snap_id)
+        ckpts = [c for c in self.read_checkpoints() if c["round"] <= ckpt["round"]]
+        fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".ckpt.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(ckpts, f)
+        os.replace(tmp, self._ckpt_path)
