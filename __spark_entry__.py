@@ -1,38 +1,755 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is one operator family from SURVEY.md §2 (or a
+training-data-pipeline operator this engine adds), expressed Spark-first;
+``oracle_sql()`` restates each one in ANSI SQL for the DuckDB side-by-side
+check at sf=0.01. Column names/aliases match exactly on both sides.
+
+Cross-engine determinism rules used throughout (see
+distributed_webcrawler_spark/functions/hashes.py):
+- portable 60-bit hash: md5 -> first 15 hex chars -> bigint (identical in
+  Spark and DuckDB),
+- money/count sums go through decimal(18,2)/(18,4) so no float summation
+  order can flip a value hash; per-row double math is IEEE-identical,
+- every similarity/score is round()ed the same on both sides,
+- every window has a total order (documented tie-breaks).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_webcrawler_spark.functions import text as X
+from distributed_webcrawler_spark.functions import urls as U
+from distributed_webcrawler_spark.functions.hashes import h64, h64_sql
+from distributed_webcrawler_spark.operators import dedup as D
+from distributed_webcrawler_spark.operators import similarity as S
+from distributed_webcrawler_spark.operators import topk as K
+
+SF001 = "/root/testdata/sf0.001"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# The synthetic frontier built from lineitem: the crawl-scheduler operators
+# (W1/W4/C5/J4) exercised on driver-provided tables so DuckDB can oracle them.
+# ---------------------------------------------------------------------------
+N_FRONTIER_HOSTS = 50
+HOST_BUDGET = 20
+
+_FRONTIER_SQL = f"""
+  SELECT concat('https://host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar),
+                '.example.test/p/', cast(l_orderkey as varchar), '-', cast(l_linenumber as varchar)) AS url,
+         concat('host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar), '.example.test') AS host,
+         greatest(0.1, 1.0 - (l_linenumber - 1) * 0.1) AS priority,
+         l_linenumber - 1 AS depth,
+         l_shipdate AS discovered_at,
+         l_orderkey
+  FROM lineitem
+"""
+
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("https://host"), (F.col("l_suppkey") % N_FRONTIER_HOSTS).cast("string"),
+                 F.lit(".example.test/p/"), F.col("l_orderkey").cast("string"),
+                 F.lit("-"), F.col("l_linenumber").cast("string")).alias("url"),
+        F.concat(F.lit("host"), (F.col("l_suppkey") % N_FRONTIER_HOSTS).cast("string"),
+                 F.lit(".example.test")).alias("host"),
+        F.greatest(F.lit(0.1), F.lit(1.0) - (F.col("l_linenumber") - 1) * F.lit(0.1)).alias("priority"),
+        (F.col("l_linenumber") - 1).alias("depth"),
+        F.col("l_shipdate").alias("discovered_at"),
+        F.col("l_orderkey"),
+    )
+
+
+def q_crawl_round_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — one scheduling round (W1 rank window per host under a
+    politeness budget W4 + fetch join J4), on the synthetic frontier.
+
+    Scale shape: no global sort; rank windows per host partition; the
+    orders join shuffles on the (already hash-spread) unique key."""
+    fr = _frontier(spark, sf_dir)
+    sched = K.topk_per_group(
+        fr, ["host"],
+        [F.col("priority").desc(), F.col("discovered_at").asc(), F.col("url").asc()],
+        HOST_BUDGET,
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    return (
+        sched.join(orders, sched.l_orderkey == orders.o_orderkey, "inner")
+        .select("host", "url", F.col("rk").alias("sched_rank"), F.round("priority", 6).alias("priority"),
+                "depth", F.col("o_totalprice").alias("fetch_payload_price"),
+                F.col("o_orderstatus").alias("fetch_status"))
+    )
+
+
+_Q_CRAWL_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority DESC, discovered_at ASC, url ASC) AS rk
+  FROM frontier
+)
+SELECT r.host, r.url, r.rk AS sched_rank, round(r.priority, 6) AS priority, r.depth,
+       o.o_totalprice AS fetch_payload_price, o.o_orderstatus AS fetch_status
+FROM ranked r JOIN orders o ON r.l_orderkey = o.o_orderkey
+WHERE r.rk <= {HOST_BUDGET}
+"""
+
+
+def q_frontier_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 reference-compat: global ZREVRANGE order (priority DESC, tie-break),
+    take 100 — CrawlUrlRepository.java:31-43 semantics."""
+    fr = _frontier(spark, sf_dir)
+    return (
+        K.global_topk(fr, [F.col("priority").desc(), F.col("discovered_at").asc(), F.col("url").asc()], 100)
+        .select("url", "host", F.round("priority", 6).alias("priority"), "depth")
+    )
+
+
+_Q_TOPK_GLOBAL_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL})
+SELECT url, host, round(priority, 6) AS priority, depth
+FROM frontier ORDER BY priority DESC, discovered_at ASC, url ASC LIMIT 100
+"""
+
+
+def q_priority_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — the reference's priority formula max(0.1, 1.0 - d*0.1) incl. the
+    0.1 floor (CrawlerManager.java:215), one row per distinct depth."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select((F.col("l_linenumber") - 1).alias("parent_depth"))
+        .distinct()
+        .withColumn("child_priority", F.round(U.child_priority(F.col("parent_depth")), 6))
+        .withColumn("child_depth", F.col("parent_depth") + 1)
+    )
+
+
+_Q_PRIORITY_SQL = """
+SELECT DISTINCT l_linenumber - 1 AS parent_depth,
+       round(greatest(0.1, 1.0 - (l_linenumber - 1) * 0.1), 6) AS child_priority,
+       l_linenumber AS child_depth
+FROM lineitem
+"""
+
+
+def q_url_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — the reference's exact validity regex (BasicCrawler.java:37-39)
+    over constructed URLs incl. port / localhost / fragment shapes."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 5 AS INT) "
+            "WHEN 0 THEN concat('https://', source, '.example.com:8080/d/', cast(doc_id as string)) "
+            "WHEN 1 THEN concat('http://localhost/d/', cast(doc_id as string)) "
+            "WHEN 2 THEN concat('https://', source, '.example.com/d/', cast(doc_id as string), '#frag') "
+            "WHEN 3 THEN concat('ftp://', source, '.example.com/d/', cast(doc_id as string)) "
+            "ELSE concat('https://', source, '.example.com/d/', cast(doc_id as string)) END"
+        ).alias("url"),
+    )
+    return urls.where(U.is_valid_url(F.col("url"))).select("doc_id", "url")
+
+
+_Q_VALIDITY_SQL = r"""
+WITH urls AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN concat('https://', source, '.example.com:8080/d/', cast(doc_id as varchar))
+           WHEN 1 THEN concat('http://localhost/d/', cast(doc_id as varchar))
+           WHEN 2 THEN concat('https://', source, '.example.com/d/', cast(doc_id as varchar), '#frag')
+           WHEN 3 THEN concat('ftp://', source, '.example.com/d/', cast(doc_id as varchar))
+           ELSE concat('https://', source, '.example.com/d/', cast(doc_id as varchar)) END AS url
+  FROM documents)
+SELECT doc_id, url FROM urls
+WHERE url IS NOT NULL AND trim(url) <> ''
+  AND regexp_matches(url, '^https?://[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}(/.*)?$')
+"""
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the URL-seen anti-join shape: candidate set (parts) minus the
+    'seen' set (parts fetched in bulk: any lineitem with qty >= 45) —
+    exactly the candidates LEFT ANTI seen plan of the frontier dedup."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    seen = li.where(F.col("l_quantity") >= 45).select("l_partkey")
+    return p.join(seen, p.p_partkey == F.col("l_partkey"), "left_anti") \
+            .select("p_partkey", "p_name")
+
+
+_Q_ANTI_SQL = """
+SELECT p_partkey, p_name FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+"""
+
+
+def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 first-wins semantics (URLFrontier.java:67-74): earliest event per
+    user wins; later duplicates dropped."""
+    ev = _t(spark, sf_dir, "events")
+    out = D.first_wins(ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()])
+    return out.select("user_id", "event_id", "ts", "event_type")
+
+
+_Q_FIRSTWINS_SQL = """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — per-(host, time-window) token budget: top-2 events per user per
+    hour by value (the per-host-per-round fetch budget shape)."""
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    return K.topk_per_group(
+        ev, ["user_id", "hour"], [F.col("value").desc(), F.col("event_id").asc()], 2
+    ).select("user_id", "hour", "event_id", F.round("value", 6).alias("value"), "rk")
+
+
+_Q_BUDGET_SQL = """
+SELECT user_id, hour, event_id, round(value, 6) AS value, rk FROM (
+  SELECT user_id, date_trunc('hour', ts) AS hour, event_id, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM events) WHERE rk <= 2
+"""
+
+
+def q_round_robin_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — per-session round-robin quota (URLFrontier.java:92-110 analog):
+    top-5 customers per nation by balance."""
+    c = _t(spark, sf_dir, "customer")
+    return K.topk_per_group(
+        c, ["c_nationkey"], [F.col("c_acctbal").desc(), F.col("c_custkey").asc()], 5
+    ).select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rk")
+
+
+_Q_RR_SQL = """
+SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal, rk FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer) WHERE rk <= 5
+"""
+
+
+def q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A7 — per-status counts (CrawlerMetrics.java:40, 77-82 analog)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+_Q_STATUS_SQL = "SELECT o_orderstatus, cast(count(*) as bigint) AS n FROM orders GROUP BY o_orderstatus"
+
+
+def q_pages_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — pages per (session, status) analog: events per (type, day) with
+    a decimal-exact value sum."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("value_sum"))
+    )
+
+
+_Q_TYPEDAY_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day, cast(count(*) as bigint) AS n,
+       cast(sum(cast(value as decimal(18,4))) as double) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_metrics_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — per-round metrics snapshot shape: avg depth, bytes, throughput
+    inputs (the stats the reference stubs as zeros, URLFrontier.java:246-250)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_bytes_analog"),
+        F.round(F.avg(F.col("l_linenumber") - 1), 6).alias("avg_depth"),
+    )
+
+
+_Q_METRICS_SQL = """
+SELECT cast(count(*) as bigint) AS n_rows,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_bytes_analog,
+       round(avg(l_linenumber - 1), 6) AS avg_depth
+FROM lineitem
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A7 headline aggregation (TPC-H Q1 shape): partial+final hash agg,
+    decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) AS sum_disc_price,
+       cast(count(*) as bigint) AS count_order
+FROM lineitem WHERE l_shipdate <= date '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_fetch_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — the big fetch join (lineitem x orders x customer x nation) with
+    broadcast dims; revenue per nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+             .cast("double").alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+_Q_REVENUE_SQL = """
+SELECT n_name,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) as double) AS revenue,
+       cast(count(*) as bigint) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — the robots-rules broadcast-join shape: supplier x nation x region."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name").agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+_Q_DIMJOIN_SQL = """
+SELECT r_name, cast(count(*) as bigint) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey GROUP BY r_name
+"""
+
+
+def q_depth_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — depth < max_depth gate + column pruning (pushed to the scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where((F.col("l_linenumber") - 1) < 2).select(
+        "l_orderkey", "l_linenumber", (F.col("l_linenumber") - 1).alias("depth"))
+
+
+_Q_DEPTH_SQL = """
+SELECT l_orderkey, l_linenumber, l_linenumber - 1 AS depth
+FROM lineitem WHERE l_linenumber - 1 < 2
+"""
+
+
+def q_link_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — link extraction shape: explode tokens of documents (array
+    explode + per-link counting)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))).alias("tok"))
+    return toks.groupBy("tok").agg(F.count("*").alias("n")).where(F.col("n") >= 50)
+
+
+_Q_EXPLODE_SQL = """
+SELECT tok, cast(count(*) as bigint) AS n
+FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+GROUP BY tok HAVING count(*) >= 50
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative-sum
+    windows; sessions per user. (The round-boundary/state shape.)"""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag(F.col("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(prev.isNull(), 1)
+        .when(F.col("ts") > prev + F.expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
+    return flagged.groupBy("user_id").agg(F.sum("new_sess").cast("bigint").alias("n_sessions"),
+                                          F.count("*").alias("n_events"))
+
+
+_Q_SESSIONIZE_SQL = """
+SELECT user_id, cast(sum(new_sess) as bigint) AS n_sessions, cast(count(*) as bigint) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+GROUP BY user_id
+"""
+
+
+def q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins view (the progress-table status resolution shape)."""
+    ev = _t(spark, sf_dir, "events")
+    out = D.first_wins(ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
+    return out.select("user_id", "event_id", "ts", "event_type")
+
+
+_Q_LATEST_SQL = """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events props column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type").agg(F.sum("k").cast("bigint").alias("k_sum"), F.count("*").alias("n"))
+    )
+
+
+_Q_JSON_SQL = """
+SELECT event_type, cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS k_sum,
+       cast(count(*) as bigint) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators over documents / embeddings
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (one shuffle on h64(text), never on raw
+    text)."""
+    return D.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+_Q_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS keep_id, cast(count(*) as bigint) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+_JACCARD_K, _JACCARD_CHARS, _JACCARD_TH, _JACCARD_MAXDF = 8, 128, 0.2, 50
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by char-8-gram Jaccard with stop-shingle pruning."""
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=_JACCARD_K, max_chars=_JACCARD_CHARS,
+        threshold=_JACCARD_TH, max_df=_JACCARD_MAXDF)
+
+
+_Q_JACCARD_SQL = f"""
+WITH pos AS (
+  SELECT doc_id AS id, substr(text, 1, {_JACCARD_CHARS}) AS t,
+         unnest(generate_series(1, greatest(length(substr(text, 1, {_JACCARD_CHARS})) - {_JACCARD_K - 1}, 0))) AS i
+  FROM documents
+),
+sh AS (SELECT DISTINCT id, substr(t, cast(i as int), {_JACCARD_K}) AS sh FROM pos),
+kept AS (SELECT id, sh FROM sh WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_JACCARD_MAXDF})),
+sizes AS (SELECT id, cast(count(*) as bigint) AS sz FROM kept GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, cast(count(*) as bigint) AS inter
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= {_JACCARD_TH}
+"""
+
+_MH_N, _MH_BAND, _MH_K, _MH_CHARS, _MH_MIN = 8, 2, 6, 200, 0.25
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs (sub-quadratic near-dup path)."""
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=_MH_N, band_size=_MH_BAND,
+        k=_MH_K, max_chars=_MH_CHARS, min_est=_MH_MIN)
+
+
+def _minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(md5(concat('{s}:', sh))) AS mh_{s}" for s in range(_MH_N))
+    n_bands = _MH_N // _MH_BAND
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band, concat({cols}) AS bucket FROM sig".format(
+            b=b, cols=", '|', ".join(f"mh_{b * _MH_BAND + j}" for j in range(_MH_BAND)))
+        for b in range(n_bands))
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(_MH_N))
+    return f"""
+WITH pos AS (
+  SELECT doc_id AS id, substr(text, 1, {_MH_CHARS}) AS t,
+         unnest(generate_series(1, greatest(length(substr(text, 1, {_MH_CHARS})) - {_MH_K - 1}, 0))) AS i
+  FROM documents
+),
+sh AS (SELECT DISTINCT id, substr(t, cast(i as int), {_MH_K}) AS sh FROM pos),
+sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, round(({matches}) / 8.0, 6) AS est_sim
+FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+WHERE round(({matches}) / 8.0, 6) >= {_MH_MIN}
+"""
+
+
+_SIM_CHARS = 200
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash signature (identical-signature groups are the
+    near-dup candidates)."""
+    return D.simhash16(_t(spark, sf_dir, "documents"), max_chars=_SIM_CHARS)
+
+
+def _simhash_sql() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}" for b in range(16))
+    sig = " + ".join(f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH pos AS (
+  SELECT doc_id AS id, substr(text, 1, {_SIM_CHARS}) AS t,
+         unnest(generate_series(1, greatest(length(substr(text, 1, {_SIM_CHARS})) - 3, 0))) AS i
+  FROM documents
+),
+sh AS (SELECT id, substr(t, cast(i as int), 4) AS sh FROM pos),
+h AS (SELECT id, {h64_sql('sh')} AS h FROM sh),
+bits AS (SELECT id, {sums} FROM h GROUP BY id)
+SELECT id, cast({sig} as int) AS simhash FROM bits
+"""
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors (vec_id % 50 == 0)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return S.brute_force_topk(queries, emb, k=5)
+
+
+_Q_ANN_BRUTE_SQL = """
+SELECT query_id, neighbor_id, sim, rk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(cast(q.embedding as double[]), cast(c.embedding as double[])), 6) AS sim,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY round(list_cosine_similarity(cast(q.embedding as double[]), cast(c.embedding as double[])), 6) DESC,
+                                     c.vec_id ASC) AS rk
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % 50 = 0)
+WHERE rk <= 5
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic marker-based language ID, counts per predicted language."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred_lang", X.lang_id("text"))
+        .groupBy("pred_lang").agg(F.count("*").alias("n"))
+    )
+
+
+def _lang_sql_score(lang: str) -> str:
+    terms = " + ".join(
+        f"cast((length(padded) - length(replace(padded, '{m}', ''))) / {len(m)} as int)"
+        for m in X.LANG_MARKERS[lang])
+    return terms
+
+
+def _lang_id_sql() -> str:
+    scores = ",\n       ".join(f"({_lang_sql_score(lg)}) AS s_{lg}" for lg in sorted(X.LANG_MARKERS))
+    langs = sorted(X.LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in langs)
+    return f"""
+WITH padded AS (SELECT doc_id, concat(' ', lower(text), ' ') AS padded FROM documents),
+scores AS (SELECT doc_id, {scores} FROM padded),
+best AS (SELECT *, {m} AS m FROM scores)
+SELECT CASE WHEN m = 0 THEN 'und' {case} END AS pred_lang, cast(count(*) as bigint) AS n
+FROM best GROUP BY 1
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc composite quality score (length/punctuation/stopword bands)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+_Q_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / greatest(length(text), 1) AS p,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tc,
+         (SELECT_EN_SCORE) AS hits
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+         CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 WHEN n < 100 THEN n / 100.0 ELSE 20000.0 / n END AS len_ok,
+         CASE WHEN p < 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (p - 0.2) * 2) END AS punct_ok,
+         least(1.0, (hits * 1.0 / greatest(tc, 1)) * 4.0) AS stop_ok
+  FROM base)
+SELECT doc_id, round(len_ok * 0.4 + punct_ok * 0.3 + stop_ok * 0.3, 6) AS quality FROM parts
+"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per labeled language (BPE-ish regex tokenizer)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("tc", X.token_count("text"))
+        .groupBy("lang")
+        .agg(F.sum("tc").cast("bigint").alias("total_tokens"), F.count("*").alias("n_docs"))
+    )
+
+
+_Q_TOKENS_SQL = """
+SELECT lang, cast(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) as bigint) AS total_tokens,
+       cast(count(*) as bigint) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc position-weighted rolling checksum (document fingerprint)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text", 64).alias("fp"))
+
+
+_Q_FP_SQL = """
+WITH pos AS (
+  SELECT doc_id, substr(text, 1, 64) AS t,
+         unnest(generate_series(1, greatest(length(substr(text, 1, 64)), 1))) AS i
+  FROM documents)
+SELECT doc_id,
+       cast(sum(ascii(substr(t, cast(i as int), 1)) * ((i * 2654435761) % 1000003)) % 1000000007 as bigint) AS fp
+FROM pos GROUP BY doc_id
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode/feature plumbing over a deterministic payload batch
+    derived from doc ids. No SQL oracle (binary codec is engine-specific);
+    driver records the rows-only check."""
+    from distributed_webcrawler_spark.operators.multimodal import decode_stats
+    from distributed_webcrawler_spark.sources.datagen import gen_payloads
+
+    n = min(_t(spark, sf_dir, "documents").count(), 256)
+    payloads = gen_payloads(spark, int(n))
+    return decode_stats(payloads).where(F.col("ok"))
+
+
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one crawl-scheduling round on the sf0.001 synthetic frontier."""
+    return q_crawl_round_schedule(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "crawl_round_schedule": q_crawl_round_schedule,
+        "frontier_topk_global": q_frontier_topk_global,
+        "priority_ladder": q_priority_ladder,
+        "url_validity_filter": q_url_validity_filter,
+        "seen_antijoin": q_seen_antijoin,
+        "dedup_first_wins": q_dedup_first_wins,
+        "politeness_budget": q_politeness_budget,
+        "round_robin_quota": q_round_robin_quota,
+        "status_counts": q_status_counts,
+        "pages_by_type_day": q_pages_by_type_day,
+        "metrics_snapshot": q_metrics_snapshot,
+        "pricing_summary": q_pricing_summary,
+        "fetch_join_revenue": q_fetch_join_revenue,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "depth_gate": q_depth_gate,
+        "link_explode": q_link_explode,
+        "sessionize_events": q_sessionize_events,
+        "latest_wins": q_latest_wins,
+        "props_json_extract": q_props_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_brute_topk": q_ann_brute_topk,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_token_stats": q_text_token_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    quality_sql = _Q_QUALITY_SQL.replace(
+        "(SELECT_EN_SCORE)",
+        "(" + " + ".join(
+            f"cast((length(concat(' ', lower(text), ' ')) - length(replace(concat(' ', lower(text), ' '), '{m}', ''))) / {len(m)} as int)"
+            for m in X.LANG_MARKERS["en"]) + ")")
+    return {
+        "crawl_round_schedule": _Q_CRAWL_SQL,
+        "frontier_topk_global": _Q_TOPK_GLOBAL_SQL,
+        "priority_ladder": _Q_PRIORITY_SQL,
+        "url_validity_filter": _Q_VALIDITY_SQL,
+        "seen_antijoin": _Q_ANTI_SQL,
+        "dedup_first_wins": _Q_FIRSTWINS_SQL,
+        "politeness_budget": _Q_BUDGET_SQL,
+        "round_robin_quota": _Q_RR_SQL,
+        "status_counts": _Q_STATUS_SQL,
+        "pages_by_type_day": _Q_TYPEDAY_SQL,
+        "metrics_snapshot": _Q_METRICS_SQL,
+        "pricing_summary": _Q_PRICING_SQL,
+        "fetch_join_revenue": _Q_REVENUE_SQL,
+        "broadcast_dim_join": _Q_DIMJOIN_SQL,
+        "depth_gate": _Q_DEPTH_SQL,
+        "link_explode": _Q_EXPLODE_SQL,
+        "sessionize_events": _Q_SESSIONIZE_SQL,
+        "latest_wins": _Q_LATEST_SQL,
+        "props_json_extract": _Q_JSON_SQL,
+        "dedup_exact": _Q_DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": _Q_JACCARD_SQL,
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "ann_brute_topk": _Q_ANN_BRUTE_SQL,
+        "text_lang_id": _lang_id_sql(),
+        "text_quality": quality_sql,
+        "text_token_stats": _Q_TOKENS_SQL,
+        "text_fingerprint": _Q_FP_SQL,
+        # multimodal_decode: rows-only (binary codec not expressible in SQL)
+    }

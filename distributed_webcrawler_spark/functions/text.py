@@ -41,16 +41,16 @@ def lang_score(text_col: str, lang: str) -> Column:
 
 
 def lang_id(text_col: str) -> Column:
-    """argmax over LANG_MARKERS scores; ties + all-zero -> 'und'.
-    Deterministic tie-break: higher score wins, then language name ASC."""
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(LANG_MARKERS, reverse=True):
-        s = lang_score(text_col, lang)
-        better = (s > best_score) | ((s == best_score) & (s > 0) & (F.lit(lang) < best_lang))
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.greatest(best_score, s)
-    return best_lang
+    """argmax over LANG_MARKERS scores; all-zero -> 'und'; ties break to the
+    alphabetically-first language (a CASE evaluated in sorted order — the
+    exact shape the SQL oracle restates)."""
+    langs = sorted(LANG_MARKERS)
+    scores = {lg: lang_score(text_col, lg) for lg in langs}
+    m = F.greatest(*scores.values())
+    result = F.when(m == 0, F.lit("und"))
+    for lg in langs:
+        result = result.when(scores[lg] == m, F.lit(lg))
+    return result
 
 
 def token_count(text_col: str) -> Column:

@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB at a given sf dir; compare
+row count, schema (column names), and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+import __spark_entry__ as E  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(9)
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from distributed_webcrawler_spark import get_spark
+    spark = get_spark(cpus=16, shuffle_partitions=16)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows) [{time.monotonic()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failures.append(name)
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        status = []
+        if list(a.columns) != list(b.columns):
+            status.append(f"schema {list(a.columns)} vs {list(b.columns)}")
+        if len(a) != len(b):
+            status.append(f"rows {len(a)} vs {len(b)}")
+        if not status:
+            if not a.equals(b):
+                neq = (a != b) & ~(a.isna() & b.isna())
+                bad_cols = [c for c in a.columns if neq[c].any()]
+                n_bad = int(neq.any(axis=1).sum())
+                status.append(f"values differ: {n_bad} rows, cols {bad_cols}")
+                for c in bad_cols[:2]:
+                    idx = neq[c].idxmax()
+                    status.append(f"  e.g. {c}: spark={a[c][idx]!r} duckdb={b[c][idx]!r}")
+        if status:
+            print(f"FAIL {name}: " + "; ".join(status))
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {len(a)} rows match [{time.monotonic()-t0:.1f}s]")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
