@@ -72,6 +72,8 @@ def _canon_one(url: str, keep_fragment: bool) -> str | None:
         return None
     scheme = parts.scheme.lower()
     host = (parts.hostname or "").lower()
+    if not scheme or not host:
+        return None  # not an absolute URL; validity filter would reject it anyway
     port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):

@@ -330,7 +330,9 @@ class CrawlEngine:
             self.start_session(seeds)
         start_round = (self.store.latest_checkpoint() or {"round": 0})["round"] + 1
         history = []
-        for rnd in range(start_round, start_round + self.cfg.max_rounds):
+        # max_rounds is an ABSOLUTE round cap (not "rounds from here") so a
+        # resumed run and an uninterrupted run stop at the same boundary.
+        for rnd in range(start_round, self.cfg.max_rounds + 1):
             stats = self.run_round(rnd)
             if stats.get("scheduled", 0) == 0:
                 break

@@ -1,0 +1,94 @@
+"""Dedup + similarity operators: semantic sanity on crafted docs/vectors
+(the cross-engine value parity is covered by tools/check_oracle.py and the
+driver gate; these tests pin the *semantics*)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from distributed_webcrawler_spark.operators import dedup as D
+from distributed_webcrawler_spark.operators import similarity as S
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2, "the quick brown fox jumps over the lazy dog and runs away fast"),   # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup of 1
+    (4, "completely different content about spark dataframes and shuffles"),
+    (5, "zzz qqq xxx vvv kkk jjj yyy www uuu ttt sss rrr"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact(spark):
+    out = {r.keep_id: r.dup_count for r in D.dedup_exact(_docs(spark)).collect()}
+    assert out[1] == 2           # docs 1+2 collapse, min id kept
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+    assert 2 not in out
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.ngram_jaccard_pairs(_docs(spark), k=5, max_chars=100,
+                                            threshold=0.3, max_df=10).collect()}
+    assert pairs[(1, 2)] == 1.0            # identical
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_lsh_candidates(spark):
+    pairs = {(r.id_a, r.id_b): r.est_sim
+             for r in D.minhash_lsh_pairs(_docs(spark), n_hashes=8, band_size=2,
+                                          k=5, max_chars=100, min_est=0.25).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs                  # near-dups share a band
+    assert (4, 5) not in pairs
+
+
+def test_simhash_groups(spark):
+    sig = {r.id: r.simhash for r in D.simhash16(_docs(spark), max_chars=100).collect()}
+    assert sig[1] == sig[2]
+    d13 = bin(sig[1] ^ sig[3]).count("1")
+    d14 = bin(sig[1] ^ sig[4]).count("1")
+    assert d13 < d14                        # near-dup closer than unrelated
+    dup = {r.simhash: (r.n_docs, r.keep_id)
+           for r in D.simhash_dup_groups(_docs(spark)).collect()}
+    assert any(n >= 2 and k == 1 for n, k in dup.values())
+
+
+def _vectors(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=16)
+    rows = []
+    for i in range(20):
+        v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in (base + rng.normal(scale=0.01, size=16))]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_finds_planted_neighbor(spark):
+    vecs = _vectors(spark)
+    out = S.brute_force_topk(vecs.where(F.col("vec_id") == 100), vecs, k=1)
+    row = out.collect()[0]
+    assert row.neighbor_id == 101 and row.sim > 0.99
+
+
+def test_lsh_buckets_colocate_planted_pair(spark):
+    vecs = _vectors(spark)
+    sig = S.lsh_signature(vecs, n_planes=4, dim=16)
+    buckets = {r.id: r.bucket for r in sig.collect()}
+    assert buckets[100] == buckets[101]     # near-identical vectors share bucket
+    out = S.lsh_topk(vecs, k=1, n_planes=4, dim=16)
+    got = {r.query_id: r.neighbor_id for r in out.collect()}
+    assert got.get(100) == 101
+
+
+def test_embedding_near_dup_pairs(spark):
+    vecs = _vectors(spark)
+    pairs = [(r.id_a, r.id_b) for r in S.embedding_near_dup_pairs(vecs, threshold=0.95).collect()]
+    assert pairs == [(100, 101)]

@@ -1,0 +1,28 @@
+"""Driver-contract smoke: entry() runs on sf0.001; every queries() entry has
+a callable; every oracle key exists in queries()."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+
+def test_contract_shape():
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert len(qs) >= 25
+    assert set(oracles) <= set(qs)
+    # all but the explicitly non-SQL ops have oracles
+    assert set(qs) - set(oracles) == {"multimodal_decode"}
+
+
+def test_entry_runs(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    cols = set(df.columns)
+    assert {"url", "host", "sched_rank", "priority"} <= cols
+
+
+def test_sample_queries_run(spark):
+    qs = E.queries()
+    for name in ["pricing_summary", "dedup_exact", "text_lang_id"]:
+        assert qs[name](spark, "/root/testdata/sf0.001").count() > 0

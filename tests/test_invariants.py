@@ -1,0 +1,62 @@
+"""Property-based invariants (hypothesis) on the pure scalar kernels, plus
+crawl-run invariants on the simulator output: no URL fetched twice, no
+depth beyond the gate, per-host budget respected (SURVEY.md §5.2 test 6)."""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from distributed_webcrawler_spark.config import CrawlConfig
+from distributed_webcrawler_spark.functions.robots_fn import parse_robots, robots_is_allowed
+from distributed_webcrawler_spark.functions.urls import VALID_URL_REGEX, _canon_one
+from tests.oracle.reference_sim import simulate
+
+_VALID = re.compile(VALID_URL_REGEX)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_parse_robots_never_crashes(txt):
+    allow, deny = parse_robots(txt)
+    assert isinstance(allow, list) and isinstance(deny, list)
+    robots_is_allowed("/p/1", allow, deny)
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(raw):
+    c1 = _canon_one(raw, keep_fragment=False)
+    if c1 is not None:
+        assert _canon_one(c1, keep_fragment=False) == c1
+
+
+@given(st.integers(0, 200), st.integers(1, 8), st.integers(1, 6))
+@settings(max_examples=20, deadline=None)
+def test_sim_crawl_invariants(seed_graph, budget, max_depth):
+    """Random small graphs: the oracle's own invariants hold (it is the
+    measuring stick for the engine, so it must be self-consistent)."""
+    n = 40
+    hosts = [f"h{i % 5}.example.test" for i in range(n)]
+    urls = [f"https://{hosts[i]}/p/{i}" for i in range(n)]
+    web = {}
+    for i, u in enumerate(urls):
+        k = (i * 7 + seed_graph) % n
+        links = [urls[(k + j) % n] for j in range((i + seed_graph) % 6)]
+        web[u] = {"host": hosts[i], "out_links": links, "image_id": None,
+                  "status_code": 200 if (i + seed_graph) % 9 else 404}
+    cfg = CrawlConfig(max_depth=max_depth, budget_per_host_per_round=budget,
+                      max_rounds=10, respect_robots=False, use_bloom=False)
+    res = simulate(web, {}, {}, urls[:3], cfg)
+
+    fetched = [u for (_, _, u, _) in res.crawl_order]
+    assert len(fetched) == len(set(fetched))            # never fetched twice
+    per_round_host: dict = {}
+    for rnd, _, u, _ in res.crawl_order:
+        h = urlsplit(u).hostname
+        per_round_host[(rnd, h)] = per_round_host.get((rnd, h), 0) + 1
+    assert all(v <= budget for v in per_round_host.values())
+    assert res.seen.issuperset(fetched)

@@ -1,0 +1,74 @@
+"""robots.txt parser + gate parity with BasicCrawler.java:225-287 semantics."""
+
+from __future__ import annotations
+
+from distributed_webcrawler_spark.functions.robots_fn import (
+    parse_robots,
+    robots_is_allowed,
+)
+
+
+def test_empty_and_garbage_allow_all():
+    for txt in (None, "", "   ", "<html>garbage %% \x00", "no directives here"):
+        a, d = parse_robots(txt)
+        assert robots_is_allowed("/anything", a, d)
+
+
+def test_allow_checked_first_and_wins():
+    a, d = parse_robots("User-agent: *\nDisallow: /p/\nAllow: /p/2")
+    assert robots_is_allowed("/p/2", a, d)
+    assert robots_is_allowed("/p/21", a, d)      # prefix match
+    assert not robots_is_allowed("/p/1", a, d)
+    assert robots_is_allowed("/q", a, d)
+
+
+def test_user_agent_selection():
+    # only '*' or agents containing crawler/bot apply (BasicCrawler.java:247-251)
+    txt = "User-agent: googlebot\nDisallow: /a\nUser-agent: specific-tool\nDisallow: /b"
+    a, d = parse_robots(txt)
+    assert not robots_is_allowed("/a/x", a, d)   # 'googlebot' contains 'bot'
+    assert robots_is_allowed("/b/x", a, d)       # 'specific-tool' group ignored
+
+
+def test_case_insensitive_directives_and_comments():
+    txt = "# comment\nUSER-AGENT: *\nDISALLOW: /x\nAllow: /x/ok"
+    a, d = parse_robots(txt)
+    assert not robots_is_allowed("/x/no", a, d)
+    assert robots_is_allowed("/x/ok", a, d)
+
+
+def test_null_path_is_root():
+    a, d = parse_robots("User-agent: *\nDisallow: /")
+    assert not robots_is_allowed(None, a, d)
+
+
+def test_empty_rule_values_skipped():
+    a, d = parse_robots("User-agent: *\nDisallow:\nAllow:")
+    assert a == [] and d == []
+    assert robots_is_allowed("/x", a, d)
+
+
+def test_gate_by_robots_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_webcrawler_spark.functions.robots_fn import (
+        gate_by_robots,
+        parse_robots_table,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /no"), ("b.test", "")],
+        "host string, robots_txt string")
+    rules = parse_robots_table(robots)
+    sched = spark.createDataFrame(
+        [("a.test", "https://a.test/no/1"), ("a.test", "https://a.test/yes"),
+         ("b.test", "https://b.test/no/1"), ("c.test", "https://c.test/no")],
+        "host string, url string")
+    out = gate_by_robots(sched, rules, F.parse_url(F.col("url"), F.lit("PATH")))
+    got = {r.url: r.robots_allowed for r in out.collect()}
+    assert got == {
+        "https://a.test/no/1": False,
+        "https://a.test/yes": True,
+        "https://b.test/no/1": True,   # empty robots -> allow all
+        "https://c.test/no": True,     # missing robots -> allow all
+    }
