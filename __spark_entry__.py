@@ -40,8 +40,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # The synthetic frontier built from lineitem: the crawl-scheduler operators
 # (W1/W4/C5/J4) exercised on driver-provided tables so DuckDB can oracle them.
 # ---------------------------------------------------------------------------
-N_FRONTIER_HOSTS = 50
-HOST_BUDGET = 20
+N_FRONTIER_HOSTS = 500
+HOST_BUDGET = 100
 
 _FRONTIER_SQL = f"""
   SELECT concat('https://host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar),

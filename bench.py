@@ -1,0 +1,103 @@
+"""Benchmark runner (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": <urls/sec>, "unit": "urls/sec",
+   "queries": {name: sec, ...}, "sf": ..., "scaling": {...}}
+
+- value = the BASELINE.json primary metric: frontier URLs scheduled+fetched
+  per second, measured over the flagship crawl-round query (rank-window
+  schedule + fetch join) at the bench SF (warm run).
+- "scaling" embeds the latest N-vs-4N evidence produced by
+  tools/bench_scaling.py (two parallelism levels over identical input),
+  if BENCH.md has been generated; see BENCH.md for the full table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "crawl_round_schedule",
+    "frontier_topk_global",
+    "politeness_budget",
+    "pricing_summary",
+    "fetch_join_revenue",
+    "seen_antijoin",
+    "sessionize_events",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_brute_topk",
+    "text_quality",
+    "text_token_stats",
+    "multimodal_decode",
+]
+
+
+def _read_scaling_from_bench_md(path: str) -> dict | None:
+    if not os.path.exists(path):
+        return None
+    txt = open(path).read()
+    m = re.search(r"<!--SCALING_JSON:(.*?)-->", txt, re.S)
+    if m:
+        try:
+            return json.loads(m.group(1))
+        except json.JSONDecodeError:
+            return None
+    return None
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from distributed_webcrawler_spark import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark(cpus=cpus, app_name="dws-bench")
+    qs = E.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # primary metric: scheduled+fetched URLs/sec on the flagship round (warm)
+    flagship = qs["crawl_round_schedule"]
+    n_urls = flagship(spark, sf_dir).count()
+    t0 = time.monotonic()
+    flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    flagship_sec = time.monotonic() - t0
+    urls_per_sec = round(n_urls / flagship_sec, 1)
+
+    scaling = _read_scaling_from_bench_md(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"))
+
+    out = {
+        "metric": "frontier URLs scheduled+fetched/sec (flagship crawl-round query, warm)",
+        "value": urls_per_sec,
+        "unit": "urls/sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "flagship_urls": n_urls,
+        "flagship_sec": round(flagship_sec, 3),
+        "total_sec": round(sum(timings.values()), 3),
+    }
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,35 @@ def canonicalize_urls(keep_fragment: bool = False):
     return _canon
 
 
+def resolve_and_canonicalize_udf(reference_compat: bool):
+    """C2 fused: (base_url, href) -> canonical absolute URL in ONE Arrow
+    round-trip (resolve + canonicalize separately would ship the 10^7-links
+    batch through Python twice per round).
+
+    reference_compat=True  -> RFC 3986 resolve only, fragments kept
+                              (Jsoup abs:href behavior, BasicCrawler.java:154)
+    reference_compat=False -> resolve, drop fragment, full canonicalization
+    """
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _fused(base: pd.Series, href: pd.Series) -> pd.Series:
+        def one(b, h):
+            if h is None or b is None:
+                return None
+            try:
+                absu = urljoin(b, h.strip())
+            except ValueError:
+                return None
+            if reference_compat:
+                return absu
+            return _canon_one(absu.split("#", 1)[0], keep_fragment=False)
+
+        return pd.Series([one(b, h) for b, h in zip(base, href)])
+
+    return _fused
+
+
 def resolve_links_udf(keep_fragment: bool = True):
     """C2 — (base_url, href) -> absolute URL, RFC 3986 resolution exactly as
     Jsoup's ``abs:href`` (fragments kept by default, matching the reference).

@@ -93,35 +93,49 @@ class BloomFilter:
 
 
 def build_bloom(df: DataFrame, hash_col: str, expected_insertions: int, fpp: float,
-                tree_depth: int = 2) -> BloomFilter:
-    """Distributed build: per-partition bitarrays, treeAggregate OR-merge.
+                tree_depth: int = 2, max_build_partitions: int = 32) -> BloomFilter:
+    """Distributed build: per-partition bitarrays over Arrow batches
+    (mapInPandas — NOT `.rdd`, which row-pickles every value JVM->Python),
+    then a treeReduce OR-merge of the per-partition filters.
 
     Bit-OR is associative+commutative, so the log-tree combine is exact.
+    Partition count is capped: each partition yields one n_bits-sized blob,
+    so fewer/larger build partitions means less merge traffic. At the
+    10^10 tier the filter would be sharded by host_bucket (one filter per
+    bucket) rather than one global bitarray — same code per shard.
     """
     proto = BloomFilter.for_capacity(expected_insertions, fpp)
     n_bits, n_hashes = proto.n_bits, proto.n_hashes
 
-    def seq_op(bf: BloomFilter, row) -> BloomFilter:
-        # rows arrive one at a time from treeAggregate; buffer via numpy scalar
-        if row[0] is not None:
-            bf.add_many(np.array([row[0]], dtype=np.int64))
-        return bf
-
-    def comb_op(a: BloomFilter, b: BloomFilter) -> BloomFilter:
-        return a.union(b)
-
-    rdd = df.select(hash_col).rdd
-    # mapPartitions first: build one filter per partition vectorized,
-    # then tree-reduce the (few) filters — not one seq_op per row.
     def per_partition(it):
         bf = BloomFilter(n_bits, n_hashes)
-        hashes = np.fromiter((r[0] for r in it if r[0] is not None), dtype=np.int64)
-        if len(hashes):
-            bf.add_many(hashes)
-        yield bf
+        got = False
+        for pdf in it:
+            vals = pdf.iloc[:, 0].dropna().to_numpy(dtype=np.int64)
+            if len(vals):
+                bf.add_many(vals)
+                got = True
+        if got:
+            yield pd.DataFrame({"blob": [bf.to_bytes()]})
 
-    filters = rdd.mapPartitions(per_partition)
-    return filters.treeReduce(comb_op, depth=tree_depth)
+    slim = df.select(hash_col)
+    if slim.rdd.getNumPartitions() > max_build_partitions:
+        slim = slim.coalesce(max_build_partitions)
+    blobs = slim.mapInPandas(per_partition, "blob binary").rdd.map(
+        lambda r: BloomFilter.from_bytes(bytes(r.blob)))
+    if blobs.isEmpty():
+        return proto
+    return blobs.treeReduce(lambda a, b: a.union(b), depth=tree_depth)
+
+
+def add_hashes(bloom: BloomFilter, df: DataFrame, hash_col: str) -> None:
+    """Cheap incremental update: pull ONLY the 8-byte hashes to the driver
+    (Arrow) and add them. Per-round new-URL counts are bounded by crawl
+    rate, so this beats rebuilding+merging a full-width filter each round."""
+    pdf = df.select(hash_col).toPandas()
+    vals = pdf.iloc[:, 0].dropna().to_numpy(dtype=np.int64)
+    if len(vals):
+        bloom.add_many(vals)
 
 
 def bloom_prefilter_udf(bloom: BloomFilter):

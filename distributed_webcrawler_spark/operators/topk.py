@@ -42,6 +42,49 @@ def global_topk(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order_cols).limit(k)
 
 
+def global_row_number(df: DataFrame, order_cols: list[Column], seq_col: str = "seq",
+                      partitions: int | None = None,
+                      cache_registry: list | None = None) -> DataFrame:
+    """Exact global row_number under a total order WITHOUT a single-partition
+    window (the `Window.orderBy(...)` trap collapses the whole frame into one
+    task and serializes every downstream stage).
+
+    Scalable pattern: range-repartition on the sort key (range bucket i holds
+    keys strictly before bucket i+1), rank locally inside each bucket in
+    parallel, then add per-bucket offsets (a tiny driver-side cumsum — one
+    number per partition, not per row). Exactness does not depend on where
+    the sampled range bounds fall; they only affect balance.
+    """
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism * 2
+    rp = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # cache so the sampled range bounds are IDENTICAL between the counts job
+    # and the downstream consumption (offsets must describe the same layout);
+    # callers unpersist via cache_registry at the end of their unit of work.
+    rp = rp.cache()
+    if cache_registry is not None:
+        cache_registry.append(rp)
+    counts = {r["__pid"]: r["cnt"] for r in
+              rp.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_df = F.broadcast(spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"))
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = (
+        rp.join(offset_df, "__pid")
+        .withColumn(seq_col, (F.col("__offset") + F.row_number().over(w)).cast("int"))
+        .drop("__pid", "__offset")
+    )
+    return out
+
+
 def topk_per_group_salted(df: DataFrame, group_cols: list[str], order_cols: list[Column],
                           k: int, n_salts: int, salt_source: str = "url",
                           rank_col: str = "rk") -> DataFrame:

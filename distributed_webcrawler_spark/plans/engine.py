@@ -49,8 +49,7 @@ from ..config import CrawlConfig
 from ..functions import urls as U
 from ..functions.robots_fn import gate_by_robots, parse_robots_table
 from ..operators import topk
-from ..operators.bloom import BloomFilter, bloom_prefilter_udf, build_bloom
-from ..operators.dedup import first_wins
+from ..operators.bloom import BloomFilter, add_hashes, bloom_prefilter_udf, build_bloom
 from ..sources import codec
 from ..sources.store import SnapshotStore
 
@@ -114,6 +113,7 @@ class CrawlEngine:
             parse_robots_table(robots).cache() if (robots is not None and config.respect_robots) else None
         )
         self.bloom: BloomFilter | None = None
+        self._round_caches: list = []
 
     # ------------------------------------------------------------- helpers
     def _t(self, name: str):
@@ -135,7 +135,7 @@ class CrawlEngine:
         s = seeds.select("url", "seq")
         if not cfg.reference_compat:
             s = s.withColumn("url", U.canonicalize_urls(keep_fragment=False)(F.col("url")))
-        s = first_wins(s, ["url"], [F.col("seq").asc()])
+        s = s.groupBy("url").agg(F.min("seq").alias("seq"))  # first seed wins
         rows = s.select(
             F.lit(cfg.session_id).alias("session_id"),
             F.col("url"),
@@ -180,9 +180,11 @@ class CrawlEngine:
                 attempted = pg.count() if pg is not None else 0
                 remaining = max(cfg.max_pages - attempted, 0)
                 sched = topk.global_topk(sched, order, remaining)
-        # deterministic in-round sequence over the (small) scheduled set
-        w = Window.orderBy(*order)
-        return sched.withColumn("sched_seq", F.row_number().over(w)).withColumn("round", F.lit(rnd))
+        # deterministic global in-round sequence — computed scalably (range
+        # partition + local rank + offsets), NEVER a single-partition window
+        sched = topk.global_row_number(sched, order, seq_col="sched_seq",
+                                       cache_registry=self._round_caches)
+        return sched.withColumn("round", F.lit(rnd))
 
     def _gate_robots(self, sched: DataFrame) -> DataFrame:
         if self.robots_rules is None:
@@ -190,23 +192,42 @@ class CrawlEngine:
         return gate_by_robots(sched, self.robots_rules, U.url_path(F.col("url")))
 
     def _fetch(self, allowed: DataFrame) -> DataFrame:
-        """J4 + S5/C7: equi-join against web_graph, left join payloads,
-        Arrow-batched decode. Returns the joined frame INCLUDING out_links
-        (expansion reads it before the decode projection drops pixels).
+        """J4: the fetch equi-join against web_graph, SLIM (no payload bytes).
 
-        Skew note: this join's key is ``url`` — unique per row — so hash
-        partitioning already spreads a hot host's URLs uniformly; the
-        host-level skew lives in the scheduling window and is salted there
-        (topk_per_group_salted). AQE skew-join stays on as the backstop for
-        web_graph build-side imbalance.
+        Plan shape, chosen to minimize memory traffic (which is also what
+        minimizes shuffle on a real cluster):
+        - the per-round scheduled set is bounded by the politeness budget, so
+          it is BROADCAST into the web_graph scan (right-outer join preserves
+          every scheduled row; missing url -> connection-failed page). The
+          10^10-row web_graph side never shuffles.
+        - image bytes are NOT attached here: the decode stage repartitions
+          these slim rows first and only then broadcast-joins the payload
+          table, so no shuffle ever carries pixels.
+
+        Skew note: the join key is ``url`` (unique per row), so a hot host
+        cannot skew it; host-level skew lives in the scheduling window and
+        is salted there (topk_per_group_salted). AQE skew-join stays on as
+        the backstop.
         """
         wg = self.web_graph.select(
             F.col("url"), F.col("out_links"), F.col("image_id"),
             F.col("status_code").alias("web_status"))
-        joined = allowed.join(wg, "url", "left")
+        return wg.join(F.broadcast(allowed), "url", "right")
+
+    def _decode_pages(self, fetched: DataFrame) -> DataFrame:
+        """S5/C7: spread the slim fetched rows across the cluster, attach
+        payload bytes via broadcast, decode in Arrow batches."""
+        n_decode = self.spark.sparkContext.defaultParallelism * 2
         pay = self.payloads.select(
             "image_id", F.col("bytes").alias("pbytes"), F.col("caption"), F.col("fmt"))
-        return joined.join(F.broadcast(pay), "image_id", "left")
+        slim = fetched.select(
+            "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth",
+            "parent_url", "web_status", "image_id")
+        return (
+            slim.repartition(n_decode, "url")
+            .join(F.broadcast(pay), "image_id", "left")
+            .mapInPandas(_fetch_decode, schema=PAGES_SCHEMA)
+        )
 
     def _expand(self, fetched: DataFrame, rnd: int) -> DataFrame:
         """C1/C2/C4/C5 + J1: explode out_links of ok-pages under the depth
@@ -221,18 +242,23 @@ class CrawlEngine:
             F.posexplode(F.col("out_links")).alias("link_idx", "href"))
         resolved = links.withColumn(
             "child_url",
-            U.resolve_links_udf(keep_fragment=cfg.reference_compat)(F.col("parent_url"), F.col("href")))
-        if not cfg.reference_compat:
-            resolved = resolved.withColumn(
-                "child_url", U.canonicalize_urls(keep_fragment=False)(F.col("child_url")))
+            U.resolve_and_canonicalize_udf(cfg.reference_compat)(F.col("parent_url"), F.col("href")))
         valid = resolved.where(U.is_valid_url(F.col("child_url")))
         if cfg.allowed_domains and not cfg.reference_compat:
             valid = valid.where(U.url_host(F.col("child_url")).isin(cfg.allowed_domains))
         for pref in (cfg.disallowed_url_prefixes if not cfg.reference_compat else []):
             valid = valid.where(~F.col("child_url").startswith(pref))
-        # first discovery wins inside the round: order by who was scheduled
-        # first, then link position (the reference's sequential enqueue order)
-        cand = first_wins(valid, ["child_url"], [F.col("sched_seq").asc(), F.col("link_idx").asc()])
+        # first discovery wins inside the round: min by (scheduled position,
+        # link position) — the reference's sequential enqueue order. Expressed
+        # as min(struct(...)) so Catalyst runs a partial aggregate MAP-SIDE
+        # (a window would shuffle every candidate row before deduping).
+        cand = (
+            valid.groupBy("child_url")
+            .agg(F.min(F.struct("sched_seq", "link_idx", "session_id", "depth",
+                                "parent_url")).alias("w"))
+            .select("child_url", F.col("w.session_id").alias("session_id"),
+                    F.col("w.depth").alias("depth"), F.col("w.parent_url").alias("parent_url"))
+        )
         cand = cand.select(
             "session_id",
             F.col("child_url").alias("url"),
@@ -269,11 +295,8 @@ class CrawlEngine:
         blocked = gated.where(~F.col("robots_allowed"))
         allowed = gated.where(F.col("robots_allowed")).drop("robots_allowed")
 
-        fetched = self._fetch(allowed).cache()
-        pages = fetched.select(
-            "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth",
-            "parent_url", "web_status", "image_id", "pbytes", "caption", "fmt",
-        ).mapInPandas(_fetch_decode, schema=PAGES_SCHEMA)
+        fetched = self._fetch(allowed).cache()   # slim: no payload bytes
+        pages = self._decode_pages(fetched)
         blocked_pages = blocked.select(
             "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth", "parent_url",
             F.lit(403).alias("status_code"), F.lit("Blocked by robots.txt").alias("error_message"),
@@ -283,25 +306,25 @@ class CrawlEngine:
             F.lit(None).cast("int").alias("decoded_h"), F.lit(None).cast("long").alias("phash"),
             F.lit(0).cast("long").alias("crawl_duration_ms"), F.lit(-1).alias("partition_id"),
         )
-        all_pages = pages.unionByName(blocked_pages).cache()
-        self._t("pages").append(all_pages)
+        pages_snap = self._t("pages").append(pages.unionByName(blocked_pages))
+        # everything downstream derives from the COMMITTED snapshot: no plan
+        # recompute, no caching of payload bytes in executor memory
+        all_pages = self._t("pages").read_snapshot(self.spark, pages_snap)
 
         new_rows = self._expand(fetched, rnd).cache()
         n_new = new_rows.count()
         if n_new > 0:
             self._t("frontier").append(new_rows.select(*self._frontier_row_cols()))
             if cfg.use_bloom and self.bloom is not None:
-                rb = build_bloom(new_rows, "url_hash", cfg.bloom_expected_insertions, cfg.bloom_fpp)
-                self.bloom = self.bloom.union(rb)
+                add_hashes(self.bloom, new_rows, "url_hash")
 
-        progress = sched.select(
+        # every scheduled URL yields exactly one pages row, so progress is a
+        # straight projection of the committed snapshot (no join):
+        # COMPLETED on 200 else FAILED — never retried (URLFrontier.java:198-202)
+        progress = all_pages.select(
             "session_id", "url", F.col("round"),
-            F.lit("ATTEMPTED").alias("status"), F.lit("driver").alias("assigned_to"))
-        # refine status from outcome (COMPLETED on 200 else FAILED — never retried)
-        outcome = all_pages.select(
-            "url", F.when(F.col("status_code") == 200, "COMPLETED").otherwise("FAILED").alias("st"))
-        progress = progress.join(outcome, "url", "left").withColumn(
-            "status", F.coalesce(F.col("st"), F.col("status"))).drop("st")
+            F.when(F.col("status_code") == 200, "COMPLETED").otherwise("FAILED").alias("status"),
+            F.lit("driver").alias("assigned_to"))
         self._t("progress").append(progress)
 
         stats_row = all_pages.agg(
@@ -321,8 +344,10 @@ class CrawlEngine:
         self._checkpoint(rnd)
         sched.unpersist()
         fetched.unpersist()
-        all_pages.unpersist()
         new_rows.unpersist()
+        for c in self._round_caches:
+            c.unpersist()
+        self._round_caches.clear()
         return stats
 
     def run(self, seeds: DataFrame | None = None) -> list[dict]:

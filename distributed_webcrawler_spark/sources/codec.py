@@ -90,10 +90,16 @@ def phash64(pixels: np.ndarray) -> int:
     h, w = gray.shape
     ys = np.linspace(0, h, 9).astype(int)
     xs = np.linspace(0, w, 9).astype(int)
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = gray[ys[i] : max(ys[i] + 1, ys[i + 1]), xs[j] : max(xs[j] + 1, xs[j + 1])].mean()
+    # vectorized 8x8 block means via an integral image (a python loop here
+    # costs ~0.3ms/image — it dominates Arrow-batch decode throughput)
+    ii = np.zeros((h + 1, w + 1))
+    ii[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+    y0, x0 = ys[:8], xs[:8]
+    y1 = np.maximum(ys[:8] + 1, ys[1:])
+    x1 = np.maximum(xs[:8] + 1, xs[1:])
+    sums = (ii[np.ix_(y1, x1)] - ii[np.ix_(y0, x1)]
+            - ii[np.ix_(y1, x0)] + ii[np.ix_(y0, x0)])
+    blocks = sums / ((y1 - y0)[:, None] * (x1 - x0)[None, :])
     bits = (blocks > blocks.mean()).flatten()
     v = 0
     for bit in bits:

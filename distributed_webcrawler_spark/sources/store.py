@@ -73,6 +73,13 @@ class Table:
     def snapshot_id(self) -> int:
         return len(self._read_manifest())
 
+    def read_snapshot(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
+        """Read exactly one committed snapshot (e.g. 'this round's appended
+        rows') — lets callers derive follow-up tables from data already on
+        disk instead of recomputing the producing plan."""
+        snaps = self._read_manifest()
+        return spark.read.parquet(os.path.join(self.path, snaps[snapshot_id - 1]))
+
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame | None:
         """Read the table at the given snapshot (default: latest).
         Returns None when the table has no committed data yet."""
