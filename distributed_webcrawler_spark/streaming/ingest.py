@@ -1,0 +1,134 @@
+"""Structured Streaming surface.
+
+The engine's core is deliberately batch-round (the reference's 5-second
+poll loop is a batch cadence, not an event stream — SURVEY.md §2.7), but
+the same operators compose as streams for externally-fed deployments
+(e.g. a Kafka topic of discovered links replacing the reference's
+WORK_AVAILABLE nudge, CrawlerManager.java:270-286):
+
+- :func:`link_ingest_stream` — discovered-link firehose -> canonicalize ->
+  validity filter -> watermarked streaming dedup -> frontier-shaped append.
+  This is the streaming twin of CrawlEngine._expand; the exact seen
+  anti-join still happens in the batch round (streaming dedup only bounds
+  duplicates within the watermark — the batch anti-join stays authoritative,
+  same bloom-prefilter contract).
+- :func:`windowed_metrics_stream` — event-time tumbling-window counts with
+  a watermark for late data (the metrics-snapshot shape, A8).
+- :func:`politeness_gate_stream` — custom stateful operator via
+  applyInPandasWithState: per-host token budget per processing window;
+  rows over budget are dropped (DEFERRED status) until a later batch.
+
+All three run with file sources/sinks in tests (Trigger.AvailableNow), and
+would run against Kafka with only the source/sink lines changed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import urls as U
+
+LINK_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("parent_url", T.StringType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("discovered_at", T.TimestampType()),
+])
+
+
+def link_ingest_stream(spark: SparkSession, links_dir: str, *, n_host_buckets: int = 64,
+                       watermark: str = "10 minutes", reference_compat: bool = False) -> DataFrame:
+    """File-source stream of discovered links -> frontier-shaped rows.
+
+    Streaming dedup uses dropDuplicatesWithinWatermark on the canonical URL:
+    state is bounded by the watermark instead of growing with the crawl
+    (the unbounded exact set lives in the batch layer's frontier table)."""
+    raw = spark.readStream.schema(LINK_SCHEMA).json(links_dir)
+    canon = raw.withColumn(
+        "url", U.canonicalize_urls(keep_fragment=reference_compat)(F.col("url")))
+    valid = canon.where(U.is_valid_url(F.col("url")))
+    deduped = (
+        valid.withWatermark("discovered_at", watermark)
+        .dropDuplicatesWithinWatermark(["url"])
+    )
+    return deduped.select(
+        "url",
+        U.url_hash(F.col("url")).alias("url_hash"),
+        U.url_host(F.col("url")).alias("host"),
+        U.host_bucket(U.url_host(F.col("url")), n_host_buckets).alias("host_bucket"),
+        "depth",
+        U.child_priority(F.col("depth") - 1).alias("priority"),
+        "parent_url",
+        "discovered_at",
+    )
+
+
+def windowed_metrics_stream(events: DataFrame, *, window: str = "1 hour",
+                            watermark: str = "30 minutes") -> DataFrame:
+    """Event-time tumbling-window aggregation with late-data watermark:
+    the streaming twin of the per-round metrics snapshot (A8)."""
+    # watermarks require TIMESTAMP (with local tz); parquet NTZ cols are cast
+    events = events.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
+    )
+
+
+_GATE_STATE = "used long"
+_GATE_OUT = ("url string, host string, depth int, priority double, "
+             "parent_url string, discovered_at timestamp")
+
+
+def politeness_gate_stream(links: DataFrame, budget_per_host: int):
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-host politeness token budget over the stream's lifetime — at most
+    ``budget_per_host`` rows pass per host; the rest are dropped (a real
+    deployment would route them to a retry topic).
+
+    Mirrors the batch W4 window (rank <= budget per host/round) as
+    continuously-updated state, the role the reference's per-worker
+    Thread.sleep(500) plays (BasicCrawler.java:72-74) — except per HOST,
+    which is what politeness actually means.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def gate(key, pdfs, state: GroupState):
+        used = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["priority", "discovered_at", "url"],
+                                  ascending=[False, True, True])
+            take = max(budget_per_host - used, 0)
+            if take > 0:
+                out.append(pdf.head(take))
+                used += min(take, len(pdf))
+        state.update((used,))
+        cols = ["url", "host", "depth", "priority", "parent_url", "discovered_at"]
+        yield (pd.concat(out)[cols] if out else
+               pd.DataFrame(columns=cols))
+
+    return (
+        links.groupBy("host")
+        .applyInPandasWithState(
+            gate, outputStructType=_GATE_OUT, stateStructType=_GATE_STATE,
+            outputMode="append", timeoutConf="NoTimeout")
+    )
+
+
+def run_to_completion(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
+    """Drain a bounded stream with Trigger.AvailableNow into parquet."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

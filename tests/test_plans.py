@@ -1,0 +1,107 @@
+"""Physical-plan audits: the properties that matter at 100 TB, asserted on
+`.explain` output so a regression in plan shape fails CI, not production.
+
+- filters/projections reach the parquet scan (PushedFilters / ReadSchema),
+- small dims join via BroadcastHashJoin,
+- the flagship query contains no CartesianProduct and no single-partition
+  global sort feeding a per-group rank,
+- the engine's scheduling path contains no `Window.orderBy()` without
+  partitioning (the one-task trap), asserted via the sched_seq mechanism,
+- hot-path expressions run inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted") \
+        if hasattr(df._sc._jvm, "PythonSQLUtils") else _plan(df)
+
+
+def test_filter_and_projection_pushdown(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_linenumber") < 3).select("l_orderkey", "l_linenumber")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "LessThan(l_linenumber,3)" in plan
+    # column pruning: the scan schema must not include unprojected columns
+    scan_line = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "l_extendedprice" not in scan_line and "l_quantity" not in scan_line
+
+
+def test_dim_join_is_broadcast(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["broadcast_dim_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_no_cartesian_no_global_sort_rank(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["crawl_round_schedule"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the rank window partitions by host — no global (empty-partition) window
+    assert "windowspecdefinition(host" in plan
+
+
+def test_whole_stage_codegen_on_text_path(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["text_quality"](spark, SF))
+    # '*(n)' marks WholeStageCodegen stages; no Python eval may appear
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_engine_schedule_has_no_single_partition_window(spark, fixture_dir, warehouse):
+    """The scheduling plan must not contain a Window with an empty
+    partitionBy (single-task global sort) — sched_seq is computed via
+    range-partition + per-partition rank instead."""
+    from distributed_webcrawler_spark import CrawlConfig
+    from distributed_webcrawler_spark.plans.engine import CrawlEngine
+    from distributed_webcrawler_spark.sources.store import SnapshotStore
+
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+    eng = CrawlEngine(spark, SnapshotStore(warehouse),
+                      CrawlConfig(budget_per_host_per_round=3), wg, pay, None)
+    eng.start_session(seeds)
+    sched = eng._schedule(eng.pending(), 1)
+    plan = _plan(sched)
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            # every window spec must name at least one partition column
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert not spec.startswith("priority"), f"global window found: {line}"
+    for c in eng._round_caches:
+        c.unpersist()
+
+
+def test_fetch_join_broadcasts_scheduled_side(spark, fixture_dir, warehouse):
+    from distributed_webcrawler_spark import CrawlConfig
+    from distributed_webcrawler_spark.plans.engine import CrawlEngine
+    from distributed_webcrawler_spark.sources.store import SnapshotStore
+
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+    eng = CrawlEngine(spark, SnapshotStore(warehouse),
+                      CrawlConfig(budget_per_host_per_round=3), wg, pay, None)
+    eng.start_session(seeds)
+    sched = eng._schedule(eng.pending(), 1)
+    plan = _plan(eng._fetch(sched))
+    assert "BroadcastHashJoin" in plan and "RightOuter" in plan
+    assert "SortMergeJoin" not in plan  # web_graph side must not shuffle
+    for c in eng._round_caches:
+        c.unpersist()

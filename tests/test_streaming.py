@@ -1,0 +1,87 @@
+"""Structured Streaming surface: link ingest (canonicalize + validity +
+watermarked dedup), windowed metrics, stateful per-host politeness gate.
+All drained with Trigger.AvailableNow against file sources."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_webcrawler_spark.streaming import ingest as I
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dws-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_links(d, rows):
+    os.makedirs(f"{d}/links", exist_ok=True)
+    with open(f"{d}/links/batch0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return f"{d}/links"
+
+
+LINKS = [
+    {"url": "HTTPS://Host1.Example.test:443/a/../p/1", "parent_url": "https://host1.example.test/",
+     "depth": 1, "discovered_at": "2026-01-01T00:00:00Z"},
+    {"url": "https://host1.example.test/p/1",  # dup after canonicalization
+     "parent_url": "https://host1.example.test/x", "depth": 1, "discovered_at": "2026-01-01T00:00:05Z"},
+    {"url": "https://host2.example.test/p/2#frag", "parent_url": None,
+     "depth": 2, "discovered_at": "2026-01-01T00:01:00Z"},
+    {"url": "http://localhost:9/bad", "parent_url": None,
+     "depth": 1, "discovered_at": "2026-01-01T00:01:30Z"},   # invalid per regex
+]
+
+
+def test_link_ingest_stream(spark, tmpdir):
+    links_dir = _write_links(tmpdir, LINKS)
+    out = I.link_ingest_stream(spark, links_dir)
+    I.run_to_completion(out, f"{tmpdir}/out", f"{tmpdir}/ckpt")
+    rows = {r.url: r for r in spark.read.parquet(f"{tmpdir}/out").collect()}
+    assert set(rows) == {"https://host1.example.test/p/1", "https://host2.example.test/p/2"}
+    r = rows["https://host1.example.test/p/1"]
+    assert r.host == "host1.example.test" and r.depth == 1
+    assert abs(r.priority - 1.0) < 1e-12  # child of depth-0 parent
+    assert 0 <= r.host_bucket < 64 and r.url_hash is not None
+
+
+def test_windowed_metrics_stream(spark, tmpdir):
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.write.parquet(f"{tmpdir}/events")
+    stream = spark.readStream.schema(src.schema).parquet(f"{tmpdir}/events")
+    out = I.windowed_metrics_stream(stream, window="1 day", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("metrics_agg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.window_start, r.event_type): (r.n, r.value_sum)
+           for r in spark.sql("select * from metrics_agg").collect()}
+    want = {(r.window_start, r.event_type): (r.n, r.value_sum) for r in (
+        src.groupBy(F.date_trunc("day", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("value_sum"))
+    ).collect()}
+    assert got == want
+
+
+def test_politeness_gate_stream(spark, tmpdir):
+    rows = []
+    for h in ("a.test", "b.test"):
+        for i in range(10):
+            rows.append({"url": f"https://{h}/p/{i}", "parent_url": None, "depth": 1,
+                         "discovered_at": f"2026-01-01T00:00:{i:02d}Z"})
+    links_dir = _write_links(tmpdir, rows)
+    links = I.link_ingest_stream(spark, links_dir)
+    gated = I.politeness_gate_stream(links, budget_per_host=3)
+    I.run_to_completion(gated, f"{tmpdir}/gated", f"{tmpdir}/ckpt2")
+    out = spark.read.parquet(f"{tmpdir}/gated")
+    per_host = {r.host: r.n for r in out.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host == {"a.test": 3, "b.test": 3}
