@@ -577,6 +577,46 @@ WHERE rk <= 5
 """
 
 
+_ND_TH = 0.25
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs: all (id_a < id_b) with cosine >= 0.25."""
+    return S.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=_ND_TH)
+
+
+_Q_EMB_ND_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) >= {_ND_TH}
+"""
+
+_LSH_PLANES, _LSH_DIM = 8, 64
+
+
+def q_ann_lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket signature per vector (the ANN scale
+    path: candidates = same-bucket vectors instead of the N^2 cross join).
+    Planes derive deterministically from md5 — the oracle rebuilds them."""
+    from distributed_webcrawler_spark.operators.similarity import lsh_signature
+
+    return lsh_signature(_t(spark, sf_dir, "embeddings"),
+                         n_planes=_LSH_PLANES, dim=_LSH_DIM).select("id", "bucket")
+
+
+def _lsh_sql() -> str:
+    from distributed_webcrawler_spark.operators.similarity import hyperplane_weights
+
+    bits = []
+    for p in range(_LSH_PLANES):
+        w = ", ".join(repr(x) for x in hyperplane_weights(p, _LSH_DIM))
+        bits.append(f"(CASE WHEN list_dot_product(cast(embedding as double[]), [{w}]) > 0"
+                    f" THEN {1 << p} ELSE 0 END)")
+    sig = " + ".join(bits)
+    return f"SELECT vec_id AS id, cast({sig} as int) AS bucket FROM embeddings"
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-based language ID, counts per predicted language."""
     docs = _t(spark, sf_dir, "documents")
@@ -708,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_signature": q_ann_lsh_signature,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_token_stats": q_text_token_stats,
@@ -747,6 +789,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "ann_brute_topk": _Q_ANN_BRUTE_SQL,
+        "ann_lsh_signature": _lsh_sql(),
+        "dedup_embedding_cosine": _Q_EMB_ND_SQL,
         "text_lang_id": _lang_id_sql(),
         "text_quality": quality_sql,
         "text_token_stats": _Q_TOKENS_SQL,

@@ -30,6 +30,10 @@ class CrawlConfig:
     respect_robots: bool = True
     user_agent: str = "dws-crawler"
     max_pages: int | None = None    # enforced in clean mode; reference stores-but-ignores
+    # clean-mode retries for TRANSIENT failures (status_code 0). The reference
+    # declares retryCount but never increments it (CrawlUrl.java:23) and drops
+    # failures forever (URLFrontier.java:198-202); 0 reproduces that.
+    max_retries: int = 0
     allowed_domains: list[str] = field(default_factory=list)
     disallowed_url_prefixes: list[str] = field(default_factory=list)
 

@@ -41,18 +41,26 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
-def hyperplane_expr(vec_col: str, plane: int, dim: int):
-    """Deterministic pseudo-random hyperplane dot product: weight(plane, d) =
-    (h64(md5('p<plane>:<d>')) % 2001 - 1000) / 1000.0 — portable to SQL."""
-    from ..functions.hashes import h64
+def hyperplane_weights(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: weight(plane, d) =
+    (int(md5('p<plane>:<d>')[:15hex], 16) % 2001 - 1000) / 1000.0.
+    Derived from md5 so ANY engine (Spark, DuckDB oracle, plain Python)
+    reconstructs the identical plane — no RNG state, reruns identical."""
+    import hashlib
 
-    terms = F.zip_with(
-        F.col(vec_col),
-        F.expr(f"transform(sequence(0, {dim - 1}), d ->"
-               f" (cast(conv(substring(md5(concat('p{plane}:', cast(d as string))), 1, 15), 16, 10) as bigint)"
-               f" % 2001 - 1000) / 1000.0)"),
-        lambda x, wgt: x.cast("double") * wgt,
-    )
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"p{plane}:{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+def hyperplane_expr(vec_col: str, plane: int, dim: int):
+    """Dot product of the embedding with a hyperplane as a pure Column
+    expression over a LITERAL weight array (weights are plan constants:
+    computed once, constant-folded, no per-row hashing)."""
+    weights = F.array(*[F.lit(w) for w in hyperplane_weights(plane, dim)])
+    terms = F.zip_with(F.col(vec_col), weights, lambda x, wgt: x.cast("double") * wgt)
     return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
 

@@ -127,17 +127,20 @@ class CrawlEngine:
                 "priority", "parent_url", "discovered_round", "discovered_at"]
 
     # ------------------------------------------------------------ session
-    def start_session(self, seeds: DataFrame) -> None:
+    def start_session(self, seeds: DataFrame, session_id: str | None = None) -> None:
         """Seed injection (S1/S2): depth 0, priority 1.0, round 0. Seeds
         bypass the validity regex (the reference only validates extracted
-        links, CrawlerManager.java:109-120); first-wins dedup by seed order."""
+        links, CrawlerManager.java:109-120); first-wins dedup by seed order.
+        May be called repeatedly with different session ids — rounds then
+        schedule all sessions under the W2 quota."""
         cfg = self.cfg
+        session_id = session_id or cfg.session_id
         s = seeds.select("url", "seq")
         if not cfg.reference_compat:
             s = s.withColumn("url", U.canonicalize_urls(keep_fragment=False)(F.col("url")))
         s = s.groupBy("url").agg(F.min("seq").alias("seq"))  # first seed wins
         rows = s.select(
-            F.lit(cfg.session_id).alias("session_id"),
+            F.lit(session_id).alias("session_id"),
             F.col("url"),
             U.url_hash(F.col("url")).alias("url_hash"),
             U.url_host(F.col("url")).alias("host"),
@@ -156,21 +159,42 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- views
     def pending(self) -> DataFrame:
-        """PENDING = discovered but never attempted: frontier ANTI progress.
-        (Append-only status log + derived view — the SURVEY §7(d) shape —
-        instead of Iceberg MERGE status flips.)"""
+        """PENDING = discovered but not finished. Derived latest-wins view
+        over the append-only progress log (the SURVEY §7(d) shape — no
+        Iceberg MERGE status flips). Keys are (session_id, url): the
+        reference scopes every frontier/seen structure per session
+        (URLFrontier.java:44-54).
+
+        A URL is finished when it COMPLETED, failed permanently, or
+        exhausted ``max_retries`` transient (status 0) attempts. With the
+        default max_retries=0 every attempt is final — the reference's
+        no-retry behavior (URLFrontier.java:198-202)."""
         fr = self._t("frontier").read(self.spark)
         pg = self._t("progress").read(self.spark)
         if pg is None:
             return fr
-        return fr.join(pg.select("url").distinct(), "url", "left_anti")
+        done = (
+            pg.groupBy("session_id", "url")
+            .agg(F.count("*").alias("attempts"),
+                 F.max(F.when(F.col("status") == "COMPLETED", 1).otherwise(0)).alias("completed"),
+                 F.max(F.when(~F.col("retryable"), 1).otherwise(0)).alias("permanent_fail"))
+            .where((F.col("completed") == 1) | (F.col("permanent_fail") == 1)
+                   | (F.col("attempts") > self.cfg.max_retries))
+            .select("session_id", "url")
+        )
+        return fr.join(done, ["session_id", "url"], "left_anti")
 
     # ------------------------------------------------------------- rounds
     def _schedule(self, pending: DataFrame, rnd: int) -> DataFrame:
         cfg = self.cfg
         order = topk.tie_break_cols()
         if cfg.reference_compat:
-            sched = topk.global_topk(pending, order, cfg.batch_size)
+            # W2 round-robin across sessions: quota = batchSize / numSessions
+            # per session queue (URLFrontier.java:92-110; floor division like
+            # the reference, guarded to 1 so many sessions can't deadlock).
+            n_sessions = pending.select("session_id").distinct().count()
+            quota = max(cfg.batch_size // max(n_sessions, 1), 1)
+            sched = topk.topk_per_group(pending, ["session_id"], order, quota).drop("rk")
         else:
             sched = topk.topk_per_group_salted(
                 pending, ["session_id", "host"], order, cfg.budget_per_host_per_round,
@@ -253,10 +277,9 @@ class CrawlEngine:
         # as min(struct(...)) so Catalyst runs a partial aggregate MAP-SIDE
         # (a window would shuffle every candidate row before deduping).
         cand = (
-            valid.groupBy("child_url")
-            .agg(F.min(F.struct("sched_seq", "link_idx", "session_id", "depth",
-                                "parent_url")).alias("w"))
-            .select("child_url", F.col("w.session_id").alias("session_id"),
+            valid.groupBy("session_id", "child_url")
+            .agg(F.min(F.struct("sched_seq", "link_idx", "depth", "parent_url")).alias("w"))
+            .select("session_id", "child_url",
                     F.col("w.depth").alias("depth"), F.col("w.parent_url").alias("parent_url"))
         )
         cand = cand.select(
@@ -271,15 +294,19 @@ class CrawlEngine:
             F.lit(rnd).alias("discovered_round"),
             self._discovered_at(F.lit(rnd)).alias("discovered_at"),
         )
-        seen = self._t("frontier").read(self.spark).select("url")
+        # seen-set is per (session_id, url) — reference keys every structure
+        # by session (URLFrontier.java:44-54). The bloom hashes the url alone:
+        # a cross-session hit just routes through the exact anti-join.
+        seen = self._t("frontier").read(self.spark).select("session_id", "url")
         if cfg.use_bloom and self.bloom is not None:
             maybe = bloom_prefilter_udf(self.bloom)
             tagged = cand.withColumn("__maybe_seen", maybe(F.col("url_hash"))).cache()
             definitely_new = tagged.where(~F.col("__maybe_seen")).drop("__maybe_seen")
             needs_check = tagged.where(F.col("__maybe_seen")).drop("__maybe_seen")
-            new_rows = definitely_new.unionByName(needs_check.join(seen, "url", "left_anti"))
+            new_rows = definitely_new.unionByName(
+                needs_check.join(seen, ["session_id", "url"], "left_anti"))
         else:
-            new_rows = cand.join(seen, "url", "left_anti")
+            new_rows = cand.join(seen, ["session_id", "url"], "left_anti")
         return new_rows
 
     def run_round(self, rnd: int) -> dict:
@@ -324,6 +351,9 @@ class CrawlEngine:
         progress = all_pages.select(
             "session_id", "url", F.col("round"),
             F.when(F.col("status_code") == 200, "COMPLETED").otherwise("FAILED").alias("status"),
+            # only connection-level failures (sentinel 0) are retryable;
+            # HTTP errors and robots blocks are permanent (reference parity)
+            (F.col("status_code") == 0).alias("retryable"),
             F.lit("driver").alias("assigned_to"))
         self._t("progress").append(progress)
 

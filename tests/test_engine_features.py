@@ -1,0 +1,71 @@
+"""Engine features beyond strict reference parity: session-scoped seen
+sets, multi-session round-robin quotas (W2), transient-failure retries
+(the retryCount the reference declares but never uses)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_webcrawler_spark import CrawlConfig
+from distributed_webcrawler_spark.plans.engine import CrawlEngine
+from distributed_webcrawler_spark.sources.store import SnapshotStore
+
+
+def test_multi_session_isolation_and_quota(spark, fixture_dir, warehouse):
+    """Two sessions seeded with the SAME urls crawl independently: the seen
+    set is per-session (same url fetched once per session), and the compat
+    scheduler splits the batch across sessions (W2)."""
+    cfg = CrawlConfig(max_depth=1, batch_size=8, max_rounds=3,
+                      use_bloom=True, bloom_expected_insertions=10_000,
+                      reference_compat=True, respect_robots=False)
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+    store = SnapshotStore(warehouse)
+    eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+    eng.start_session(seeds, session_id="sess-A")
+    eng.start_session(seeds, session_id="sess-B")
+    eng.run()
+
+    pages = store.table("pages").read(spark)
+    per_sess = {r.session_id: r.n for r in
+                pages.groupBy("session_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per_sess) == {"sess-A", "sess-B"}
+    # same urls crawled by both sessions (per-session seen set)
+    a = {r.url for r in pages.where(F.col("session_id") == "sess-A").select("url").collect()}
+    b = {r.url for r in pages.where(F.col("session_id") == "sess-B").select("url").collect()}
+    assert a == b and len(a) > 0
+    # no url fetched twice within one session
+    dup = (pages.groupBy("session_id", "url").count().where(F.col("count") > 1).count())
+    assert dup == 0
+    # W2 quota: per round, each session got at most batch//2 slots
+    per_round = {(r.session_id, r.round): r.n for r in
+                 pages.groupBy("session_id", "round").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= cfg.batch_size // 2 for n in per_round.values())
+
+
+def test_transient_failures_retry_then_give_up(spark, fixture_dir, warehouse):
+    """max_retries=2: connection-level failures (status 0) are re-attempted
+    twice more, then abandoned; HTTP errors (404/500) are never retried."""
+    cfg = CrawlConfig(max_depth=0, budget_per_host_per_round=10_000,
+                      max_rounds=6, use_bloom=False, respect_robots=False,
+                      max_retries=2)
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    store = SnapshotStore(warehouse)
+    eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+    # seed with every url so all statuses (200/404/500/0) appear at depth 0
+    seeds = wg.select("url", F.monotonically_increasing_id().cast("int").alias("seq")).limit(200)
+    eng.start_session(seeds)
+    eng.run()
+
+    pages = store.table("pages").read(spark)
+    attempts = {(r.url): (r.n, r.status_code) for r in
+                pages.groupBy("url").agg(F.count("*").alias("n"), F.max("status_code").alias("status_code")).collect()}
+    transient = {u: n for u, (n, sc) in attempts.items() if sc == 0}
+    http_fail = {u: n for u, (n, sc) in attempts.items() if sc in (404, 500)}
+    ok = {u: n for u, (n, sc) in attempts.items() if sc == 200}
+    assert transient, "fixture should contain status-0 urls"
+    assert all(n == 3 for n in transient.values())   # 1 try + 2 retries
+    assert all(n == 1 for n in http_fail.values())   # permanent: never retried
+    assert all(n == 1 for n in ok.values())
