@@ -1,0 +1,120 @@
+"""Cuckoo filter — the second URL-seen structure the north rule names
+("bloom/cuckoo"). Complements the Bloom filter (operators/bloom.py):
+
+- supports DELETION (a bloom cannot): lets a long-running frontier expire
+  per-session seen entries when a session is dropped, without rebuilding,
+- better space at low fpp and bounded 2-bucket lookups.
+
+Same correctness contract as the bloom (SURVEY.md §7b): a PREFILTER only.
+`might_contain` has no false negatives for inserted-and-not-deleted keys;
+positives route through the exact anti-join. Deletion of a never-inserted
+key is forbidden (standard cuckoo-filter caveat) — the engine only deletes
+keys it previously inserted (session teardown).
+
+Implementation: partial-key cuckoo filter (Fan et al., CoNEXT'14 — public
+algorithm): buckets of 4 x 16-bit fingerprints, alternate bucket =
+bucket XOR hash(fingerprint), bounded eviction kicks. Vectorized numpy
+lookups for batch membership; insertion is per-key (driver/executor-side
+build over hashes, same shapes as the bloom builder).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EMPTY = 0  # fingerprints are forced nonzero
+_KICKS = 500
+
+
+def _mix(h: np.ndarray | int):
+    h = np.asarray(h, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (h + np.uint64(0x9E3779B97F4A7C15))
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
+class CuckooFilter:
+    def __init__(self, n_buckets: int, bucket_size: int = 4,
+                 table: np.ndarray | None = None):
+        # power-of-two bucket count so XOR-partial-key stays in range
+        self.n_buckets = 1 << int(n_buckets - 1).bit_length()
+        self.bucket_size = bucket_size
+        self.table = table if table is not None else np.zeros(
+            (self.n_buckets, bucket_size), dtype=np.uint16)
+
+    @classmethod
+    def for_capacity(cls, expected_insertions: int, load: float = 0.84) -> "CuckooFilter":
+        need = max(int(expected_insertions / load / 4) + 1, 2)
+        return cls(need)
+
+    # -- key -> (fingerprint, bucket1) ----------------------------------
+    def _fp_and_index(self, hashes: np.ndarray):
+        m = _mix(hashes.astype(np.uint64))
+        fp = (m & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == _EMPTY, np.uint16(1), fp)
+        i1 = ((m >> np.uint64(16)) % np.uint64(self.n_buckets)).astype(np.int64)
+        return fp, i1
+
+    def _alt_index(self, i: np.ndarray | int, fp: np.ndarray | int):
+        return (np.asarray(i, dtype=np.uint64)
+                ^ _mix(np.asarray(fp, dtype=np.uint64))) % np.uint64(self.n_buckets)
+
+    # -- mutation (scalar path; build-time) ------------------------------
+    def add(self, h: int) -> bool:
+        fp, i1 = self._fp_and_index(np.array([h], dtype=np.int64))
+        fp, i1 = int(fp[0]), int(i1[0])
+        i2 = int(self._alt_index(i1, fp))
+        for i in (i1, i2):
+            slot = np.argwhere(self.table[i] == _EMPTY)
+            if len(slot):
+                self.table[i, slot[0][0]] = fp
+                return True
+        # evict: bounded random-walk kicks (deterministic seed from fp)
+        rng = np.random.default_rng(fp)
+        i = i1 if rng.integers(2) else i2
+        for _ in range(_KICKS):
+            j = int(rng.integers(self.bucket_size))
+            fp, self.table[i, j] = int(self.table[i, j]), fp
+            i = int(self._alt_index(i, fp))
+            slot = np.argwhere(self.table[i] == _EMPTY)
+            if len(slot):
+                self.table[i, slot[0][0]] = fp
+                return True
+        return False  # table too full — caller should resize
+
+    def add_many(self, hashes: np.ndarray) -> int:
+        return sum(self.add(int(h)) for h in hashes)
+
+    def delete(self, h: int) -> bool:
+        fp, i1 = self._fp_and_index(np.array([h], dtype=np.int64))
+        fp, i1 = int(fp[0]), int(i1[0])
+        for i in (i1, int(self._alt_index(i1, fp))):
+            slot = np.argwhere(self.table[i] == fp)
+            if len(slot):
+                self.table[i, slot[0][0]] = _EMPTY
+                return True
+        return False
+
+    # -- vectorized membership -------------------------------------------
+    def might_contain_many(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        fp, i1 = self._fp_and_index(np.asarray(hashes, dtype=np.int64))
+        i2 = self._alt_index(i1, fp).astype(np.int64)
+        in1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    # -- serde -------------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        head = self.n_buckets.to_bytes(8, "little") + self.bucket_size.to_bytes(4, "little")
+        return head + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CuckooFilter":
+        n_buckets = int.from_bytes(data[:8], "little")
+        bucket_size = int.from_bytes(data[8:12], "little")
+        table = np.frombuffer(data[12:], dtype=np.uint16).reshape(n_buckets, bucket_size).copy()
+        return cls(n_buckets, bucket_size, table)
