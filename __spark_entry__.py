@@ -450,6 +450,106 @@ FROM events GROUP BY event_type
 """
 
 
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation with grouping indicators (subtotal/total rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+             F.grouping("l_returnflag").cast("int").alias("g_flag"),
+             F.grouping("l_linestatus").cast("int").alias("g_status"))
+    )
+
+
+_Q_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, cast(count(*) as bigint) AS n,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+       cast(grouping(l_returnflag) as int) AS g_flag,
+       cast(grouping(l_linestatus) as int) AS g_status
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers having both an 'O' and an 'F' order (INTERSECT)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b).withColumnRenamed("o_custkey", "custkey")
+
+
+_Q_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority x status (fixed status columns)."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_pending"),
+    )
+
+
+_Q_PIVOT_SQL = """
+SELECT o_orderpriority,
+       cast(count(*) FILTER (WHERE o_orderstatus = 'O') as bigint) AS n_open,
+       cast(count(*) FILTER (WHERE o_orderstatus = 'F') as bigint) AS n_finished,
+       cast(count(*) FILTER (WHERE o_orderstatus = 'P') as bigint) AS n_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame functions: lag + 3-row moving average per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.lag("value", 1).over(w), 6).alias("prev_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("moving_avg3"),
+    )
+
+
+_Q_ROLLING_SQL = """
+SELECT user_id, event_id,
+       round(lag(value, 1) OVER w, 6) AS prev_value,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: distinct parts + exact totals per supplier mod 10
+    (the visited-count A2 shape, exact flavor)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy((F.col("l_suppkey") % 10).alias("supp_bucket"))
+        .agg(F.countDistinct("l_partkey").alias("n_parts"),
+             F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+
+
+_Q_COUNTD_SQL = """
+SELECT l_suppkey % 10 AS supp_bucket,
+       cast(count(DISTINCT l_partkey) as bigint) AS n_parts,
+       cast(count(DISTINCT l_orderkey) as bigint) AS n_orders
+FROM lineitem GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -743,6 +843,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "latest_wins": q_latest_wins,
         "props_json_extract": q_props_json_extract,
+        "agg_rollup": q_agg_rollup,
+        "set_intersect": q_set_intersect,
+        "pivot_status": q_pivot_status,
+        "rolling_window": q_rolling_window,
+        "count_distinct": q_count_distinct,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -784,6 +889,11 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _Q_SESSIONIZE_SQL,
         "latest_wins": _Q_LATEST_SQL,
         "props_json_extract": _Q_JSON_SQL,
+        "agg_rollup": _Q_ROLLUP_SQL,
+        "set_intersect": _Q_INTERSECT_SQL,
+        "pivot_status": _Q_PIVOT_SQL,
+        "rolling_window": _Q_ROLLING_SQL,
+        "count_distinct": _Q_COUNTD_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _Q_JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
