@@ -816,6 +816,100 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stats(payloads).where(F.col("ok"))
 
 
+def q_asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): for each 'view' event, the
+    latest at-or-before 'purchase' value of the same user. One shuffle on
+    user_id (union + ordered window carry) — no range explosion. DuckDB
+    oracle uses its native ASOF LEFT JOIN."""
+    from distributed_webcrawler_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("pval")))
+    return asof_join(probes, purch, on=["user_id"], left_ts="ts", right_ts="ts",
+                     value_col="pval", out_col="last_purchase_value")
+
+
+_Q_ASOF_SQL = """
+WITH probes AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+     purch  AS (SELECT user_id, ts, max(value) AS pval
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, p.ts, r.pval AS last_purchase_value
+FROM probes p ASOF LEFT JOIN purch r
+  ON p.user_id = r.user_id AND p.ts >= r.ts
+"""
+
+
+def q_range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join anchored on an equi-key (the scalable form: the range
+    predicate prunes AFTER the hash join on user, so nothing explodes):
+    per signup event, the user's follow-up activity within the next day."""
+    ev = _t(spark, sf_dir, "events")
+    probes = (ev.where(F.col("event_type") == "signup")
+              .select(F.col("event_id").alias("signup_id"),
+                      F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
+    j = probes.join(
+        ev,
+        (ev["user_id"] == probes["p_user"])
+        & (ev["ts"] > probes["p_ts"])
+        & (ev["ts"] <= F.col("p_ts") + F.expr("INTERVAL 1 DAY")),
+    )
+    return j.groupBy("signup_id").agg(
+        F.count("*").alias("n_follow"),
+        F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+_Q_RANGE_SQL = """
+SELECT p.event_id AS signup_id, count(*) AS n_follow, round(sum(e.value), 4) AS sum_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') p
+JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 DAY
+GROUP BY 1
+"""
+
+
+_IVF_MOD, _IVF_K = 29, 3
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the scale path beside LSH): vectors are assigned to
+    their nearest centroid map-side (centroids inlined as plan literals —
+    no shuffle), then top-k searches only the query's cell (nprobe=1).
+    Centroids = vectors with vec_id % 29 == 0; probes = vec_id % 50 == 0."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.where(F.col("vec_id") % _IVF_MOD == 0).collect()]
+    assigned = S.ivf_assign_literal(emb, cents)
+    return S.ivf_topk(assigned, k=_IVF_K, query_filter=F.col("id") % 50 == 0)
+
+
+_Q_IVF_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cell, cast(embedding AS double[]) AS cv
+  FROM embeddings WHERE vec_id % {_IVF_MOD} = 0),
+sc AS (
+  SELECT e.vec_id AS id, cast(e.embedding AS double[]) AS v, c.cell,
+         round(list_cosine_similarity(cast(e.embedding AS double[]), c.cv), 6) AS csim
+  FROM embeddings e CROSS JOIN cent c),
+asg AS (
+  SELECT id, v, cell FROM (
+    SELECT id, v, cell,
+           row_number() OVER (PARTITION BY id ORDER BY csim DESC, cell ASC) AS crk
+    FROM sc) WHERE crk = 1)
+SELECT query_id, neighbor_id, sim, rk FROM (
+  SELECT q.id AS query_id, n.id AS neighbor_id,
+         round(list_cosine_similarity(q.v, n.v), 6) AS sim,
+         row_number() OVER (PARTITION BY q.id
+                            ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC,
+                                     n.id ASC) AS rk
+  FROM asg q JOIN asg n ON q.cell = n.cell AND q.id <> n.id
+  WHERE q.id % 50 = 0) t
+WHERE rk <= {_IVF_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: one crawl-scheduling round on the sf0.001 synthetic frontier."""
@@ -854,6 +948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_signature": q_ann_lsh_signature,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "asof_join_purchase": q_asof_join_purchase,
+        "range_join_followups": q_range_join_followups,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -900,6 +997,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "ann_brute_topk": _Q_ANN_BRUTE_SQL,
         "ann_lsh_signature": _lsh_sql(),
+        "ann_ivf_topk": _Q_IVF_SQL,
+        "asof_join_purchase": _Q_ASOF_SQL,
+        "range_join_followups": _Q_RANGE_SQL,
         "dedup_embedding_cosine": _Q_EMB_ND_SQL,
         "text_lang_id": _lang_id_sql(),
         "text_quality": quality_sql,

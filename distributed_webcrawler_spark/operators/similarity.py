@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, norm
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
@@ -84,6 +84,54 @@ def lsh_topk(df: DataFrame, k: int, n_planes: int, dim: int,
     b = sig.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
     scored = (
         a.join(b, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def ivf_assign_literal(df: DataFrame, centroids: list[tuple[int, list[float]]],
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF cell assignment with the centroid table inlined as plan literals:
+    (id, v, cell) where cell = argmax-cosine centroid (ties -> smaller cell
+    id). The argmax is a per-row array_max over literal struct entries —
+    entirely map-side, NO shuffle of the corpus (the IVF build assumption:
+    the centroid set is small, k ~ sqrt(N), and ships with the plan exactly
+    like a broadcast). Cosines are rounded like functions.vectors.cosine so
+    the DuckDB oracle reproduces assignment bit-for-bit."""
+    import math
+
+    entries = []
+    for cid, wvec in centroids:
+        wn = math.sqrt(sum(float(x) * float(x) for x in wvec))
+        warr = F.array(*[F.lit(float(x)) for x in wvec])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), warr, lambda x, wgt: x.cast("double") * wgt),
+            F.lit(0.0), lambda acc, x: acc + x)
+        csim = F.round(d / (norm(F.col(vec_col)) * F.lit(wn)), 6)
+        # struct max is lexicographic: sim first, then -cell (ties -> smaller cell)
+        entries.append(F.struct(csim.alias("s"), F.lit(-int(cid)).cast("long").alias("nc")))
+    best = F.array_max(F.array(*entries))
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     (-best["nc"]).cast("long").alias("cell"))
+
+
+def ivf_topk(assigned: DataFrame, k: int, query_filter) -> DataFrame:
+    """Approximate top-k within each query's IVF cell (nprobe=1): the
+    quadratic cross join becomes a cell-equi-join, sized |cell|^2 per cell.
+    `assigned` is ivf_assign_literal output; `query_filter` a Column
+    predicate over the `id` column selecting probe vectors.
+    Output: (query_id, neighbor_id, sim, rk)."""
+    q = assigned.where(query_filter).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell")
+    c = assigned.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell")
+    scored = (
+        q.join(c, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     )

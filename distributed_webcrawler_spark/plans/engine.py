@@ -219,14 +219,22 @@ class CrawlEngine:
         """J4: the fetch equi-join against web_graph, SLIM (no payload bytes).
 
         Plan shape, chosen to minimize memory traffic (which is also what
-        minimizes shuffle on a real cluster):
-        - the per-round scheduled set is bounded by the politeness budget, so
-          it is BROADCAST into the web_graph scan (right-outer join preserves
-          every scheduled row; missing url -> connection-failed page). The
-          10^10-row web_graph side never shuffles.
-        - image bytes are NOT attached here: the decode stage repartitions
-          these slim rows first and only then broadcast-joins the payload
-          table, so no shuffle ever carries pixels.
+        minimizes shuffle on a real cluster): the per-round scheduled set is
+        bounded by the politeness budget, so it is BROADCAST into the
+        web_graph scan and the 10^10-row web_graph side never shuffles.
+
+        Spark cannot broadcast the PRESERVED side of an outer join (a
+        `wg.join(broadcast(sched), "url", "right")` silently degrades to a
+        SortMergeJoin that shuffles the whole web graph — verified on the
+        physical plan), so outer semantics are built from two
+        broadcast-friendly pieces:
+
+            hit  = wg INNER JOIN broadcast(sched)        -- BHJ BuildRight, wg stationary
+            miss = sched ANTI JOIN broadcast(hit.url)    -- small x small
+            fetched = hit UNION ALL miss(null web cols)  -- every sched row survives
+
+        The second reference to `hit` only projects `url`, so its recompute
+        is a column-pruned scan (no out_links, no bytes).
 
         Skew note: the join key is ``url`` (unique per row), so a hot host
         cannot skew it; host-level skew lives in the scheduling window and
@@ -236,22 +244,41 @@ class CrawlEngine:
         wg = self.web_graph.select(
             F.col("url"), F.col("out_links"), F.col("image_id"),
             F.col("status_code").alias("web_status"))
-        return wg.join(F.broadcast(allowed), "url", "right")
+        hit = wg.join(F.broadcast(allowed), "url")
+        miss = (
+            allowed.join(F.broadcast(hit.select("url")), "url", "left_anti")
+            .withColumn("out_links", F.lit(None).cast("array<string>"))
+            .withColumn("image_id", F.lit(None).cast("string"))
+            .withColumn("web_status", F.lit(None).cast("int"))
+        )
+        return hit.unionByName(miss)
 
     def _decode_pages(self, fetched: DataFrame) -> DataFrame:
-        """S5/C7: spread the slim fetched rows across the cluster, attach
-        payload bytes via broadcast, decode in Arrow batches."""
-        n_decode = self.spark.sparkContext.defaultParallelism * 2
+        """S5/C7: attach payload bytes and decode in Arrow batches.
+
+        Bytes are STATIONARY: the slim scheduled rows (bounded by the
+        politeness budget) are broadcast INTO the payload scan — the same
+        hit/miss shape as the fetch join (J4) — so image bytes are neither
+        shuffled nor broadcast. At 10^10-URL scale the payload side is
+        petabytes; broadcasting it (the naive direction) is impossible, and
+        shuffling it would melt the network. Decode parallelism follows the
+        payload scan partitioning (`spark.sql.files.maxPartitionBytes`
+        sizes it). Scheduled rows with no payload (dead link / no image)
+        come back through the miss branch as status-coded page rows; the
+        miss anti-join re-reads only the pruned image_id column."""
         pay = self.payloads.select(
             "image_id", F.col("bytes").alias("pbytes"), F.col("caption"), F.col("fmt"))
         slim = fetched.select(
             "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth",
             "parent_url", "web_status", "image_id")
-        return (
-            slim.repartition(n_decode, "url")
-            .join(F.broadcast(pay), "image_id", "left")
-            .mapInPandas(_fetch_decode, schema=PAGES_SCHEMA)
+        hit = pay.join(F.broadcast(slim), "image_id")
+        miss = (
+            slim.join(F.broadcast(hit.select("url")), "url", "left_anti")
+            .withColumn("pbytes", F.lit(None).cast("binary"))
+            .withColumn("caption", F.lit(None).cast("string"))
+            .withColumn("fmt", F.lit(None).cast("string"))
         )
+        return hit.unionByName(miss).mapInPandas(_fetch_decode, schema=PAGES_SCHEMA)
 
     def _expand(self, fetched: DataFrame, rnd: int) -> DataFrame:
         """C1/C2/C4/C5 + J1: explode out_links of ok-pages under the depth

@@ -74,13 +74,17 @@ PAYLOAD_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
                   "caption string, phash long")
 
 
-def gen_payloads(spark: SparkSession, n_images: int) -> DataFrame:
+def gen_payloads(spark: SparkSession, n_images: int,
+                 min_px: int = 16, px_range: int = 33) -> DataFrame:
     """The BASELINE.json input_hint table, exact column shape:
-    (image_id, bytes, w, h, fmt, caption, phash)."""
+    (image_id, bytes, w, h, fmt, caption, phash). Dimensions are uniform in
+    [min_px, min_px + px_range): tests keep the tiny default; the scaling
+    bench passes realistic sizes so decode cost per URL matches a real
+    crawl (a 16px thumbnail under-weights the stage that dominates)."""
     base = spark.range(n_images).select(
         F.expr("concat('img-', lpad(cast(id as string), 8, '0'))").alias("image_id"),
-        (F.pmod(F.xxhash64(F.concat(F.lit("w"), F.col("id"))), F.lit(33)) + 16).cast("int").alias("w"),
-        (F.pmod(F.xxhash64(F.concat(F.lit("hh"), F.col("id"))), F.lit(33)) + 16).cast("int").alias("h"),
+        (F.pmod(F.xxhash64(F.concat(F.lit("w"), F.col("id"))), F.lit(px_range)) + min_px).cast("int").alias("w"),
+        (F.pmod(F.xxhash64(F.concat(F.lit("hh"), F.col("id"))), F.lit(px_range)) + min_px).cast("int").alias("h"),
         F.expr("CASE pmod(id, 3) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END").alias("fmt"),
         F.expr(
             "CASE WHEN pmod(id, 17) = 0 THEN '' "
@@ -134,8 +138,9 @@ def gen_seeds(spark: SparkSession, n_seeds: int, n_urls: int, n_hosts: int) -> D
 
 
 def write_fixture(spark: SparkSession, out_dir: str, n_urls: int, n_hosts: int,
-                  n_images: int, n_seeds: int = 4, max_out_degree: int = 12) -> None:
+                  n_images: int, n_seeds: int = 4, max_out_degree: int = 12,
+                  min_px: int = 16, px_range: int = 33) -> None:
     gen_web_graph(spark, n_urls, n_hosts, n_images, max_out_degree).write.mode("overwrite").parquet(f"{out_dir}/web_graph")
-    gen_payloads(spark, n_images).write.mode("overwrite").parquet(f"{out_dir}/payloads")
+    gen_payloads(spark, n_images, min_px, px_range).write.mode("overwrite").parquet(f"{out_dir}/payloads")
     gen_robots(spark, n_hosts).write.mode("overwrite").parquet(f"{out_dir}/robots")
     gen_seeds(spark, n_seeds, n_urls, n_hosts).write.mode("overwrite").parquet(f"{out_dir}/seeds")

@@ -101,7 +101,13 @@ def test_fetch_join_broadcasts_scheduled_side(spark, fixture_dir, warehouse):
     eng.start_session(seeds)
     sched = eng._schedule(eng.pending(), 1)
     plan = _plan(eng._fetch(sched))
-    assert "BroadcastHashJoin" in plan and "RightOuter" in plan
+    # hit/miss shape: inner BHJ (web_graph stationary, scheduled side the
+    # broadcast build) + LeftAnti BHJ for the misses. An outer join would
+    # silently degrade to SortMergeJoin and shuffle the whole web graph —
+    # the broadcast hint is NOT honorable on the preserved side.
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan
+    assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan  # web_graph side must not shuffle
+    assert "RightOuter" not in plan and "LeftOuter" not in plan
     for c in eng._round_caches:
         c.unpersist()
