@@ -45,6 +45,16 @@ class CrawlConfig:
     n_host_buckets: int = 64        # frontier partitioning key fan-out
     hot_host_salts: int = 8         # salting factor for skewed fetch joins
     hot_host_threshold: int = 5000  # rows/round above which a host is salted
+    # fetch/payload join strategy — the regime decides the right plan:
+    #   "broadcast": per-round scheduled set ≪ web graph (the production
+    #       10^10-tier regime: politeness bounds the round to ~budget×hosts
+    #       rows) — broadcast the scheduled side so the huge web_graph /
+    #       payload tables NEVER shuffle (hit/miss union shape, see _fetch).
+    #   "shuffle": scheduled set is a sizable fraction of the corpus (drain
+    #       benchmarks, backfills) — broadcast hash-table builds are serial
+    #       and would dominate; shuffle-hash both sides instead, which is
+    #       exactly the plan a cost-based optimizer picks given real stats.
+    fetch_join_strategy: str = "broadcast"
 
     # URL validity regex — EXACTLY the reference's (BasicCrawler.java:37-39):
     # rejects ports, IP-literal-with-port, userinfo, localhost (no dot+TLD).

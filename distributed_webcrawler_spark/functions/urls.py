@@ -100,6 +100,87 @@ def canonicalize_urls(keep_fragment: bool = False):
     return _canon
 
 
+def _resolve_one(b, h, reference_compat: bool):
+    if h is None or b is None:
+        return None
+    try:
+        absu = urljoin(b, h.strip())
+    except ValueError:
+        return None
+    if reference_compat:
+        return absu
+    return _canon_one(absu.split("#", 1)[0], keep_fragment=False)
+
+
+def resolve_canonicalize_batch(base: pd.Series, href: pd.Series) -> pd.Series:
+    """Clean-mode fused resolve+canonicalize over a batch, with vectorized
+    fast paths. Semantics = resolve, drop fragment, canonicalize; since the
+    fragment is dropped at the end anyway, stripping it FIRST is equivalent,
+    which lets whole link classes resolve with pure string ops:
+
+      A: already-absolute, already-canonical link  -> identity
+      B: root-relative path ("/p/x")               -> base_origin + link
+      C: directory-relative path ("p/x")           -> base_dir + link
+
+    Every predicate is conservative (lowercase host, no port/userinfo, no
+    dot segments, no '//', no scheme-colon) — any doubt falls through to
+    the exact per-row slow path, so results are identical
+    (fuzz-asserted in tests/test_urls.py).
+    """
+    h = href.str.strip()
+    nofrag = h.str.split("#", n=1).str[0]
+    ns = nofrag.fillna("")
+    bs = base.fillna("")
+    no_dots = (
+        ~ns.str.contains("/../", regex=False)
+        & ~ns.str.contains("/./", regex=False)
+        & ~ns.str.endswith("/.")
+        & ~ns.str.endswith("/..")
+    )
+    tier_a = (
+        ns.str.match(r"^https?://[a-z0-9.-]+(/[^#\s?]*)?(\?[^#\s]+)?$")
+        & ~ns.str.slice(8).str.contains("//", regex=False)
+        & no_dots
+        & base.notna()
+    )
+    base_origin = bs.str.extract(r"^(https?://[a-z0-9.-]+)(?:/|$)", expand=False)
+    tier_b = (
+        ns.str.match(r"^/[^/#\s?][^#\s?]*$")
+        & ~ns.str.contains("//", regex=False)
+        & no_dots
+        & base_origin.notna()
+    )
+    # tier C splices `base_dir + link` VERBATIM (no canonicalize pass), so
+    # the base itself must already be canonical-clean: lowercase host, a
+    # path, no query/fragment (a '/' inside either breaks the last-segment
+    # strip), no dot segments, no '//' runs.
+    base_clean = (
+        bs.str.match(r"^https?://[a-z0-9.-]+/[^?#\s]*$")
+        & ~bs.str.slice(8).str.contains("//", regex=False)
+        & ~bs.str.contains("/../", regex=False)
+        & ~bs.str.contains("/./", regex=False)
+        & ~bs.str.endswith("/.")
+        & ~bs.str.endswith("/..")
+    )
+    base_dir = bs.str.replace(r"[^/]*$", "", regex=True)
+    tier_c = (
+        ns.str.match(r"^[^/:#?\s.][^:#?\s]*$")
+        & ~ns.str.contains("//", regex=False)
+        & no_dots
+        & base_clean
+    )
+    out = nofrag.where(tier_a, None)
+    out = out.mask(tier_b & ~tier_a, base_origin + ns)
+    out = out.mask(tier_c & ~tier_a & ~tier_b, base_dir + ns)
+    slow = ~(tier_a | tier_b | tier_c)
+    if slow.any():
+        out[slow] = [
+            _resolve_one(b, v, reference_compat=False)
+            for b, v in zip(base[slow], href[slow])
+        ]
+    return out
+
+
 def resolve_and_canonicalize_udf(reference_compat: bool):
     """C2 fused: (base_url, href) -> canonical absolute URL in ONE Arrow
     round-trip (resolve + canonicalize separately would ship the 10^7-links
@@ -108,23 +189,16 @@ def resolve_and_canonicalize_udf(reference_compat: bool):
     reference_compat=True  -> RFC 3986 resolve only, fragments kept
                               (Jsoup abs:href behavior, BasicCrawler.java:154)
     reference_compat=False -> resolve, drop fragment, full canonicalization
+                              via the vectorized fast paths
     """
     from pyspark.sql.types import StringType
 
     @pandas_udf(StringType())
     def _fused(base: pd.Series, href: pd.Series) -> pd.Series:
-        def one(b, h):
-            if h is None or b is None:
-                return None
-            try:
-                absu = urljoin(b, h.strip())
-            except ValueError:
-                return None
-            if reference_compat:
-                return absu
-            return _canon_one(absu.split("#", 1)[0], keep_fragment=False)
-
-        return pd.Series([one(b, h) for b, h in zip(base, href)])
+        if reference_compat:
+            return pd.Series(
+                [_resolve_one(b, h, True) for b, h in zip(base, href)])
+        return resolve_canonicalize_batch(base, href)
 
     return _fused
 

@@ -128,10 +128,41 @@ def build_bloom(df: DataFrame, hash_col: str, expected_insertions: int, fpp: flo
     return blobs.treeReduce(lambda a, b: a.union(b), depth=tree_depth)
 
 
-def add_hashes(bloom: BloomFilter, df: DataFrame, hash_col: str) -> None:
-    """Cheap incremental update: pull ONLY the 8-byte hashes to the driver
-    (Arrow) and add them. Per-round new-URL counts are bounded by crawl
-    rate, so this beats rebuilding+merging a full-width filter each round."""
+def add_hashes(bloom: BloomFilter, df: DataFrame, hash_col: str,
+               distributed_threshold: int = 100_000, n_rows: int | None = None) -> None:
+    """Incremental update after a round. Two regimes:
+
+    - small rounds: pull ONLY the 8-byte hashes to the driver (Arrow) and
+      add them — one tiny collect beats any distributed machinery,
+    - large rounds (>= distributed_threshold new URLs): hashing millions of
+      positions on the driver is serial time every executor waits out, so
+      build per-partition delta filters of the SAME dimensions executor-side
+      (mapInPandas), treeReduce-OR them, and OR the delta into `bloom` —
+      the driver only merges bit arrays.
+
+    Pass ``n_rows`` when the caller already counted df (saves a job).
+    """
+    n = df.count() if n_rows is None else n_rows
+    if n >= distributed_threshold:
+        n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
+
+        def per_partition(it):
+            bf = BloomFilter(n_bits, n_hashes)
+            got = False
+            for pdf in it:
+                vals = pdf.iloc[:, 0].dropna().to_numpy(dtype=np.int64)
+                if len(vals):
+                    bf.add_many(vals)
+                    got = True
+            if got:
+                yield pd.DataFrame({"blob": [bf.to_bytes()]})
+
+        blobs = df.select(hash_col).mapInPandas(per_partition, "blob binary").rdd.map(
+            lambda r: BloomFilter.from_bytes(bytes(r.blob)))
+        if not blobs.isEmpty():
+            delta = blobs.treeReduce(lambda a, b: a.union(b), depth=2)
+            np.bitwise_or(bloom.bits, delta.bits, out=bloom.bits)
+        return
     pdf = df.select(hash_col).toPandas()
     vals = pdf.iloc[:, 0].dropna().to_numpy(dtype=np.int64)
     if len(vals):
@@ -144,10 +175,15 @@ def bloom_prefilter_udf(bloom: BloomFilter):
     from pyspark.sql.functions import pandas_udf
 
     blob = bloom.to_bytes()
+    memo: dict = {}  # per-worker: deserialize the bit array ONCE per task,
+    # not once per Arrow batch (the filter is MBs; a per-batch copy would
+    # memcpy gigabytes across a large round)
 
     @pandas_udf("boolean")
     def _might_contain(hashes: pd.Series) -> pd.Series:
-        bf = BloomFilter.from_bytes(blob)
+        bf = memo.get("bf")
+        if bf is None:
+            bf = memo["bf"] = BloomFilter.from_bytes(blob)
         vals = hashes.fillna(0).to_numpy(dtype=np.int64)
         return pd.Series(bf.might_contain_many(vals))
 

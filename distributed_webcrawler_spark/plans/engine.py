@@ -244,6 +244,11 @@ class CrawlEngine:
         wg = self.web_graph.select(
             F.col("url"), F.col("out_links"), F.col("image_id"),
             F.col("status_code").alias("web_status"))
+        if self.cfg.fetch_join_strategy == "shuffle":
+            # drain-benchmark regime: sched is frontier-sized, so a serial
+            # broadcast build would dominate — one shuffled outer join
+            # (hash-partitioned on url, scales with cores/executors)
+            return allowed.join(wg.hint("shuffle_hash"), "url", "left")
         hit = wg.join(F.broadcast(allowed), "url")
         miss = (
             allowed.join(F.broadcast(hit.select("url")), "url", "left_anti")
@@ -271,6 +276,12 @@ class CrawlEngine:
         slim = fetched.select(
             "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth",
             "parent_url", "web_status", "image_id")
+        if self.cfg.fetch_join_strategy == "shuffle":
+            # no hint: Catalyst/AQE picks — it auto-broadcasts the payload
+            # pool when it is small (keeps bytes out of the shuffle) and
+            # falls back to a shuffled hash join when it is not
+            joined = slim.join(pay, "image_id", "left")
+            return joined.mapInPandas(_fetch_decode, schema=PAGES_SCHEMA)
         hit = pay.join(F.broadcast(slim), "image_id")
         miss = (
             slim.join(F.broadcast(hit.select("url")), "url", "left_anti")
@@ -370,7 +381,7 @@ class CrawlEngine:
         if n_new > 0:
             self._t("frontier").append(new_rows.select(*self._frontier_row_cols()))
             if cfg.use_bloom and self.bloom is not None:
-                add_hashes(self.bloom, new_rows, "url_hash")
+                add_hashes(self.bloom, new_rows, "url_hash", n_rows=n_new)
 
         # every scheduled URL yields exactly one pages row, so progress is a
         # straight projection of the committed snapshot (no join):

@@ -69,3 +69,33 @@ def test_transient_failures_retry_then_give_up(spark, fixture_dir, warehouse):
     assert all(n == 3 for n in transient.values())   # 1 try + 2 retries
     assert all(n == 1 for n in http_fail.values())   # permanent: never retried
     assert all(n == 1 for n in ok.values())
+
+
+def test_fetch_join_strategy_shuffle_matches_broadcast(spark, fixture_dir, warehouse):
+    """The shuffle fetch-join plan (drain/backfill regime) must produce
+    byte-identical crawl results to the broadcast plan (dimension-lookup
+    regime) — strategy is a physical choice, never a semantic one."""
+    import tempfile
+
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+
+    outs = {}
+    for strat in ("broadcast", "shuffle"):
+        cfg = CrawlConfig(max_depth=2, budget_per_host_per_round=10_000,
+                          max_rounds=4, use_bloom=True,
+                          bloom_expected_insertions=10_000,
+                          respect_robots=False, fetch_join_strategy=strat)
+        wh = warehouse if strat == "broadcast" else tempfile.mkdtemp(prefix="dws-shuf-")
+        store = SnapshotStore(wh)
+        eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+        eng.start_session(seeds)
+        eng.run()
+        pages = store.table("pages").read(spark)
+        outs[strat] = {
+            tuple(r) for r in pages.select(
+                "round", "url", "status_code", "content_length", "image_id",
+                "depth", "parent_url").collect()}
+    assert outs["broadcast"] == outs["shuffle"]
+    assert len(outs["broadcast"]) > 0

@@ -75,3 +75,44 @@ def test_priority_ladder(spark):
     assert rows[9] == pytest.approx(0.1)
     for d in range(9, 15):
         assert rows[d] == pytest.approx(0.1)  # the 0.1 floor
+
+
+def test_resolve_fast_path_matches_exact_slow_path():
+    """The vectorized tiers in resolve_canonicalize_batch must be
+    byte-identical to the exact per-row resolve+canonicalize for every
+    (base, href) — adversarial fuzz over bases with ports / dot segments /
+    query-with-slash / fragments / '//' runs and every href shape."""
+    import random
+
+    import pandas as pd
+
+    from distributed_webcrawler_spark.functions.urls import (
+        _resolve_one,
+        resolve_canonicalize_batch,
+    )
+
+    random.seed(1234)
+    hosts = ["a.com", "b-x.org", "C.com", "sub.d.net", "a.com:8080", "a.com:80"]
+    paths = ["", "/", "/p", "/p/q", "/p/q/", "/p?x=/y", "/p#f/g", "/p?x=1",
+             "/p/./q", "/p/../q", "//dbl/x", "/p%20q", "/p;m=1"]
+    hrefs = ["x", "x/y", "/r", "/r/s", "http://e.com/z", "HTTP://e.com/z",
+             "x?q=1", "?q=2", "#f", "../up", "./same", "x/..", "mailto:z@e.com",
+             "//proto.rel/p", "x.y", ".hidden", "http://e.com//dbl", "/r?a=b",
+             "x#frag", "", None, "  x  ", "http://E.com/z", "http://e.com:80/z",
+             "http://e.com:8080/z", "p/q#a/b", "x;p=1",
+             "https://s.io/a?b=c&d=e", "/..", "/.", "x/", "a//b",
+             "ftp://f.com/x", "javascript:void(0)", "%2e%2e/x"]
+    rows_b, rows_h = [], []
+    for _ in range(8000):
+        b = f"http://{random.choice(hosts)}{random.choice(paths)}"
+        if random.random() < 0.02:
+            b = None
+        rows_b.append(b)
+        rows_h.append(random.choice(hrefs))
+    base, href = pd.Series(rows_b), pd.Series(rows_h)
+    fast = resolve_canonicalize_batch(base, href)
+    slow = [_resolve_one(b, h, False) for b, h in zip(base, href)]
+    for i, s in enumerate(slow):
+        f = fast.iloc[i]
+        f = None if f is None or (isinstance(f, float)) or f is pd.NA else f
+        assert f == s, (base.iloc[i], href.iloc[i], f, s)

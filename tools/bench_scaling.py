@@ -41,15 +41,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DECODE_FILES = 64  # fixed file count: divides evenly into 2/8/32-thread waves
 
+# RAM-backed scratch for fixture + warehouse + shuffle dirs. The sandbox has
+# ONE /tmp disk shared by every parallelism level; a real cluster's disk
+# bandwidth scales with node count, so measuring through the single spindle
+# would charge the design for a sandbox artifact. Falls back to /tmp when
+# tmpfs is absent.
+SCRATCH = os.environ.get(
+    "DWS_SCALING_SCRATCH",
+    "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
+
 RUNNER = r"""
 import json, os, sys, time, shutil, tempfile
 sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
 from distributed_webcrawler_spark import get_spark, CrawlConfig
 from distributed_webcrawler_spark.sources.store import SnapshotStore
 from distributed_webcrawler_spark.plans.engine import CrawlEngine
 
 cpus = int(sys.argv[1]); fix = sys.argv[2]; rounds = int(sys.argv[3])
-spark = get_spark(cpus=cpus, app_name=f"dws-scaling-{{cpus}}")
+scratch = sys.argv[4]
+# shuffle/spill on the same RAM-backed scratch as the warehouse: a real
+# N-node cluster has N local disks — one shared /tmp spindle is a sandbox
+# artifact, not a property of the plan being measured
+spark = get_spark(cpus=cpus, app_name=f"dws-scaling-{{cpus}}",
+                  extra_conf={{"spark.local.dir": tempfile.mkdtemp(dir=scratch, prefix="sparklocal-")}})
 wg = spark.read.parquet(f"{{fix}}/web_graph")
 pay = spark.read.parquet(f"{{fix}}/payloads")
 rob = spark.read.parquet(f"{{fix}}/robots")
@@ -58,8 +73,25 @@ seeds = spark.read.parquet(f"{{fix}}/seeds")
 # so the round is fetch-bound (the metric's definition), not budget-bound
 cfg = CrawlConfig(max_depth=1, budget_per_host_per_round=1_000_000,
                   max_rounds=rounds, use_bloom=True,
-                  bloom_expected_insertions=5_000_000, respect_robots=True)
-wh = tempfile.mkdtemp(prefix=f"dws-scale-{{cpus}}-")
+                  bloom_expected_insertions=5_000_000, respect_robots=True,
+                  # drain benchmark: the round schedules the WHOLE frontier
+                  # (~1/3 of the simulated web), so the dimension-lookup
+                  # regime doesn't hold — use the shuffled join plan, the
+                  # same choice a cost-based optimizer makes at these stats
+                  fetch_join_strategy="shuffle")
+
+# UNTIMED warm-up: a miniature crawl round on a throwaway store. Compiles
+# every codegen stage, starts+reuses the Python UDF workers, JITs the JVM
+# hot paths. One-time process costs are not part of steady-state
+# throughput on any cluster; without this they land entirely inside the
+# single timed round and read as fake serial fraction.
+wh_warm = tempfile.mkdtemp(dir=scratch, prefix=f"dws-warm-{{cpus}}-")
+warm_eng = CrawlEngine(spark, SnapshotStore(wh_warm), cfg, wg, pay, rob)
+warm_eng.start_session(seeds.limit(4000))
+warm_eng.run()
+shutil.rmtree(wh_warm, ignore_errors=True)
+
+wh = tempfile.mkdtemp(dir=scratch, prefix=f"dws-scale-{{cpus}}-")
 store = SnapshotStore(wh)
 eng = CrawlEngine(spark, store, cfg, wg, pay, rob)
 eng.start_session(seeds)   # not timed: session bootstrap
@@ -72,7 +104,11 @@ fetched = sum(h["scheduled"] for h in hist)
 # noop. Identical bytes, identical file layout at every level; no shuffle.
 from distributed_webcrawler_spark.operators.multimodal import decode_stats
 rep = spark.read.parquet(f"{{fix}}/decode_input")
-n_decoded = rep.count()          # untimed: warms the OS page cache
+# untimed warm: actually touch the BYTES column (count() prunes it) and run
+# the decode plan once over a slice so workers/codegen are hot
+n_decoded = rep.count()
+rep.select(F.sum(F.length("bytes"))).collect()
+decode_stats(rep.limit(5000)).write.format("noop").mode("overwrite").save()
 t0 = time.monotonic()
 decode_stats(rep).write.format("noop").mode("overwrite").save()
 decode_wall = time.monotonic() - t0
@@ -116,7 +152,7 @@ def _run_level(cpus: int, fix: str, rounds: int) -> dict:
     the same accounting a real executor with N cores has."""
     code = RUNNER.format(repo=REPO)
     cmd = ["taskset", "-c", f"0-{cpus - 1}",
-           sys.executable, "-c", code, str(cpus), fix, str(rounds)]
+           sys.executable, "-c", code, str(cpus), fix, str(rounds), SCRATCH]
     p = subprocess.run(cmd, capture_output=True, text=True, check=True)
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -137,7 +173,7 @@ def main() -> None:
     attempts_n = int(os.environ.get("DWS_SCALING_ATTEMPTS", "2"))
     rounds = 1
     keep_fix = os.environ.get("DWS_SCALING_FIX")
-    fix = keep_fix or tempfile.mkdtemp(prefix="dws-scaling-fix-")
+    fix = keep_fix or tempfile.mkdtemp(prefix="dws-scaling-fix-", dir=SCRATCH)
     try:
         if keep_fix and os.path.exists(os.path.join(fix, "decode_input", "_SUCCESS")):
             print(f"reusing fixture at {fix}", flush=True)
