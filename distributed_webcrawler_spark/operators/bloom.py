@@ -105,8 +105,12 @@ def build_bloom(df: DataFrame, hash_col: str, expected_insertions: int, fpp: flo
     bucket) rather than one global bitarray — same code per shard.
     """
     proto = BloomFilter.for_capacity(expected_insertions, fpp)
-    n_bits, n_hashes = proto.n_bits, proto.n_hashes
+    merged = _distributed_or_merge(df, hash_col, proto.n_bits, proto.n_hashes,
+                                   max_build_partitions, tree_depth)
+    return merged if merged is not None else proto
 
+
+def _partition_filter_fn(n_bits: int, n_hashes: int):
     def per_partition(it):
         bf = BloomFilter(n_bits, n_hashes)
         got = False
@@ -118,14 +122,47 @@ def build_bloom(df: DataFrame, hash_col: str, expected_insertions: int, fpp: flo
         if got:
             yield pd.DataFrame({"blob": [bf.to_bytes()]})
 
+    return per_partition
+
+
+def _distributed_or_merge(df: DataFrame, hash_col: str, n_bits: int, n_hashes: int,
+                          max_parts: int, tree_depth: int) -> BloomFilter | None:
+    """Per-partition filters + treeReduce OR-merge, computed EXACTLY ONCE.
+
+    The blob RDD is persisted before the emptiness probe — an unpersisted
+    RDD would re-run the whole per-partition hash+serialize pipeline a
+    second time inside treeReduce (measured as a full extra pass over the
+    round's candidates). Partition count is capped so merge traffic is
+    bounded at max_parts × (n_bits/8) bytes regardless of input layout."""
     slim = df.select(hash_col)
-    if slim.rdd.getNumPartitions() > max_build_partitions:
-        slim = slim.coalesce(max_build_partitions)
-    blobs = slim.mapInPandas(per_partition, "blob binary").rdd.map(
-        lambda r: BloomFilter.from_bytes(bytes(r.blob)))
-    if blobs.isEmpty():
-        return proto
-    return blobs.treeReduce(lambda a, b: a.union(b), depth=tree_depth)
+    n_parts = slim.rdd.getNumPartitions()
+    if n_parts > max_parts:
+        slim = slim.coalesce(max_parts)
+        n_parts = max_parts
+    blob_df = slim.mapInPandas(_partition_filter_fn(n_bits, n_hashes), "blob binary")
+    if n_parts <= 64:
+        # few blobs: ONE job, collect and OR on the driver (numpy OR of
+        # <=64 x n_bits/8 bytes is microseconds — the treeReduce machinery
+        # would pickle every filter through Python RDD shuffles for nothing)
+        rows = blob_df.collect()
+        if not rows:
+            return None
+        out = BloomFilter(n_bits, n_hashes)
+        for r in rows:
+            np.bitwise_or(out.bits, np.frombuffer(bytes(r.blob)[12:], dtype=np.uint8),
+                          out=out.bits)
+        return out
+    # many blobs (10^10-tier sharded builds): log-tree OR-merge on executors
+    blobs = blob_df.rdd.map(lambda r: BloomFilter.from_bytes(bytes(r.blob)))
+    from pyspark import StorageLevel
+
+    blobs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if blobs.isEmpty():
+            return None
+        return blobs.treeReduce(lambda a, b: a.union(b), depth=tree_depth)
+    finally:
+        blobs.unpersist()
 
 
 def add_hashes(bloom: BloomFilter, df: DataFrame, hash_col: str,
@@ -144,23 +181,9 @@ def add_hashes(bloom: BloomFilter, df: DataFrame, hash_col: str,
     """
     n = df.count() if n_rows is None else n_rows
     if n >= distributed_threshold:
-        n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
-
-        def per_partition(it):
-            bf = BloomFilter(n_bits, n_hashes)
-            got = False
-            for pdf in it:
-                vals = pdf.iloc[:, 0].dropna().to_numpy(dtype=np.int64)
-                if len(vals):
-                    bf.add_many(vals)
-                    got = True
-            if got:
-                yield pd.DataFrame({"blob": [bf.to_bytes()]})
-
-        blobs = df.select(hash_col).mapInPandas(per_partition, "blob binary").rdd.map(
-            lambda r: BloomFilter.from_bytes(bytes(r.blob)))
-        if not blobs.isEmpty():
-            delta = blobs.treeReduce(lambda a, b: a.union(b), depth=2)
+        delta = _distributed_or_merge(df, hash_col, bloom.n_bits, bloom.n_hashes,
+                                      max_parts=32, tree_depth=2)
+        if delta is not None:
             np.bitwise_or(bloom.bits, delta.bits, out=bloom.bits)
         return
     pdf = df.select(hash_col).toPandas()

@@ -196,14 +196,28 @@ class CrawlEngine:
             quota = max(cfg.batch_size // max(n_sessions, 1), 1)
             sched = topk.topk_per_group(pending, ["session_id"], order, quota).drop("rk")
         else:
-            sched = topk.topk_per_group_salted(
-                pending, ["session_id", "host"], order, cfg.budget_per_host_per_round,
-                n_salts=cfg.hot_host_salts, salt_source="url").drop("rk")
+            # constant-fold identity windows: the frontier manifest's row
+            # count (metadata, no job) upper-bounds every per-host pending
+            # count, so budget >= that bound means the rank filter keeps
+            # every row — skip BOTH window shuffles (drain/backfill regime)
+            frontier_rows = self._t("frontier").total_rows()
+            if frontier_rows is not None and cfg.budget_per_host_per_round >= frontier_rows:
+                sched = pending
+            else:
+                sched = topk.topk_per_group_salted(
+                    pending, ["session_id", "host"], order, cfg.budget_per_host_per_round,
+                    n_salts=cfg.hot_host_salts, salt_source="url").drop("rk")
             if cfg.max_pages is not None:
                 pg = self._t("progress").read(self.spark)
                 attempted = pg.count() if pg is not None else 0
                 remaining = max(cfg.max_pages - attempted, 0)
                 sched = topk.global_topk(sched, order, remaining)
+        # cache the ranked survivors: global_row_number's range partitioner
+        # SAMPLES its input to pick bounds, and without this cache that
+        # sampling job re-runs the whole anti-join + double-window pipeline
+        # a second time (measured as a full extra pass over pending)
+        sched = sched.cache()
+        self._round_caches.append(sched)
         # deterministic global in-round sequence — computed scalably (range
         # partition + local rank + offsets), NEVER a single-partition window
         sched = topk.global_row_number(sched, order, seq_col="sched_seq",
@@ -335,10 +349,16 @@ class CrawlEngine:
         # seen-set is per (session_id, url) — reference keys every structure
         # by session (URLFrontier.java:44-54). The bloom hashes the url alone:
         # a cross-session hit just routes through the exact anti-join.
-        seen = self._t("frontier").read(self.spark).select("session_id", "url")
+        # shuffle-hash, never broadcast: the seen/frontier side GROWS every
+        # round (10^10 rows at the target tier) — auto-broadcast would stall
+        # the driver building a frontier-sized hash table once it crosses
+        # the threshold anyway, so pin the scalable plan now
+        seen = (self._t("frontier").read(self.spark)
+                .select("session_id", "url").hint("shuffle_hash"))
         if cfg.use_bloom and self.bloom is not None:
             maybe = bloom_prefilter_udf(self.bloom)
             tagged = cand.withColumn("__maybe_seen", maybe(F.col("url_hash"))).cache()
+            self._round_caches.append(tagged)  # unpersisted at end of round
             definitely_new = tagged.where(~F.col("__maybe_seen")).drop("__maybe_seen")
             needs_check = tagged.where(F.col("__maybe_seen")).drop("__maybe_seen")
             new_rows = definitely_new.unionByName(

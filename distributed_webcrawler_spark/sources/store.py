@@ -36,6 +36,17 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _parquet_num_rows(snap_dir: str) -> int:
+    """Sum num_rows over the snapshot's parquet footers (metadata only)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(snap_dir):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(snap_dir, f)).metadata.num_rows
+    return total
+
+
 class Table:
     def __init__(self, warehouse: str, name: str):
         self.name = name
@@ -46,28 +57,49 @@ class Table:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "manifest.json")
 
-    def _read_manifest(self) -> list[str]:
+    def _read_full_manifest(self) -> dict:
         if not os.path.exists(self._manifest_path):
-            return []
+            return {"snapshots": [], "rows": {}}
         with open(self._manifest_path) as f:
-            return json.load(f)["snapshots"]
+            m = json.load(f)
+        m.setdefault("rows", {})
+        return m
 
-    def _write_manifest(self, snapshots: list[str]) -> None:
+    def _read_manifest(self) -> list[str]:
+        return self._read_full_manifest()["snapshots"]
+
+    def _write_manifest(self, snapshots: list[str], rows: dict | None = None) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
         with os.fdopen(fd, "w") as f:
-            json.dump({"snapshots": snapshots}, f)
+            json.dump({"snapshots": snapshots, "rows": rows or {}}, f)
         os.replace(tmp, self._manifest_path)  # atomic commit point
 
     # -- write -------------------------------------------------------------
     def append(self, df: DataFrame) -> int:
         """Append df as a new snapshot; returns the new snapshot id
-        (= number of snapshots after commit)."""
-        snaps = self._read_manifest()
+        (= number of snapshots after commit). The manifest records the
+        snapshot's row count (summed from parquet footers, driver-side
+        metadata only — the Iceberg manifest carries the same stat), so
+        planners can bound table size without running a job."""
+        m = self._read_full_manifest()
+        snaps, rows = m["snapshots"], m["rows"]
         snap_name = f"snap-{len(snaps) + 1:08d}"
         out = os.path.join(self.path, snap_name)
         df.write.mode("errorifexists").parquet(out)
-        self._write_manifest(snaps + [snap_name])
+        rows[snap_name] = _parquet_num_rows(out)
+        self._write_manifest(snaps + [snap_name], rows)
         return len(snaps) + 1
+
+    # -- metadata ----------------------------------------------------------
+    def total_rows(self) -> int | None:
+        """Exact total row count from manifest metadata (no Spark job).
+        None when any snapshot predates row tracking."""
+        m = self._read_full_manifest()
+        if not m["snapshots"]:
+            return 0
+        if any(s not in m["rows"] for s in m["snapshots"]):
+            return None
+        return sum(m["rows"][s] for s in m["snapshots"])
 
     # -- read --------------------------------------------------------------
     def snapshot_id(self) -> int:
@@ -96,9 +128,10 @@ class Table:
         """Truncate to snapshot_id (checkpoint resume). Data dirs beyond the
         kept set are removed so a resumed run is byte-equivalent to an
         uninterrupted one."""
-        snaps = self._read_manifest()
+        m = self._read_full_manifest()
+        snaps = m["snapshots"]
         keep, drop = snaps[:snapshot_id], snaps[snapshot_id:]
-        self._write_manifest(keep)
+        self._write_manifest(keep, {s: n for s, n in m["rows"].items() if s in keep})
         for s in drop:
             shutil.rmtree(os.path.join(self.path, s), ignore_errors=True)
 

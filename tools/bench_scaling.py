@@ -62,9 +62,20 @@ cpus = int(sys.argv[1]); fix = sys.argv[2]; rounds = int(sys.argv[3])
 scratch = sys.argv[4]
 # shuffle/spill on the same RAM-backed scratch as the warehouse: a real
 # N-node cluster has N local disks — one shared /tmp spindle is a sandbox
-# artifact, not a property of the plan being measured
-spark = get_spark(cpus=cpus, app_name=f"dws-scaling-{{cpus}}",
-                  extra_conf={{"spark.local.dir": tempfile.mkdtemp(dir=scratch, prefix="sparklocal-")}})
+# artifact, not a property of the plan being measured.
+# Memory scales WITH the level (fixed driver overhead + constant per-core
+# share): a 4N-executor cluster has 4x the RAM of an N-executor one, so
+# pinning every level to one fixed heap would charge the big level for
+# memory starvation no real cluster has (32 concurrent parquet/arrow
+# writers in 24g GC-thrash; measured 3x inflation at local[32]).
+mem_gb = 12 + 3 * cpus
+# shuffle_partitions is a CLUSTER-sized constant (64), identical at every
+# level, so every level executes the IDENTICAL physical plan — AQE
+# coalesces the small levels' tiny partitions at runtime. Sizing it to
+# 2xcores would hand each level a different plan and confound the ratio.
+spark = get_spark(cpus=cpus, app_name=f"dws-scaling-{{cpus}}", shuffle_partitions=64,
+                  extra_conf={{"spark.local.dir": tempfile.mkdtemp(dir=scratch, prefix="sparklocal-"),
+                               "spark.driver.memory": f"{{mem_gb}}g"}})
 wg = spark.read.parquet(f"{{fix}}/web_graph")
 pay = spark.read.parquet(f"{{fix}}/payloads")
 rob = spark.read.parquet(f"{{fix}}/robots")
@@ -86,7 +97,13 @@ cfg = CrawlConfig(max_depth=1, budget_per_host_per_round=1_000_000,
 # throughput on any cluster; without this they land entirely inside the
 # single timed round and read as fake serial fraction.
 wh_warm = tempfile.mkdtemp(dir=scratch, prefix=f"dws-warm-{{cpus}}-")
-warm_eng = CrawlEngine(spark, SnapshotStore(wh_warm), cfg, wg, pay, rob)
+# warm cfg: small budget so the drain fold does NOT kick in — the warm-up
+# must compile the SAME window stages the timed round runs
+warm_cfg = CrawlConfig(max_depth=1, budget_per_host_per_round=10,
+                       max_rounds=rounds, use_bloom=True,
+                       bloom_expected_insertions=5_000_000, respect_robots=True,
+                       fetch_join_strategy="shuffle")
+warm_eng = CrawlEngine(spark, SnapshotStore(wh_warm), warm_cfg, wg, pay, rob)
 warm_eng.start_session(seeds.limit(4000))
 warm_eng.run()
 shutil.rmtree(wh_warm, ignore_errors=True)

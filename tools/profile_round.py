@@ -24,8 +24,9 @@ def main() -> None:
     cpus = int(sys.argv[1])
     fix = sys.argv[2]
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    spark = get_spark(cpus=cpus, app_name=f"dws-profile-{cpus}",
-                      extra_conf={"spark.local.dir": tempfile.mkdtemp(dir=scratch, prefix="sl-")})
+    spark = get_spark(cpus=cpus, app_name=f"dws-profile-{cpus}", shuffle_partitions=64,
+                      extra_conf={"spark.local.dir": tempfile.mkdtemp(dir=scratch, prefix="sl-"),
+                                  "spark.driver.memory": f"{12 + 3 * cpus}g"})
     wg = spark.read.parquet(f"{fix}/web_graph")
     pay = spark.read.parquet(f"{fix}/payloads")
     rob = spark.read.parquet(f"{fix}/robots")
