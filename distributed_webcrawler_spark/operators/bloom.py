@@ -67,7 +67,23 @@ class BloomFilter:
 
     def add_many(self, hashes: np.ndarray) -> None:
         pos = self._positions(hashes).ravel()
-        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        # regime pick: ufunc.at costs ~3us/position; the dense sweep costs
+        # ~7ns/bit of filter regardless of position count — crossover near
+        # n_bits/450 positions, so switch a bit early (dense is flatter)
+        if pos.size > self.n_bits // 512 and self.n_bits <= (1 << 31):
+            # dense scatter + packbits: boolean scatter-assign tolerates
+            # duplicate positions, so no read-modify-write ordering issue.
+            # ~90x faster than np.bitwise_or.at (an unbuffered ufunc that
+            # crawls at ~0.3M positions/s — 30s for one 1.3M-url round).
+            # Costs an n_bits-byte scratch array, so gated to filters
+            # <=256MB of bits; the 10^10 tier shards by host_bucket and
+            # each shard stays far under that.
+            dense = np.zeros(self.n_bits, dtype=bool)
+            dense[pos] = True
+            np.bitwise_or(self.bits, np.packbits(dense, bitorder="little")[: self.bits.size],
+                          out=self.bits)
+        else:
+            np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
 
     def might_contain_many(self, hashes: np.ndarray) -> np.ndarray:
         if len(hashes) == 0:
@@ -166,16 +182,17 @@ def _distributed_or_merge(df: DataFrame, hash_col: str, n_bits: int, n_hashes: i
 
 
 def add_hashes(bloom: BloomFilter, df: DataFrame, hash_col: str,
-               distributed_threshold: int = 100_000, n_rows: int | None = None) -> None:
+               distributed_threshold: int = 5_000_000, n_rows: int | None = None) -> None:
     """Incremental update after a round. Two regimes:
 
-    - small rounds: pull ONLY the 8-byte hashes to the driver (Arrow) and
-      add them — one tiny collect beats any distributed machinery,
-    - large rounds (>= distributed_threshold new URLs): hashing millions of
-      positions on the driver is serial time every executor waits out, so
-      build per-partition delta filters of the SAME dimensions executor-side
-      (mapInPandas), treeReduce-OR them, and OR the delta into `bloom` —
-      the driver only merges bit arrays.
+    - small-to-medium rounds: pull ONLY the 8-byte hashes to the driver
+      (Arrow) and add them — with the packbits scatter a few million hashes
+      set in <0.5s, far cheaper than collecting per-partition blobs
+      (max_parts x filter-size bytes through the driver),
+    - huge rounds (>= distributed_threshold new URLs): build per-partition
+      delta filters of the SAME dimensions executor-side (mapInPandas),
+      OR-merge them, and OR the delta into `bloom` — the driver only
+      merges bit arrays.
 
     Pass ``n_rows`` when the caller already counted df (saves a job).
     """

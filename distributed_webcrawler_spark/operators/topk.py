@@ -44,7 +44,8 @@ def global_topk(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
 
 def global_row_number(df: DataFrame, order_cols: list[Column], seq_col: str = "seq",
                       partitions: int | None = None,
-                      cache_registry: list | None = None) -> DataFrame:
+                      cache_registry: list | None = None,
+                      meta_out: dict | None = None) -> DataFrame:
     """Exact global row_number under a total order WITHOUT a single-partition
     window (the `Window.orderBy(...)` trap collapses the whole frame into one
     task and serializes every downstream stage).
@@ -74,6 +75,10 @@ def global_row_number(df: DataFrame, order_cols: list[Column], seq_col: str = "s
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if meta_out is not None:
+        # the counts job already materialized an exact global count — hand
+        # it to the caller so it never pays a separate count() action
+        meta_out["total"] = acc
     offset_df = F.broadcast(spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"))
     w = Window.partitionBy("__pid").orderBy(*order_cols)

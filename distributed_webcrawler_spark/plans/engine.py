@@ -101,6 +101,21 @@ def _fetch_decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "crawl_duration_ms", "partition_id"])
 
 
+def _metrics_schema():
+    """Arrow schema for the per-round metrics snapshot (A8) — written
+    driver-side (Table.append_rows); types mirror the Spark DDL the table
+    used historically (int round, long counters, double avg/wall)."""
+    import pyarrow as pa
+
+    return pa.schema([
+        pa.field("session_id", pa.string()), pa.field("round", pa.int32()),
+        pa.field("scheduled", pa.int64()), pa.field("ok", pa.int64()),
+        pa.field("failed", pa.int64()), pa.field("robots_blocked", pa.int64()),
+        pa.field("bytes_total", pa.int64()), pa.field("avg_depth", pa.float64()),
+        pa.field("new_urls", pa.int64()), pa.field("wall_secs", pa.float64()),
+    ])
+
+
 class CrawlEngine:
     def __init__(self, spark: SparkSession, store: SnapshotStore, config: CrawlConfig,
                  web_graph: DataFrame, payloads: DataFrame, robots: DataFrame | None = None):
@@ -185,7 +200,7 @@ class CrawlEngine:
         return fr.join(done, ["session_id", "url"], "left_anti")
 
     # ------------------------------------------------------------- rounds
-    def _schedule(self, pending: DataFrame, rnd: int) -> DataFrame:
+    def _schedule(self, pending: DataFrame, rnd: int) -> tuple[DataFrame, int]:
         cfg = self.cfg
         order = topk.tie_break_cols()
         if cfg.reference_compat:
@@ -219,10 +234,14 @@ class CrawlEngine:
         sched = sched.cache()
         self._round_caches.append(sched)
         # deterministic global in-round sequence — computed scalably (range
-        # partition + local rank + offsets), NEVER a single-partition window
+        # partition + local rank + offsets), NEVER a single-partition window.
+        # Its per-partition counts job doubles as the round's scheduled
+        # count, so run_round never pays a separate count() action.
+        meta: dict = {}
         sched = topk.global_row_number(sched, order, seq_col="sched_seq",
-                                       cache_registry=self._round_caches)
-        return sched.withColumn("round", F.lit(rnd))
+                                       cache_registry=self._round_caches,
+                                       meta_out=meta)
+        return sched.withColumn("round", F.lit(rnd)), meta["total"]
 
     def _gate_robots(self, sched: DataFrame) -> DataFrame:
         if self.robots_rules is None:
@@ -370,17 +389,19 @@ class CrawlEngine:
     def run_round(self, rnd: int) -> dict:
         t0 = time.monotonic()
         cfg = self.cfg
-        sched = self._schedule(self.pending(), rnd).cache()
-        n_sched = sched.count()
+        sched, n_sched = self._schedule(self.pending(), rnd)
         if n_sched == 0:
-            sched.unpersist()
+            self._clear_round_caches()
             return {"round": rnd, "scheduled": 0}
+        sched = sched.cache()
+        self._round_caches.append(sched)
 
         gated = self._gate_robots(sched)
         blocked = gated.where(~F.col("robots_allowed"))
         allowed = gated.where(F.col("robots_allowed")).drop("robots_allowed")
 
         fetched = self._fetch(allowed).cache()   # slim: no payload bytes
+        self._round_caches.append(fetched)
         pages = self._decode_pages(fetched)
         blocked_pages = blocked.select(
             "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth", "parent_url",
@@ -391,52 +412,62 @@ class CrawlEngine:
             F.lit(None).cast("int").alias("decoded_h"), F.lit(None).cast("long").alias("phash"),
             F.lit(0).cast("long").alias("crawl_duration_ms"), F.lit(-1).alias("partition_id"),
         )
-        pages_snap = self._t("pages").append(pages.unionByName(blocked_pages))
-        # everything downstream derives from the COMMITTED snapshot: no plan
-        # recompute, no caching of payload bytes in executor memory
-        all_pages = self._t("pages").read_snapshot(self.spark, pages_snap)
+        # the round's stats ride the pages WRITE job as observed metrics
+        # (CollectMetrics in the same plan) — the former separate agg job
+        # re-read the committed snapshot for numbers this job already saw
+        from pyspark.sql import Observation
 
-        new_rows = self._expand(fetched, rnd).cache()
-        n_new = new_rows.count()
-        if n_new > 0:
-            self._t("frontier").append(new_rows.select(*self._frontier_row_cols()))
-            if cfg.use_bloom and self.bloom is not None:
-                add_hashes(self.bloom, new_rows, "url_hash", n_rows=n_new)
-
-        # every scheduled URL yields exactly one pages row, so progress is a
-        # straight projection of the committed snapshot (no join):
-        # COMPLETED on 200 else FAILED — never retried (URLFrontier.java:198-202)
-        progress = all_pages.select(
-            "session_id", "url", F.col("round"),
-            F.when(F.col("status_code") == 200, "COMPLETED").otherwise("FAILED").alias("status"),
-            # only connection-level failures (sentinel 0) are retryable;
-            # HTTP errors and robots blocks are permanent (reference parity)
-            (F.col("status_code") == 0).alias("retryable"),
-            F.lit("driver").alias("assigned_to"))
-        self._t("progress").append(progress)
-
-        stats_row = all_pages.agg(
-            F.count("*").alias("scheduled"),
+        obs = Observation()  # auto-named: names must be unique per session
+        pages_all = pages.unionByName(blocked_pages).observe(
+            obs,
+            F.count(F.lit(1)).alias("scheduled"),
             F.sum(F.when(F.col("status_code") == 200, 1).otherwise(0)).alias("ok"),
             F.sum(F.when((F.col("status_code") != 200) & (F.col("status_code") != 403), 1).otherwise(0)).alias("failed"),
             F.sum(F.when(F.col("status_code") == 403, 1).otherwise(0)).alias("robots_blocked"),
             F.sum(F.coalesce(F.col("content_length"), F.lit(0))).alias("bytes_total"),
-            F.avg("depth").alias("avg_depth"),
-        ).collect()[0].asDict()
+            F.avg("depth").alias("avg_depth"))
+        self._t("pages").append(pages_all)
+        stats_row = obs.get
+
+        new_rows = self._expand(fetched, rnd).cache()
+        self._round_caches.append(new_rows)
+        # the frontier append doubles as new_rows' count (parquet footer
+        # metadata) — no separate count() action, no empty snapshot on
+        # exhausted rounds
+        _, n_new = self._t("frontier").append_counted(
+            new_rows.select(*self._frontier_row_cols()), skip_empty=True)
+        if n_new > 0 and cfg.use_bloom and self.bloom is not None:
+            add_hashes(self.bloom, new_rows, "url_hash", n_rows=n_new)
+
+        # every scheduled URL yields exactly one pages row with
+        # status_code = web_status (0 sentinel when the fetch missed), so
+        # progress projects straight off the cached slim fetch result —
+        # COMPLETED on 200 else FAILED, never retried (URLFrontier.java:198-202);
+        # only connection-level failures (sentinel 0) are retryable
+        progress = fetched.select(
+            "session_id", "url", F.col("round"),
+            F.when(F.col("web_status") == 200, "COMPLETED").otherwise("FAILED").alias("status"),
+            (F.coalesce(F.col("web_status"), F.lit(0)) == 0).alias("retryable"),
+            F.lit("driver").alias("assigned_to"),
+        ).unionByName(blocked.select(
+            "session_id", "url", F.col("round"),
+            F.lit("FAILED").alias("status"), F.lit(False).alias("retryable"),
+            F.lit("driver").alias("assigned_to")))
+        self._t("progress").append(progress)
+
         wall = time.monotonic() - t0
-        stats = {"session_id": cfg.session_id, "round": rnd, **{k: (int(v) if k != "avg_depth" else float(v)) for k, v in stats_row.items()},
+        stats = {"session_id": cfg.session_id, "round": rnd,
+                 **{k: (int(v) if k != "avg_depth" else float(v)) for k, v in stats_row.items()},
                  "new_urls": int(n_new), "wall_secs": float(wall)}
-        self._t("metrics").append(self.spark.createDataFrame(
-            [stats], "session_id string, round int, scheduled long, ok long, failed long, "
-                     "robots_blocked long, bytes_total long, avg_depth double, new_urls long, wall_secs double"))
+        self._t("metrics").append_rows([stats], _metrics_schema())
         self._checkpoint(rnd)
-        sched.unpersist()
-        fetched.unpersist()
-        new_rows.unpersist()
+        self._clear_round_caches()
+        return stats
+
+    def _clear_round_caches(self) -> None:
         for c in self._round_caches:
             c.unpersist()
         self._round_caches.clear()
-        return stats
 
     def run(self, seeds: DataFrame | None = None) -> list[dict]:
         if seeds is not None:

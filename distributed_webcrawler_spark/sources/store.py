@@ -81,12 +81,45 @@ class Table:
         snapshot's row count (summed from parquet footers, driver-side
         metadata only — the Iceberg manifest carries the same stat), so
         planners can bound table size without running a job."""
+        return self.append_counted(df)[0]
+
+    def append_counted(self, df: DataFrame, skip_empty: bool = False) -> tuple[int, int]:
+        """Append df and return (snapshot_id, rows_appended) — the count
+        comes from the parquet footers the write just produced, so callers
+        never pay a separate count() job over the same data. With
+        ``skip_empty``, a zero-row result commits nothing (an empty
+        snapshot dir would have no parquet files for readers to union) and
+        returns the UNCHANGED snapshot id with 0."""
         m = self._read_full_manifest()
         snaps, rows = m["snapshots"], m["rows"]
         snap_name = f"snap-{len(snaps) + 1:08d}"
         out = os.path.join(self.path, snap_name)
         df.write.mode("errorifexists").parquet(out)
-        rows[snap_name] = _parquet_num_rows(out)
+        n = _parquet_num_rows(out)
+        if skip_empty and n == 0:
+            shutil.rmtree(out, ignore_errors=True)
+            return len(snaps), 0
+        rows[snap_name] = n
+        self._write_manifest(snaps + [snap_name], rows)
+        return len(snaps) + 1, n
+
+    def append_rows(self, rows_data: list[dict], schema: "pa.Schema") -> int:
+        """Append a handful of driver-side rows (metrics snapshots, control
+        rows) as a new snapshot WITHOUT a Spark job — one pyarrow parquet
+        file. A 1-row metrics append through a full Spark write was ~1s of
+        driver-serial time per round for no parallelism at all."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        m = self._read_full_manifest()
+        snaps, rows = m["snapshots"], m["rows"]
+        snap_name = f"snap-{len(snaps) + 1:08d}"
+        out = os.path.join(self.path, snap_name)
+        os.makedirs(out)
+        cols = {f.name: [r[f.name] for r in rows_data] for f in schema}
+        pq.write_table(pa.Table.from_pydict(cols, schema=schema),
+                       os.path.join(out, "part-00000.parquet"))
+        rows[snap_name] = len(rows_data)
         self._write_manifest(snaps + [snap_name], rows)
         return len(snaps) + 1
 

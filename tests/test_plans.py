@@ -77,7 +77,7 @@ def test_engine_schedule_has_no_single_partition_window(spark, fixture_dir, ware
     eng = CrawlEngine(spark, SnapshotStore(warehouse),
                       CrawlConfig(budget_per_host_per_round=3), wg, pay, None)
     eng.start_session(seeds)
-    sched = eng._schedule(eng.pending(), 1)
+    sched, _n = eng._schedule(eng.pending(), 1)
     plan = _plan(sched)
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
@@ -99,7 +99,7 @@ def test_fetch_join_broadcasts_scheduled_side(spark, fixture_dir, warehouse):
     eng = CrawlEngine(spark, SnapshotStore(warehouse),
                       CrawlConfig(budget_per_host_per_round=3), wg, pay, None)
     eng.start_session(seeds)
-    sched = eng._schedule(eng.pending(), 1)
+    sched, _n = eng._schedule(eng.pending(), 1)
     plan = _plan(eng._fetch(sched))
     # hit/miss shape: inner BHJ (web_graph stationary, scheduled side the
     # broadcast build) + LeftAnti BHJ for the misses. An outer join would

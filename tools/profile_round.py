@@ -52,14 +52,16 @@ def main() -> None:
     mark("start_session (untimed bootstrap)")
 
     rnd = 1
-    sched = eng._schedule(eng.pending(), rnd).cache()
-    n_sched = sched.count()
-    mark(f"schedule+count ({n_sched})")
+    sched, n_sched = eng._schedule(eng.pending(), rnd)
+    mark(f"schedule ({n_sched})")
+    sched = sched.cache()
+    eng._round_caches.append(sched)
 
     gated = eng._gate_robots(sched)
     blocked = gated.where(~F.col("robots_allowed"))
     allowed = gated.where(F.col("robots_allowed")).drop("robots_allowed")
     fetched = eng._fetch(allowed).cache()
+    eng._round_caches.append(fetched)
     fetched.count()
     mark("fetch join (materialize cache)")
 
@@ -72,31 +74,28 @@ def main() -> None:
         F.lit(None).cast("long").alias("content_length"), F.lit(None).cast("int").alias("decoded_w"),
         F.lit(None).cast("int").alias("decoded_h"), F.lit(None).cast("long").alias("phash"),
         F.lit(0).cast("long").alias("crawl_duration_ms"), F.lit(-1).alias("partition_id"))
-    pages_snap = eng._t("pages").append(pages.unionByName(blocked_pages))
+    eng._t("pages").append(pages.unionByName(blocked_pages))
     mark("decode + pages append")
 
-    all_pages = eng._t("pages").read_snapshot(spark, pages_snap)
     new_rows = eng._expand(fetched, rnd).cache()
-    n_new = new_rows.count()
-    mark(f"expand+count ({n_new})")
-
-    eng._t("frontier").append(new_rows.select(*eng._frontier_row_cols()))
-    mark("frontier append")
+    eng._round_caches.append(new_rows)
+    _, n_new = eng._t("frontier").append_counted(
+        new_rows.select(*eng._frontier_row_cols()), skip_empty=True)
+    mark(f"expand + frontier append ({n_new})")
     add_hashes(eng.bloom, new_rows, "url_hash", n_rows=n_new)
     mark("bloom add_hashes (driver)")
 
-    progress = all_pages.select(
+    progress = fetched.select(
         "session_id", "url", F.col("round"),
-        F.when(F.col("status_code") == 200, "COMPLETED").otherwise("FAILED").alias("status"),
-        (F.col("status_code") == 0).alias("retryable"), F.lit("driver").alias("assigned_to"))
+        F.when(F.col("web_status") == 200, "COMPLETED").otherwise("FAILED").alias("status"),
+        (F.coalesce(F.col("web_status"), F.lit(0)) == 0).alias("retryable"),
+        F.lit("driver").alias("assigned_to"),
+    ).unionByName(blocked.select(
+        "session_id", "url", F.col("round"),
+        F.lit("FAILED").alias("status"), F.lit(False).alias("retryable"),
+        F.lit("driver").alias("assigned_to")))
     eng._t("progress").append(progress)
     mark("progress append")
-
-    all_pages.agg(
-        F.count("*").alias("scheduled"),
-        F.sum(F.when(F.col("status_code") == 200, 1).otherwise(0)).alias("ok"),
-        F.avg("depth").alias("avg_depth")).collect()
-    mark("stats agg")
     eng._checkpoint(rnd)
     mark("checkpoint")
 
