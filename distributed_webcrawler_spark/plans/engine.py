@@ -49,7 +49,7 @@ from ..config import CrawlConfig
 from ..functions import urls as U
 from ..functions.robots_fn import gate_by_robots, parse_robots_table
 from ..operators import topk
-from ..operators.bloom import BloomFilter, add_hashes, bloom_prefilter_udf, build_bloom
+from ..operators.bloom import BloomFilter, bloom_prefilter_udf, build_bloom
 from ..sources import codec
 from ..sources.store import SnapshotStore
 
@@ -434,10 +434,12 @@ class CrawlEngine:
         # the frontier append doubles as new_rows' count (parquet footer
         # metadata) — no separate count() action, no empty snapshot on
         # exhausted rounds
-        _, n_new = self._t("frontier").append_counted(
+        fsnap, n_new = self._t("frontier").append_counted(
             new_rows.select(*self._frontier_row_cols()), skip_empty=True)
         if n_new > 0 and cfg.use_bloom and self.bloom is not None:
-            add_hashes(self.bloom, new_rows, "url_hash", n_rows=n_new)
+            # feed the bloom from the parquet the append JUST wrote —
+            # a driver-side pyarrow column read, no Spark collect job
+            self.bloom.add_many(self._t("frontier").read_column_local(fsnap, "url_hash"))
 
         # every scheduled URL yields exactly one pages row with
         # status_code = web_status (0 sentinel when the fetch missed), so

@@ -123,6 +123,16 @@ class Table:
         self._write_manifest(snaps + [snap_name], rows)
         return len(snaps) + 1
 
+    def read_column_local(self, snapshot_id: int, column: str):
+        """Read ONE column of ONE snapshot driver-side via pyarrow (no
+        Spark job) — e.g. the url_hash column the bloom update needs right
+        after the frontier append wrote it. Returns a numpy array."""
+        import pyarrow.parquet as pq
+
+        snaps = self._read_manifest()
+        snap_dir = os.path.join(self.path, snaps[snapshot_id - 1])
+        return pq.read_table(snap_dir, columns=[column])[column].to_numpy()
+
     # -- metadata ----------------------------------------------------------
     def total_rows(self) -> int | None:
         """Exact total row count from manifest metadata (no Spark job).

@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from distributed_webcrawler_spark import CrawlConfig, get_spark  # noqa: E402
-from distributed_webcrawler_spark.operators.bloom import add_hashes  # noqa: E402
+
 from distributed_webcrawler_spark.plans.engine import CrawlEngine  # noqa: E402
 from distributed_webcrawler_spark.sources.store import SnapshotStore  # noqa: E402
 
@@ -79,11 +79,11 @@ def main() -> None:
 
     new_rows = eng._expand(fetched, rnd).cache()
     eng._round_caches.append(new_rows)
-    _, n_new = eng._t("frontier").append_counted(
+    fsnap, n_new = eng._t("frontier").append_counted(
         new_rows.select(*eng._frontier_row_cols()), skip_empty=True)
     mark(f"expand + frontier append ({n_new})")
-    add_hashes(eng.bloom, new_rows, "url_hash", n_rows=n_new)
-    mark("bloom add_hashes (driver)")
+    eng.bloom.add_many(eng._t("frontier").read_column_local(fsnap, "url_hash"))
+    mark("bloom add (pyarrow column read, driver)")
 
     progress = fetched.select(
         "session_id", "url", F.col("round"),
