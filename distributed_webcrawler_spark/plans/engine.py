@@ -129,6 +129,7 @@ class CrawlEngine:
         )
         self.bloom: BloomFilter | None = None
         self._round_caches: list = []
+        self.last_stage_secs: dict[str, float] = {}
 
     # ------------------------------------------------------------- helpers
     def _t(self, name: str):
@@ -388,10 +389,23 @@ class CrawlEngine:
 
     def run_round(self, rnd: int) -> dict:
         t0 = time.monotonic()
+        # driver-side wall per blocking stage of the round; purely
+        # observational (exposed as self.last_stage_secs + stats["stage_secs"],
+        # NOT part of the metrics table schema)
+        stages: dict[str, float] = {}
+        _last = [t0]
+
+        def mark(name: str) -> None:
+            now = time.monotonic()
+            stages[name] = round(now - _last[0], 3)
+            _last[0] = now
+
         cfg = self.cfg
         sched, n_sched = self._schedule(self.pending(), rnd)
+        mark("schedule")
         if n_sched == 0:
             self._clear_round_caches()
+            self.last_stage_secs = stages
             return {"round": rnd, "scheduled": 0}
         sched = sched.cache()
         self._round_caches.append(sched)
@@ -428,6 +442,7 @@ class CrawlEngine:
             F.avg("depth").alias("avg_depth"))
         self._t("pages").append(pages_all)
         stats_row = obs.get
+        mark("fetch_decode_pages")
 
         new_rows = self._expand(fetched, rnd).cache()
         self._round_caches.append(new_rows)
@@ -436,10 +451,12 @@ class CrawlEngine:
         # exhausted rounds
         fsnap, n_new = self._t("frontier").append_counted(
             new_rows.select(*self._frontier_row_cols()), skip_empty=True)
+        mark("expand_frontier")
         if n_new > 0 and cfg.use_bloom and self.bloom is not None:
             # feed the bloom from the parquet the append JUST wrote —
             # a driver-side pyarrow column read, no Spark collect job
             self.bloom.add_many(self._t("frontier").read_column_local(fsnap, "url_hash"))
+        mark("bloom_update")
 
         # every scheduled URL yields exactly one pages row with
         # status_code = web_status (0 sentinel when the fetch missed), so
@@ -456,6 +473,7 @@ class CrawlEngine:
             F.lit("FAILED").alias("status"), F.lit(False).alias("retryable"),
             F.lit("driver").alias("assigned_to")))
         self._t("progress").append(progress)
+        mark("progress_append")
 
         wall = time.monotonic() - t0
         stats = {"session_id": cfg.session_id, "round": rnd,
@@ -464,7 +482,9 @@ class CrawlEngine:
         self._t("metrics").append_rows([stats], _metrics_schema())
         self._checkpoint(rnd)
         self._clear_round_caches()
-        return stats
+        mark("checkpoint")
+        self.last_stage_secs = stages
+        return {**stats, "stage_secs": stages}
 
     def _clear_round_caches(self) -> None:
         for c in self._round_caches:

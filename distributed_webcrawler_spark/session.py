@@ -81,6 +81,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("DWS_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Never mmap shuffle blocks (default maps any block >2MB): at high
+        # task concurrency in one JVM, per-block mmap/munmap serializes on
+        # the process-wide mmap_lock and every page fault contends it —
+        # measured here as the dominant kernel frames (vm_mmap_pgoff,
+        # lock_mm_and_find_vma) and a 199s->144s crawl-round drop at
+        # local[32]. pread into pooled buffers scales; 512m keeps mmap only
+        # for blocks that would not fit a buffer anyway.
+        .config("spark.storage.memoryMapThreshold", "512m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

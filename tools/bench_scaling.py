@@ -67,15 +67,28 @@ scratch = sys.argv[4]
 # share): a 4N-executor cluster has 4x the RAM of an N-executor one, so
 # pinning every level to one fixed heap would charge the big level for
 # memory starvation no real cluster has (32 concurrent parquet/arrow
-# writers in 24g GC-thrash; measured 3x inflation at local[32]).
-mem_gb = 12 + 3 * cpus
+# writers in 24g GC-thrash; measured 3x inflation at local[32]). Capped at
+# 64g: the whole heap is pre-touched (below) and must leave room for the
+# tmpfs fixture + python workers on the 125g box.
+mem_gb = min(12 + 3 * cpus, 64)
 # shuffle_partitions is a CLUSTER-sized constant (64), identical at every
 # level, so every level executes the IDENTICAL physical plan — AQE
 # coalesces the small levels' tiny partitions at runtime. Sizing it to
 # 2xcores would hand each level a different plan and confound the ratio.
+#
+# JVM flags (kernel-stack-sampled on this box, tools/diag_round.py):
+# G1's dynamic heap was 78% SYSTEM time at local[32] — every uncommit/
+# recommit cycle madvises and re-faults pages under the process-wide
+# mmap_lock, which 32 mutator+GC threads then serialize on. A fixed
+# (Xms=Xmx) pre-touched ParallelGC heap faults pages exactly once, at
+# startup, outside the timed round: 271s -> 200s. Raising
+# spark.storage.memoryMapThreshold (session.py default now) removed the
+# remaining per-shuffle-block mmap/munmap churn: 200s -> 144s.
 spark = get_spark(cpus=cpus, app_name=f"dws-scaling-{{cpus}}", shuffle_partitions=64,
                   extra_conf={{"spark.local.dir": tempfile.mkdtemp(dir=scratch, prefix="sparklocal-"),
-                               "spark.driver.memory": f"{{mem_gb}}g"}})
+                               "spark.driver.memory": f"{{mem_gb}}g",
+                               "spark.driver.extraJavaOptions":
+                                   f"-XX:+UseParallelGC -Xms{{mem_gb}}g -XX:+AlwaysPreTouch"}})
 wg = spark.read.parquet(f"{{fix}}/web_graph")
 pay = spark.read.parquet(f"{{fix}}/payloads")
 rob = spark.read.parquet(f"{{fix}}/robots")
@@ -296,6 +309,15 @@ whole process tree — JVM task threads, GC, Python workers — shares
 exactly N vCPUs, the same accounting a real N-core executor has.
 Attempts are interleaved across levels (best-of-{attempts_n} per level) so
 the sandbox host's minute-scale throughput drift cannot bias one level.
+
+JVM tuning (same at every level, found by kernel-stack sampling with
+tools/diag_round.py): fixed pre-touched ParallelGC heap (Xms=Xmx +
+AlwaysPreTouch — G1's dynamic heap madvise/re-fault cycle serialized 32
+threads on the process-wide mmap_lock, 78% system time at local[32]) and
+spark.storage.memoryMapThreshold=512m (stock Spark mmaps every >2MB
+shuffle block; pread scales, mmap/munmap does not). Together: the same
+local[32] round went 271s -> 144s with kernel time 78% -> 43%. On a real
+cluster these are executor JVM flags; nothing about the query plan changed.
 
 The remaining sandbox/cluster gap is stated, not hidden: all levels share
 ONE memory bus, one page cache, and one /tmp disk (~600-800 MB/s). A real

@@ -1,0 +1,166 @@
+"""Diagnose where a crawl-round's wall time goes at one parallelism level.
+
+Runs the SAME job as tools/bench_scaling.py's RUNNER (warm-up + one timed
+drain round over a pre-generated fixture) but additionally:
+
+  - prints the engine's per-stage driver wall (engine.last_stage_secs),
+  - samples the JVM's utime/stime and the kernel stacks of runnable
+    threads every 2s during the timed round, then prints the top kernel
+    frames — this is how the local[32] sys-time collapse was localized.
+
+Usage:  taskset -c 0-(N-1) python tools/diag_round.py N /dev/shm/dws-fix12
+        (pin exactly like the bench does, or the numbers aren't comparable)
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import shutil
+import sys
+import tempfile
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+class StackSampler(threading.Thread):
+    """Every `period` s: for each thread of `pid` in R/D state, read the top
+    interesting frame of /proc/<pid>/task/<tid>/stack, and accumulate the
+    process-wide utime/stime delta. Root-only, observational."""
+
+    def __init__(self, pid: int, period: float = 2.0):
+        super().__init__(daemon=True)
+        self.pid = pid
+        self.period = period
+        self.frames: collections.Counter = collections.Counter()
+        self.samples = 0
+        self.stop_flag = False
+        self.cpu = {"utime": 0, "stime": 0}
+        self._t0 = self._read_cpu()
+
+    def _read_cpu(self):
+        try:
+            with open(f"/proc/{self.pid}/stat") as f:
+                parts = f.read().split()
+            return int(parts[13]), int(parts[14])
+        except OSError:
+            return None
+
+    def run(self):
+        task_dir = f"/proc/{self.pid}/task"
+        while not self.stop_flag:
+            try:
+                tids = os.listdir(task_dir)
+            except OSError:
+                break
+            for tid in tids:
+                try:
+                    with open(f"{task_dir}/{tid}/stat") as f:
+                        st = f.read().split()
+                    if st[2] not in "RD":
+                        continue
+                    with open(f"{task_dir}/{tid}/stack") as f:
+                        stack = f.read()
+                except OSError:
+                    continue
+                frame = "userspace"
+                for ln in stack.splitlines():
+                    fn = ln.split("] ")[-1].split("+")[0]
+                    if fn and fn not in ("entry_SYSCALL_64_after_hwframe",
+                                         "do_syscall_64", "__x64_sys_futex",
+                                         "do_futex", "ret_from_fork"):
+                        frame = fn
+                        break
+                self.frames[frame] += 1
+            self.samples += 1
+            time.sleep(self.period)
+        t1 = self._read_cpu()
+        if self._t0 and t1:
+            self.cpu = {"utime": t1[0] - self._t0[0], "stime": t1[1] - self._t0[1]}
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    fix = sys.argv[2]
+    scratch = sys.argv[3] if len(sys.argv) > 3 else "/dev/shm"
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from distributed_webcrawler_spark import CrawlConfig, get_spark
+    from distributed_webcrawler_spark.plans.engine import CrawlEngine
+    from distributed_webcrawler_spark.sources.store import SnapshotStore
+
+    mem_gb = int(os.environ.get("DWS_DIAG_MEM_GB", 12 + 3 * cpus))
+    extra = {"spark.local.dir": tempfile.mkdtemp(dir=scratch, prefix="sparklocal-"),
+             "spark.driver.memory": f"{mem_gb}g"}
+    if os.environ.get("DWS_JAVA_OPTS"):
+        extra["spark.driver.extraJavaOptions"] = os.environ["DWS_JAVA_OPTS"]
+    if os.environ.get("DWS_EXTRA_CONF"):
+        extra.update(json.loads(os.environ["DWS_EXTRA_CONF"]))
+    spark = get_spark(cpus=cpus, app_name=f"dws-diag-{cpus}", shuffle_partitions=64,
+                      extra_conf=extra)
+    jvm_pid = None
+    try:
+        jvm_pid = int(spark.sparkContext._gateway.java_process.pid)
+    except Exception:
+        # fall back: the only big java child of this process tree
+        import subprocess
+        out = subprocess.run(["pgrep", "-f", f"dws-diag-{cpus}"], capture_output=True, text=True)
+        for p in out.stdout.split():
+            if os.path.exists(f"/proc/{p}/task"):
+                jvm_pid = int(p)
+
+    wg = spark.read.parquet(f"{fix}/web_graph")
+    pay = spark.read.parquet(f"{fix}/payloads")
+    rob = spark.read.parquet(f"{fix}/robots")
+    seeds = spark.read.parquet(f"{fix}/seeds")
+    cfg = CrawlConfig(max_depth=1, budget_per_host_per_round=1_000_000,
+                      max_rounds=1, use_bloom=True,
+                      bloom_expected_insertions=5_000_000, respect_robots=True,
+                      fetch_join_strategy="shuffle")
+    warm_cfg = CrawlConfig(max_depth=1, budget_per_host_per_round=10,
+                           max_rounds=1, use_bloom=True,
+                           bloom_expected_insertions=5_000_000, respect_robots=True,
+                           fetch_join_strategy="shuffle")
+    wh_warm = tempfile.mkdtemp(dir=scratch, prefix=f"dws-diagwarm-{cpus}-")
+    warm = CrawlEngine(spark, SnapshotStore(wh_warm), warm_cfg, wg, pay, rob)
+    warm.start_session(seeds.limit(4000))
+    warm.run()
+    shutil.rmtree(wh_warm, ignore_errors=True)
+
+    wh = tempfile.mkdtemp(dir=scratch, prefix=f"dws-diag-{cpus}-")
+    eng = CrawlEngine(spark, SnapshotStore(wh), cfg, wg, pay, rob)
+    eng.start_session(seeds)
+
+    sampler = StackSampler(jvm_pid) if jvm_pid else None
+    if sampler:
+        sampler.start()
+    t0 = time.monotonic()
+    hist = eng.run()
+    wall = time.monotonic() - t0
+    if sampler:
+        sampler.stop_flag = True
+        sampler.join(timeout=5)
+
+    print(f"\n=== local[{cpus}] timed round: {wall:.1f}s, "
+          f"{sum(h['scheduled'] for h in hist)} urls ===")
+    for h in hist:
+        print("stage_secs:", json.dumps(h.get("stage_secs", {})))
+    if sampler:
+        hz = os.sysconf("SC_CLK_TCK")
+        print(f"jvm cpu during round: user {sampler.cpu['utime']/hz:.0f}s "
+              f"sys {sampler.cpu['stime']/hz:.0f}s "
+              f"(sys share {sampler.cpu['stime']/max(1, sampler.cpu['utime']+sampler.cpu['stime']):.0%})")
+        print(f"top kernel frames over {sampler.samples} samples "
+              f"(runnable threads only):")
+        for frame, n in sampler.frames.most_common(15):
+            print(f"  {n:6d}  {frame}")
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
