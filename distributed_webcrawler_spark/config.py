@@ -37,6 +37,14 @@ class CrawlConfig:
     allowed_domains: list[str] = field(default_factory=list)
     disallowed_url_prefixes: list[str] = field(default_factory=list)
 
+    # Store fetched payload bytes INLINE in the pages table (the reference
+    # keeps content/rawHtml on the page entity, CrawledPageEntity.java:20-37).
+    # False = store only image_id as the blob reference: at the 10^10-URL
+    # tier inlining duplicates petabytes the payload store already holds,
+    # and the copy dominates the round's write+Arrow traffic. Decode (and
+    # the PSNR fidelity check it feeds) runs either way.
+    store_page_bytes: bool = True
+
     # engine mechanics
     reference_compat: bool = False
     use_bloom: bool = True

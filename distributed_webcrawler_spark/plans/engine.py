@@ -61,44 +61,53 @@ PAGES_SCHEMA = (
 )
 
 
-def _fetch_decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: per Arrow batch, resolve fetch outcome + decode the
-    image payload. The decode is the single PIL-swap point (sources/codec)."""
-    from pyspark import TaskContext
+def _fetch_decode_fn(store_bytes: bool):
+    """mapInPandas body factory: per Arrow batch, resolve fetch outcome +
+    decode the image payload. The decode is the single PIL-swap point
+    (sources/codec). With ``store_bytes=False`` the decoded/validated blob
+    is NOT echoed into the output rows (pages reference it by image_id) —
+    at the 10^10 tier inlining would duplicate the payload store and the
+    copy dominates Arrow return traffic + the pages write."""
 
-    pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-    for pdf in it:
-        out = []
-        for r in pdf.itertuples(index=False):
-            web_status = r.web_status
-            if web_status is None or pd.isna(web_status):
-                status, err = 0, "connection failed"
-            else:
-                status = int(web_status)
-                err = None if status == 200 else ("I/O error" if status == 0 else f"HTTP {status}")
-            by = r.pbytes
-            caption = r.caption if status == 200 else None
-            dw = dh = ph = None
-            blob = None
-            if status == 200 and by is not None and not (isinstance(by, float) and pd.isna(by)):
-                blob = bytes(by)
-                try:
-                    px, _fmt = codec.decode_image(blob)
-                    dh, dw = px.shape[0], px.shape[1]
-                    ph = codec.phash64(px)
-                except codec.CodecError as e:
-                    err = f"decode error: {e}"
-            out.append((
-                r.session_id, int(r.round), int(r.sched_seq), r.url, int(r.url_hash), r.host,
-                int(r.depth), r.parent_url, status, err, r.image_id, caption, blob,
-                r.fmt if status == 200 else None, len(blob) if blob is not None else None,
-                dw, dh, ph, 0, pid,
-            ))
-        yield pd.DataFrame(out, columns=[
-            "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth",
-            "parent_url", "status_code", "error_message", "image_id", "caption", "bytes",
-            "fmt", "content_length", "decoded_w", "decoded_h", "phash",
-            "crawl_duration_ms", "partition_id"])
+    def _fetch_decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                web_status = r.web_status
+                if web_status is None or pd.isna(web_status):
+                    status, err = 0, "connection failed"
+                else:
+                    status = int(web_status)
+                    err = None if status == 200 else ("I/O error" if status == 0 else f"HTTP {status}")
+                by = r.pbytes
+                caption = r.caption if status == 200 else None
+                dw = dh = ph = None
+                blob = None
+                if status == 200 and by is not None and not (isinstance(by, float) and pd.isna(by)):
+                    blob = bytes(by)
+                    try:
+                        px, _fmt = codec.decode_image(blob)
+                        dh, dw = px.shape[0], px.shape[1]
+                        ph = codec.phash64(px)
+                    except codec.CodecError as e:
+                        err = f"decode error: {e}"
+                out.append((
+                    r.session_id, int(r.round), int(r.sched_seq), r.url, int(r.url_hash), r.host,
+                    int(r.depth), r.parent_url, status, err, r.image_id, caption,
+                    blob if store_bytes else None,
+                    r.fmt if status == 200 else None, len(blob) if blob is not None else None,
+                    dw, dh, ph, 0, pid,
+                ))
+            yield pd.DataFrame(out, columns=[
+                "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth",
+                "parent_url", "status_code", "error_message", "image_id", "caption", "bytes",
+                "fmt", "content_length", "decoded_w", "decoded_h", "phash",
+                "crawl_duration_ms", "partition_id"])
+
+    return _fetch_decode
 
 
 def _metrics_schema():
@@ -310,12 +319,13 @@ class CrawlEngine:
         slim = fetched.select(
             "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth",
             "parent_url", "web_status", "image_id")
+        decode = _fetch_decode_fn(self.cfg.store_page_bytes)
         if self.cfg.fetch_join_strategy == "shuffle":
             # no hint: Catalyst/AQE picks — it auto-broadcasts the payload
             # pool when it is small (keeps bytes out of the shuffle) and
             # falls back to a shuffled hash join when it is not
             joined = slim.join(pay, "image_id", "left")
-            return joined.mapInPandas(_fetch_decode, schema=PAGES_SCHEMA)
+            return joined.mapInPandas(decode, schema=PAGES_SCHEMA)
         hit = pay.join(F.broadcast(slim), "image_id")
         miss = (
             slim.join(F.broadcast(hit.select("url")), "url", "left_anti")
@@ -323,7 +333,7 @@ class CrawlEngine:
             .withColumn("caption", F.lit(None).cast("string"))
             .withColumn("fmt", F.lit(None).cast("string"))
         )
-        return hit.unionByName(miss).mapInPandas(_fetch_decode, schema=PAGES_SCHEMA)
+        return hit.unionByName(miss).mapInPandas(decode, schema=PAGES_SCHEMA)
 
     def _expand(self, fetched: DataFrame, rnd: int) -> DataFrame:
         """C1/C2/C4/C5 + J1: explode out_links of ok-pages under the depth

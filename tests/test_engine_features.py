@@ -99,3 +99,32 @@ def test_fetch_join_strategy_shuffle_matches_broadcast(spark, fixture_dir, wareh
                 "depth", "parent_url").collect()}
     assert outs["broadcast"] == outs["shuffle"]
     assert len(outs["broadcast"]) > 0
+
+
+def test_store_page_bytes_off_keeps_decode_and_reference(spark, fixture_dir, warehouse):
+    """store_page_bytes=False: pages carry NO inline blob (10^10-tier mode —
+    the payload store already holds the bytes, keyed by image_id) but the
+    decode still ran: decoded_w/h + phash + content_length populated, and
+    image_id still references the payload row."""
+    cfg = CrawlConfig(max_depth=0, budget_per_host_per_round=10_000,
+                      max_rounds=1, use_bloom=False, respect_robots=False,
+                      store_page_bytes=False)
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    store = SnapshotStore(warehouse)
+    eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+    seeds = wg.select("url", F.monotonically_increasing_id().cast("int").alias("seq")).limit(100)
+    eng.start_session(seeds)
+    eng.run()
+
+    pages = store.table("pages").read(spark)
+    assert pages.where(F.col("bytes").isNotNull()).count() == 0
+    ok = pages.where((F.col("status_code") == 200) & F.col("image_id").isNotNull())
+    n_ok = ok.count()
+    assert n_ok > 0
+    decoded = ok.where(F.col("phash").isNotNull() & F.col("decoded_w").isNotNull()
+                       & (F.col("content_length") > 0))
+    assert decoded.count() == n_ok
+    # the reference resolves: joining back to payloads recovers every blob
+    joined = ok.select("image_id").join(pay, "image_id").count()
+    assert joined == n_ok

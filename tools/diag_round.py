@@ -101,6 +101,12 @@ def main() -> None:
         extra["spark.driver.extraJavaOptions"] = os.environ["DWS_JAVA_OPTS"]
     if os.environ.get("DWS_EXTRA_CONF"):
         extra.update(json.loads(os.environ["DWS_EXTRA_CONF"]))
+    evdir = None
+    if os.environ.get("DWS_EVENTLOG", "1") != "0":
+        evdir = tempfile.mkdtemp(dir=scratch, prefix="dws-eventlog-")
+        extra["spark.eventLog.enabled"] = "true"
+        extra["spark.eventLog.compress"] = "false"  # no zstd lib in sandbox
+        extra["spark.eventLog.dir"] = f"file://{evdir}"
     spark = get_spark(cpus=cpus, app_name=f"dws-diag-{cpus}", shuffle_partitions=64,
                       extra_conf=extra)
     jvm_pid = None
@@ -121,11 +127,11 @@ def main() -> None:
     cfg = CrawlConfig(max_depth=1, budget_per_host_per_round=1_000_000,
                       max_rounds=1, use_bloom=True,
                       bloom_expected_insertions=5_000_000, respect_robots=True,
-                      fetch_join_strategy="shuffle")
+                      fetch_join_strategy="shuffle", store_page_bytes=False)
     warm_cfg = CrawlConfig(max_depth=1, budget_per_host_per_round=10,
                            max_rounds=1, use_bloom=True,
                            bloom_expected_insertions=5_000_000, respect_robots=True,
-                           fetch_join_strategy="shuffle")
+                           fetch_join_strategy="shuffle", store_page_bytes=False)
     wh_warm = tempfile.mkdtemp(dir=scratch, prefix=f"dws-diagwarm-{cpus}-")
     warm = CrawlEngine(spark, SnapshotStore(wh_warm), warm_cfg, wg, pay, rob)
     warm.start_session(seeds.limit(4000))
@@ -139,9 +145,11 @@ def main() -> None:
     sampler = StackSampler(jvm_pid) if jvm_pid else None
     if sampler:
         sampler.start()
+    t_round_start = time.time()
     t0 = time.monotonic()
     hist = eng.run()
     wall = time.monotonic() - t0
+    t_round_end = time.time()
     if sampler:
         sampler.stop_flag = True
         sampler.join(timeout=5)
@@ -159,7 +167,72 @@ def main() -> None:
               f"(runnable threads only):")
         for frame, n in sampler.frames.most_common(15):
             print(f"  {n:6d}  {frame}")
+    if evdir:
+        _print_stage_timeline(spark, evdir, cpus, t_round_start, t_round_end)
     shutil.rmtree(wh, ignore_errors=True)
+
+
+def _print_stage_timeline(spark, evdir: str, cpus: int,
+                          t0: float, t1: float) -> None:
+    """Parse the Spark event log: per stage inside [t0, t1] print wall,
+    total executor task time / cores (= perfectly-parallel floor), and the
+    DRIVER GAP since the previous stage finished — the gaps are the serial
+    fraction Amdahl charges every level for."""
+    app_id = spark.sparkContext.applicationId
+    # flush pending events
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    # Spark 4 rolling layout: <dir>/eventlog_v2_<app>/events_*_<app>[.inprogress]
+    candidates = [os.path.join(evdir, app_id + ".inprogress"),
+                  os.path.join(evdir, app_id)]
+    v2 = os.path.join(evdir, f"eventlog_v2_{app_id}")
+    if os.path.isdir(v2):
+        candidates = [os.path.join(v2, f) for f in sorted(os.listdir(v2))
+                      if f.startswith("events_")]
+    paths = [p for p in candidates if os.path.exists(p)]
+    if not paths:
+        print(f"(no event log under {evdir})")
+        return
+    stages = []
+    import itertools
+    lines = itertools.chain.from_iterable(open(p) for p in paths)
+    if True:
+        for line in lines:
+            if '"SparkListenerStageCompleted"' not in line:
+                continue
+            ev = json.loads(line)
+            si = ev["Stage Info"]
+            sub = si.get("Submission Time")
+            comp = si.get("Completion Time")
+            if sub is None or comp is None:
+                continue
+            if comp / 1000.0 < t0 or sub / 1000.0 > t1:
+                continue
+            task_ms = 0
+            for acc in si.get("Accumulables", []):
+                if acc.get("Name") == "internal.metrics.executorRunTime":
+                    task_ms = int(acc.get("Value", 0))
+            stages.append({
+                "id": si["Stage ID"], "name": si.get("Name", "")[:48],
+                "sub": sub, "comp": comp, "task_ms": task_ms,
+                "n_tasks": si.get("Number of Tasks", 0),
+            })
+    stages.sort(key=lambda s: s["sub"])
+    print(f"\nstage timeline (timed round only; cores={cpus}):")
+    print(f"{'stage':>6} {'gap_s':>7} {'wall_s':>7} {'taskT/N_s':>9} "
+          f"{'tasks':>6}  name")
+    prev_end = t0 * 1000
+    total_gap = total_wall = 0.0
+    for s in stages:
+        gap = max(0.0, (s["sub"] - prev_end) / 1000.0)
+        wall = (s["comp"] - s["sub"]) / 1000.0
+        floor = s["task_ms"] / 1000.0 / cpus
+        total_gap += gap
+        total_wall += wall
+        print(f"{s['id']:>6} {gap:>7.1f} {wall:>7.1f} {floor:>9.1f} "
+              f"{s['n_tasks']:>6}  {s['name']}")
+        prev_end = max(prev_end, s["comp"])
+    print(f"total driver gap {total_gap:.1f}s, stage wall {total_wall:.1f}s, "
+          f"round {(t1 - t0):.1f}s")
 
 
 if __name__ == "__main__":
