@@ -657,6 +657,49 @@ SELECT id, cast({sig} as int) AS simhash FROM bits
 """
 
 
+_SH64_BITS, _SH64_BANDS, _SH64_HAM = 60, 4, 3
+
+
+def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide (60-bit) SimHash near-dup pairs at Hamming <= 3 via banded
+    search: 4 x 15-bit bands, candidates share at least one exact band
+    slice (pigeonhole), exact bit_count(xor) verify inside buckets only.
+    The scale-correct form of dedup_simhash (which needs IDENTICAL sigs)."""
+    return D.simhash_banded_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=_SH64_HAM,
+        n_bits=_SH64_BITS, n_bands=_SH64_BANDS, max_chars=_SIM_CHARS)
+
+
+def _simhash64_sql() -> str:
+    band_bits = _SH64_BITS // _SH64_BANDS
+    mask = (1 << band_bits) - 1
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(_SH64_BITS))
+    sig = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SH64_BITS))
+    band_vals = ",".join(f"({b})" for b in range(_SH64_BANDS))
+    return f"""
+WITH pos AS (
+  SELECT doc_id AS id, substr(text, 1, {_SIM_CHARS}) AS t,
+         unnest(generate_series(1, greatest(length(substr(text, 1, {_SIM_CHARS})) - 3, 0))) AS i
+  FROM documents
+),
+sh AS (SELECT id, substr(t, cast(i as int), 4) AS sh FROM pos),
+h AS (SELECT id, {h64_sql('sh')} AS h FROM sh),
+bits AS (SELECT id, {sums} FROM h GROUP BY id),
+sig AS (SELECT id, cast({sig} as bigint) AS simhash FROM bits),
+bands AS (
+  SELECT id, simhash, band, (simhash >> (band * {band_bits})) & {mask} AS slice
+  FROM sig, (VALUES {band_vals}) b(band)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.slice = b.slice AND a.id < b.id)
+SELECT id_a, id_b, cast(bit_count(xor(sig_a, sig_b)) as int) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SH64_HAM}
+"""
+
+
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for query vectors (vec_id % 50 == 0)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -680,16 +723,44 @@ WHERE rk <= 5
 _ND_TH = 0.25
 
 
+_ND_BANDS, _ND_BAND_PLANES = 4, 4
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-dup pairs: all (id_a < id_b) with cosine >= 0.25."""
-    return S.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=_ND_TH)
+    """Embedding-space near-dup pairs (cosine >= 0.25) via the SCALE path:
+    banded hyperplane-LSH bucketing (4 bands x 4 planes, OR over bands) +
+    exact cosine only within buckets — a (band, bucket) equi-join, never a
+    CartesianProduct. The exact all-pairs form (embedding_near_dup_pairs)
+    is kept as the pytest recall oracle; the DuckDB oracle below rebuilds
+    the identical md5 hyperplane buckets."""
+    return S.embedding_near_dup_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=_ND_TH,
+        n_bands=_ND_BANDS, band_planes=_ND_BAND_PLANES, dim=_LSH_DIM)
 
 
-_Q_EMB_ND_SQL = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) AS sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) >= {_ND_TH}
+def _emb_nd_sql() -> str:
+    from distributed_webcrawler_spark.operators.similarity import hyperplane_weights
+
+    band_rows = []
+    for b in range(_ND_BANDS):
+        bits = []
+        for j in range(_ND_BAND_PLANES):
+            w = ", ".join(repr(x) for x in hyperplane_weights(b * _ND_BAND_PLANES + j, _LSH_DIM))
+            bits.append(f"(CASE WHEN list_dot_product(cast(embedding as double[]), [{w}]) > 0"
+                        f" THEN {1 << j} ELSE 0 END)")
+        band_rows.append(f"SELECT vec_id AS id, {b} AS band, ({' + '.join(bits)}) AS bucket FROM embeddings")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(cast(ea.embedding as double[]), cast(eb.embedding as double[])), 6) AS sim
+FROM cand
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE round(list_cosine_similarity(cast(ea.embedding as double[]), cast(eb.embedding as double[])), 6) >= {_ND_TH}
 """
 
 _LSH_PLANES, _LSH_DIM = 8, 64
@@ -804,16 +875,80 @@ FROM pos GROUP BY doc_id
 """
 
 
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode/feature plumbing over a deterministic payload batch
-    derived from doc ids. No SQL oracle (binary codec is engine-specific);
-    driver records the rows-only check."""
-    from distributed_webcrawler_spark.operators.multimodal import decode_stats
-    from distributed_webcrawler_spark.sources.datagen import gen_payloads
+_MM_N = 256
 
-    n = min(_t(spark, sf_dir, "documents").count(), 256)
-    payloads = gen_payloads(spark, int(n))
-    return decode_stats(payloads).where(F.col("ok"))
+
+def _mm_specs() -> list:
+    """Deterministic (image_id, w, h, fmt) specs for the multimodal oracle
+    batch — derived from md5 in pure Python so BOTH the Spark query and the
+    DuckDB oracle rebuild the identical payload set with no Spark-specific
+    hashing in the loop."""
+    import hashlib
+
+    specs = []
+    fmts = ["png", "jpeg", "webp"]
+    for i in range(_MM_N):
+        hw = int(hashlib.md5(f"mmw:{i}".encode()).hexdigest()[:8], 16)
+        hh = int(hashlib.md5(f"mmh:{i}".encode()).hexdigest()[:8], 16)
+        specs.append((f"mm-{i:05d}", 16 + hw % 33, 16 + hh % 33, fmts[i % 3]))
+    return specs
+
+
+def _mm_expected_rows() -> list:
+    """Run the deterministic codec driver-side over the spec batch: the
+    expected (image_id, fmt, w, h, mean_r, mean_g, mean_b, phash) the Spark
+    mapInPandas decode must reproduce row-for-row. This is the oracle for
+    the Spark-side PLUMBING (Arrow batches, schema, distribution); the
+    codec math itself is unit-tested in tests/test_codec.py."""
+    import numpy as np
+
+    from distributed_webcrawler_spark.sources import codec
+
+    rows = []
+    for iid, w, h, fmt in _mm_specs():
+        px = codec.synth_pixels(iid, w, h)
+        data = codec.encode_image(px, fmt)
+        dec, dfmt = codec.decode_image(data)
+        m = dec.astype(np.float64).mean(axis=(0, 1))
+        rows.append((iid, dfmt, dec.shape[1], dec.shape[0],
+                     round(float(m[0]), 4), round(float(m[1]), 4),
+                     round(float(m[2]), 4), codec.phash64(dec)))
+    return rows
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode/feature extraction over binary payloads: Arrow-batched
+    mapInPandas decode (bytes never shuffle, stats-width output). The input
+    batch is deterministic (md5-derived specs + the DWS1 codec), so the
+    DuckDB oracle gates rows+schema+hash against a precomputed expected
+    table — the full correctness gate, not a rows-only check."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import decode_stats
+    from distributed_webcrawler_spark.sources import codec
+
+    pdf = pd.DataFrame(
+        [(iid, codec.encode_image(codec.synth_pixels(iid, w, h), fmt))
+         for iid, w, h, fmt in _mm_specs()],
+        columns=["image_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    return (decode_stats(payloads).where(F.col("ok"))
+            .select("image_id", "fmt", "w", "h",
+                    "mean_r", "mean_g", "mean_b", "phash"))
+
+
+def _mm_sql() -> str:
+    vals = ",\n".join(
+        f"('{iid}', '{fmt}', {w}, {h}, {mr!r}, {mg!r}, {mb!r}, {ph})"
+        for iid, fmt, w, h, mr, mg, mb, ph in _mm_expected_rows())
+    return f"""
+SELECT image_id, fmt, cast(w as int) AS w, cast(h as int) AS h,
+       cast(mean_r as double) AS mean_r, cast(mean_g as double) AS mean_g,
+       cast(mean_b as double) AS mean_b, cast(phash as bigint) AS phash
+FROM (VALUES
+{vals}
+) AS t(image_id, fmt, w, h, mean_r, mean_g, mean_b, phash)
+"""
 
 
 def q_asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,16 +1008,40 @@ GROUP BY 1
 _IVF_MOD, _IVF_K = 29, 3
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (the scale path beside LSH): vectors are assigned to
-    their nearest centroid map-side (centroids inlined as plan literals —
-    no shuffle), then top-k searches only the query's cell (nprobe=1).
-    Centroids = vectors with vec_id % 29 == 0; probes = vec_id % 50 == 0."""
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Centroid set = vectors with vec_id % 29 == 0 (k ~ sqrt(N) rows pulled
+    to the driver once — the standard IVF build step; only the SMALL
+    centroid side ever leaves the executors, as a broadcast)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
-             for r in emb.where(F.col("vec_id") % _IVF_MOD == 0).collect()]
-    assigned = S.ivf_assign_literal(emb, cents)
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.where(F.col("vec_id") % _IVF_MOD == 0)
+                        .select("vec_id", "embedding").collect()]
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the scale path beside LSH): vectors are assigned
+    map-side to their nearest centroid via a BROADCAST numpy centroid
+    matrix + one vectorized matmul-argmax per Arrow batch (no plan-literal
+    structs, no shuffle of the corpus), then top-k searches only the
+    query's cell (nprobe=1). Probes = vec_id % 50 == 0."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assign_broadcast(emb, _ivf_centroids(spark, sf_dir))
     return S.ivf_topk(assigned, k=_IVF_K, query_filter=F.col("id") % 50 == 0)
+
+
+_IVF_NPROBE = 2
+
+
+def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-probe (nprobe=2): each query searches its TWO
+    nearest cells — the recall lever real IVF deployments turn. Probe side
+    explodes its (tiny) cell list; the corpus side never replicates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    corpus = S.ivf_assign_broadcast(emb, cents)
+    probes = S.ivf_assign_broadcast(
+        emb.where(F.col("vec_id") % 50 == 0), cents, nprobe=_IVF_NPROBE)
+    return S.ivf_topk_nprobe(corpus, probes, k=_IVF_K)
 
 
 _Q_IVF_SQL = f"""
@@ -906,6 +1065,31 @@ SELECT query_id, neighbor_id, sim, rk FROM (
                                      n.id ASC) AS rk
   FROM asg q JOIN asg n ON q.cell = n.cell AND q.id <> n.id
   WHERE q.id % 50 = 0) t
+WHERE rk <= {_IVF_K}
+"""
+
+_Q_IVF_NPROBE_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cell, cast(embedding AS double[]) AS cv
+  FROM embeddings WHERE vec_id % {_IVF_MOD} = 0),
+sc AS (
+  SELECT e.vec_id AS id, cast(e.embedding AS double[]) AS v, c.cell,
+         round(list_cosine_similarity(cast(e.embedding AS double[]), c.cv), 6) AS csim
+  FROM embeddings e CROSS JOIN cent c),
+ranked AS (
+  SELECT id, v, cell,
+         row_number() OVER (PARTITION BY id ORDER BY csim DESC, cell ASC) AS crk
+  FROM sc),
+asg AS (SELECT id, v, cell FROM ranked WHERE crk = 1),
+probes AS (SELECT id, v, cell FROM ranked WHERE crk <= 2 AND id % 50 = 0),
+pairs AS (
+  SELECT DISTINCT q.id AS query_id, n.id AS neighbor_id,
+         round(list_cosine_similarity(q.v, n.v), 6) AS sim
+  FROM probes q JOIN asg n ON q.cell = n.cell AND q.id <> n.id)
+SELECT query_id, neighbor_id, sim, rk FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+  FROM pairs) t
 WHERE rk <= {_IVF_K}
 """
 
@@ -946,9 +1130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash64": q_dedup_simhash64,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_signature": q_ann_lsh_signature,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_nprobe": q_ann_ivf_nprobe,
         "asof_join_purchase": q_asof_join_purchase,
         "range_join_followups": q_range_join_followups,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -995,15 +1181,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _Q_JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash64": _simhash64_sql(),
         "ann_brute_topk": _Q_ANN_BRUTE_SQL,
         "ann_lsh_signature": _lsh_sql(),
         "ann_ivf_topk": _Q_IVF_SQL,
+        "ann_ivf_nprobe": _Q_IVF_NPROBE_SQL,
         "asof_join_purchase": _Q_ASOF_SQL,
         "range_join_followups": _Q_RANGE_SQL,
-        "dedup_embedding_cosine": _Q_EMB_ND_SQL,
+        "dedup_embedding_cosine": _emb_nd_sql(),
         "text_lang_id": _lang_id_sql(),
         "text_quality": quality_sql,
         "text_token_stats": _Q_TOKENS_SQL,
         "text_fingerprint": _Q_FP_SQL,
-        # multimodal_decode: rows-only (binary codec not expressible in SQL)
+        "multimodal_decode": _mm_sql(),
     }

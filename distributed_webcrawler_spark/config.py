@@ -50,6 +50,20 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_expected_insertions: int = 10_000_000  # application.properties:33
     bloom_fpp: float = 0.01                      # application.properties:34
+    # >1 = the 10^10-tier bloom lifecycle: one filter per shard (keyed by
+    # host_bucket), built/updated EXECUTOR-side as versioned blob files;
+    # the driver holds only the {shard: version} manifest. 1 = single
+    # global filter updated driver-side (right below ~10^8 insertions).
+    bloom_shards: int = 1
+    # fetch mode: "join" = resolve fetches against the web_graph/payloads
+    # tables (sandbox + benchmarks); "http" = LIVE GETs + HTML anchor
+    # extraction + robots.txt fetching via Arrow-batched thread pools
+    # (sources/httpfetch.py — BasicCrawler.java:77-81, 148-172, 203-217).
+    fetch_mode: str = "join"
+    # test-server remap: https://<host>/<path> -> <base>/<host>/<path>;
+    # None fetches the real URL (production)
+    http_rewrite_base: str | None = None
+    http_pool_per_task: int = 16    # concurrent GETs per Arrow batch
     n_host_buckets: int = 64        # frontier partitioning key fan-out
     hot_host_salts: int = 8         # salting factor for skewed fetch joins
     hot_host_threshold: int = 5000  # rows/round above which a host is salted

@@ -74,7 +74,12 @@ def _canon_one(url: str, keep_fragment: bool) -> str | None:
     host = (parts.hostname or "").lower()
     if not scheme or not host:
         return None  # not an absolute URL; validity filter would reject it anyway
-    port = parts.port
+    try:
+        port = parts.port
+    except ValueError:
+        # hrefs are untrusted crawl input: 'http://a.com:80x/' raises here
+        # (urlsplit itself is lazy about the port); drop like other malformed
+        return None
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"
@@ -136,6 +141,11 @@ def resolve_canonicalize_batch(base: pd.Series, href: pd.Series) -> pd.Series:
         & ~ns.str.contains("/./", regex=False)
         & ~ns.str.endswith("/.")
         & ~ns.str.endswith("/..")
+        # ';' starts CPython's legacy "params" component: urljoin/urlsplit
+        # strip an EMPTY params ('x;' -> 'x') while the fast paths keep the
+        # string verbatim — any ';' goes to the exact slow path so both
+        # paths canonicalize the same target URL identically
+        & ~ns.str.contains(";", regex=False)
     )
     tier_a = (
         ns.str.match(r"^https?://[a-z0-9.-]+(/[^#\s?]*)?(\?[^#\s]+)?$")
@@ -161,6 +171,7 @@ def resolve_canonicalize_batch(base: pd.Series, href: pd.Series) -> pd.Series:
         & ~bs.str.contains("/./", regex=False)
         & ~bs.str.endswith("/.")
         & ~bs.str.endswith("/..")
+        & ~bs.str.contains(";", regex=False)  # params quirk, see no_dots
     )
     base_dir = bs.str.replace(r"[^/]*$", "", regex=True)
     tier_c = (

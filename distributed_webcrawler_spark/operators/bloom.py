@@ -30,6 +30,7 @@ import math
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 _CHUNK = 1 << 18  # insert-kernel chunk: position buffer = 256k x k x 8B (~14MB at k=7)
@@ -80,6 +81,11 @@ class BloomFilter:
         key = (self.n_bits, self.n_hashes)
         b = BloomFilter._scratch.get(key)
         if b is None:
+            # single-slot cache: the dense bool array is n_bits BYTES (~96MB
+            # at the 1e7/0.01 default) and reused Python UDF workers live for
+            # the whole app — keeping one entry per (n_bits, n_hashes) would
+            # pin gigabytes of RSS across tens of workers
+            BloomFilter._scratch.clear()
             b = {
                 "h": np.empty(_CHUNK, dtype=np.uint64),
                 "t": np.empty(_CHUNK, dtype=np.uint64),
@@ -271,6 +277,145 @@ def add_hashes(bloom: BloomFilter, df: DataFrame, hash_col: str,
     vals = pdf.iloc[:, 0].dropna().to_numpy(dtype=np.int64)
     if len(vals):
         bloom.add_many(vals)
+
+
+class ShardedBloomStore:
+    """The 10^10-tier bloom lifecycle: ONE filter per host_bucket shard,
+    built and updated EXECUTOR-SIDE, persisted as versioned per-shard blob
+    files under a shared directory (the warehouse locally; an object store
+    on a real cluster). The driver never materializes a filter — it only
+    tracks the {shard: version} manifest (a dict of ints), so driver memory
+    is O(n_shards), not O(total bits): at 10^10 insertions / fpp 0.01 the
+    global filter is ~12 GB, while a 256-shard store is ~47 MB per shard
+    and every build/update/prefilter touches shards partition-parallel.
+
+    Write protocol: each applyInPandas group task builds its shard's delta
+    bitarray, ORs it with the shard's previous version file (if any), and
+    os.replace()s a tmp file into `shard-SSSS-vVVVVVV.bin` — versioned
+    names mean a reader holding an older manifest never observes a torn
+    or half-updated filter (same idea as the SnapshotStore commit
+    protocol). Old versions are pruned two checkpoints back by the caller.
+
+    Correctness contract is unchanged from the global filter: shard miss =
+    definitely new; shard hit MUST still pass the exact anti-join.
+    """
+
+    def __init__(self, directory: str, n_shards: int, n_bits_per_shard: int,
+                 n_hashes: int, versions: dict | None = None):
+        import os
+
+        self.directory = directory
+        self.n_shards = n_shards
+        self.n_bits = n_bits_per_shard
+        self.n_hashes = n_hashes
+        # {shard_id: version}; a shard absent here has no filter yet (reads
+        # as "maybe new" = definitely-new via empty filter semantics)
+        self.versions: dict[int, int] = dict(versions or {})
+        os.makedirs(directory, exist_ok=True)
+
+    @classmethod
+    def for_capacity(cls, directory: str, n_shards: int,
+                     expected_insertions_total: int, fpp: float) -> "ShardedBloomStore":
+        proto = BloomFilter.for_capacity(
+            max(expected_insertions_total // max(n_shards, 1), 1), fpp)
+        return cls(directory, n_shards, proto.n_bits, proto.n_hashes)
+
+    @staticmethod
+    def shard_path(directory: str, shard: int, version: int) -> str:
+        import os
+
+        return os.path.join(directory, f"shard-{shard:05d}-v{version:08d}.bin")
+
+    def update(self, df: DataFrame, hash_col: str, shard_col: str,
+               version: int) -> list[int]:
+        """Executor-side build/update: group rows by shard, each group task
+        folds its hashes into (previous version OR delta) and commits
+        `shard-k-v<version>.bin`. Returns the shard ids written; shards
+        with no rows this round keep their old version. Idempotent per
+        (data, version) — re-running a torn round overwrites the same
+        version files with identical bytes (exact-resume safe)."""
+        directory, n_bits, n_hashes = self.directory, self.n_bits, self.n_hashes
+        prev = dict(self.versions)
+
+        def per_shard(key, pdf):
+            import os
+            import tempfile
+
+            shard = int(key[0])
+            bf = BloomFilter(n_bits, n_hashes)
+            pv = prev.get(shard)
+            if pv is not None:
+                with open(ShardedBloomStore.shard_path(directory, shard, pv), "rb") as f:
+                    bf = BloomFilter.from_bytes(f.read())
+            vals = pdf[hash_col].dropna().to_numpy(dtype=np.int64)
+            bf.add_many(vals)
+            fd, tmp = tempfile.mkstemp(dir=directory, suffix=".bloom.tmp")
+            with os.fdopen(fd, "wb") as f:
+                f.write(bf.to_bytes())
+            os.replace(tmp, ShardedBloomStore.shard_path(directory, shard, version))
+            return pd.DataFrame({"shard": [shard], "n": [len(vals)]})
+
+        out = (df.select(F.col(shard_col).alias("__shard"), F.col(hash_col))
+                 .groupBy("__shard")
+                 .applyInPandas(per_shard, "shard int, n long")
+                 .collect())
+        written = [int(r.shard) for r in out]
+        for s in written:
+            self.versions[s] = version
+        return written
+
+    def prefilter_udf(self):
+        """(hash, shard) -> bool pandas UDF. Each worker lazily opens ONLY
+        the shard files its partitions reference (repartition the candidate
+        set by the shard column first so a task touches exactly one shard),
+        cached per (shard, version) with a small LRU so long-lived workers
+        stay bounded."""
+        from pyspark.sql.functions import pandas_udf
+
+        directory = self.directory
+        versions = dict(self.versions)
+        n_bits, n_hashes = self.n_bits, self.n_hashes
+        cache: dict = {}
+
+        def _get(shard: int) -> BloomFilter | None:
+            v = versions.get(shard)
+            if v is None:
+                return None
+            key = (shard, v)
+            bf = cache.get(key)
+            if bf is None:
+                if len(cache) >= 8:  # bound worker RSS to a few shards
+                    cache.pop(next(iter(cache)))
+                with open(ShardedBloomStore.shard_path(directory, shard, v), "rb") as f:
+                    bf = cache[key] = BloomFilter.from_bytes(f.read())
+            return bf
+
+        @pandas_udf("boolean")
+        def _might_contain(hashes: pd.Series, shards: pd.Series) -> pd.Series:
+            out = np.zeros(len(hashes), dtype=bool)
+            hv = hashes.fillna(0).to_numpy(dtype=np.int64)
+            sv = shards.fillna(-1).to_numpy(dtype=np.int64)
+            for shard in np.unique(sv):
+                bf = _get(int(shard))
+                if bf is None:
+                    continue  # no filter yet -> definitely new
+                m = sv == shard
+                out[m] = bf.might_contain_many(hv[m])
+            return pd.Series(out)
+
+        return _might_contain
+
+    def prune_versions(self, keep_from: dict) -> None:
+        """Delete blob files older than `keep_from[shard]` (the previous
+        checkpoint's versions) — called after a checkpoint commits."""
+        import os
+
+        for f in os.listdir(self.directory):
+            if not f.startswith("shard-") or not f.endswith(".bin"):
+                continue
+            shard, ver = int(f[6:11]), int(f[13:21])
+            if ver < keep_from.get(shard, 0):
+                os.unlink(os.path.join(self.directory, f))
 
 
 def bloom_prefilter_udf(bloom: BloomFilter):

@@ -161,6 +161,74 @@ def simhash_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def simhash_wide(docs: DataFrame, n_bits: int = 60, text_col: str = "text",
+                 id_col: str = "doc_id", max_chars: int = 200) -> DataFrame:
+    """Wide SimHash over character 4-shingles: (id, simhash: long).
+
+    60 bits, not 64: the cross-engine portable hash (functions.hashes.h64)
+    is 60 bits (15 md5 hex chars — always positive, no signed-overflow
+    divergence between Spark and the DuckDB oracle), so 60 is the widest
+    signature both engines reproduce bit-for-bit. Same banded design as a
+    64-bit production simhash, 4 x 15-bit bands instead of 4 x 16."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, 4, max_chars)).alias("sh"),
+    ).withColumn("h", h64("sh"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(n_bits)
+    ]
+    agg = sh.groupBy("id").agg(*bit_aggs)
+    sig = sum(
+        F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(n_bits)
+    )
+    return agg.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 3,
+                         n_bits: int = 60, n_bands: int = 4,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         max_chars: int = 200) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= max_hamming via banded search —
+    the scale-correct form simhash_dup_groups (identical-signature buckets)
+    cannot provide: by pigeonhole, any pair within Hamming <= n_bands-1
+    agrees EXACTLY on at least one of the n_bands bit-slices, so candidates
+    are n_bands shuffle equi-joins on (band, slice) instead of all pairs;
+    the exact bit_count(xor) verify then runs only inside buckets.
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+    """
+    assert max_hamming <= n_bands - 1, "pigeonhole guarantee needs max_hamming < n_bands"
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    sig = simhash_wide(docs, n_bits, text_col, id_col, max_chars)
+    bands = None
+    for bi in range(n_bands):
+        part = sig.select(
+            "id", "simhash", F.lit(bi).alias("band"),
+            F.shiftright(F.col("simhash"), bi * band_bits)
+             .bitwiseAND(F.lit(mask)).alias("slice"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"),
+                     "band", "slice")
+    b = bands.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"),
+                     "band", "slice")
+    cand = (
+        a.join(b, ["band", "slice"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming",
+                        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def first_wins(df: DataFrame, key_cols: list[str], order_cols: list) -> DataFrame:
     """Generic first-wins dedup (J1 semantics, URLFrontier.java:67-74):
     keep the first row per key under a deterministic order."""

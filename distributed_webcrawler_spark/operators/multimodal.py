@@ -48,8 +48,15 @@ def decode_stats(payloads: DataFrame, id_col: str = "image_id", bytes_col: str =
                                  round(float(m[2]), 4), codec.phash64(px), None))
                 except codec.CodecError as e:
                     rows.append((iid, False, None, None, None, None, None, None, None, str(e)))
-            yield pd.DataFrame(rows, columns=[
-                "image_id", "ok", "fmt", "w", "h", "mean_r", "mean_g", "mean_b", "phash", "err"])
+            names = ["image_id", "ok", "fmt", "w", "h", "mean_r", "mean_g",
+                     "mean_b", "phash", "err"]
+            data = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+            # int columns holding None MUST be nullable Int64: pandas'
+            # default inference coerces int+None to float64, whose 53-bit
+            # mantissa silently rounds 64-bit phash values
+            for n in ("w", "h", "phash"):
+                data[n] = pd.array(data[n], dtype="Int64")
+            yield pd.DataFrame(data)
 
     return payloads.select(id_col, bytes_col).mapInPandas(batches, schema=DECODE_SCHEMA)
 

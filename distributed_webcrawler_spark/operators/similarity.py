@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -121,6 +122,86 @@ def ivf_assign_literal(df: DataFrame, centroids: list[tuple[int, list[float]]],
                      (-best["nc"]).cast("long").alias("cell"))
 
 
+def ivf_assign_broadcast(df: DataFrame,
+                         centroids: list[tuple[int, list[float]]],
+                         nprobe: int = 1,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """IVF cell assignment via a BROADCAST numpy centroid matrix + one
+    vectorized matmul-argmax per Arrow batch — the scale path. The literal
+    variant (ivf_assign_literal) inlines k struct expressions into the plan,
+    which at k ~ sqrt(N) = 10^5 centroids explodes the Catalyst tree and
+    evaluates per-row interpreted; here the plan carries only a broadcast
+    handle and each batch costs one (batch x k) float64 matmul.
+
+    Semantics are bit-identical to the literal form / DuckDB oracle:
+    sim = round(dot(v, c) / (|v|*|c|), 6), ties -> smaller cell id (centroid
+    rows are sorted by cell id and argsort is stable).
+
+    nprobe=1 -> (id, v, cell: long); nprobe>1 -> (id, v, cells: array<long>)
+    holding the query's nprobe nearest cells, nearest first.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    order = sorted(centroids, key=lambda t: int(t[0]))
+    cell_ids = np.array([int(c) for c, _ in order], dtype=np.int64)
+    mat = np.array([v for _, v in order], dtype=np.float64)          # (k, d)
+    cnorm = np.sqrt((mat * mat).sum(axis=1))                          # (k,)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((cell_ids, mat, cnorm))
+    n_out = int(nprobe)
+
+    @pandas_udf(LongType() if n_out == 1 else ArrayType(LongType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        ids_, m_, cn_ = bc.value
+        v = np.asarray(vecs.tolist(), dtype=np.float64)               # (n, d)
+        vn = np.sqrt((v * v).sum(axis=1))
+        # same arithmetic shape as functions.vectors.cosine / the oracle:
+        # round(dot / (norm_a * norm_b), 6)
+        sims = np.round((v @ m_.T) / (vn[:, None] * cn_[None, :]), 6)
+        if n_out == 1:
+            # stable argmax over rows sorted by cell id = smaller-id tie-break
+            return pd.Series(ids_[np.argmax(sims, axis=1)])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_out]
+        return pd.Series(list(ids_[top]))
+
+    out_name = "cell" if n_out == 1 else "cells"
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     _assign(F.col(vec_col)).alias(out_name))
+
+
+def ivf_topk_nprobe(corpus_assigned: DataFrame, probes_assigned: DataFrame,
+                    k: int) -> DataFrame:
+    """Approximate top-k searching each query's nprobe nearest cells.
+    `corpus_assigned` = ivf_assign_broadcast(..., nprobe=1) output
+    (id, v, cell); `probes_assigned` = ivf_assign_broadcast(queries,
+    nprobe=p) output (id, v, cells). The probe side explodes its cell list
+    (p small), the corpus side never replicates — candidates are a
+    cell-equi-join, |cell|*p per query instead of N. A neighbor found via
+    two probed cells dedups before ranking.
+    Output: (query_id, neighbor_id, sim, rk)."""
+    q = probes_assigned.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.explode("cells").alias("cell"))
+    c = corpus_assigned.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell")
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
 def ivf_topk(assigned: DataFrame, k: int, query_filter) -> DataFrame:
     """Approximate top-k within each query's IVF cell (nprobe=1): the
     quadratic cross join becomes a cell-equi-join, sized |cell|^2 per cell.
@@ -145,13 +226,56 @@ def ivf_topk(assigned: DataFrame, k: int, query_filter) -> DataFrame:
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """All pairs with cosine >= threshold, id_a < id_b."""
+    """All pairs with cosine >= threshold, id_a < id_b — the EXACT all-pairs
+    form, O(N^2): correctness oracle / test-scale only. The wired default at
+    scale is embedding_near_dup_lsh below (banded bucket join)."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.95,
+                           n_bands: int = 4, band_planes: int = 4,
+                           dim: int = 64,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Scale path for embedding near-dup: banded random-hyperplane LSH
+    bucketing, then EXACT cosine only within buckets. Candidates = pairs
+    sharing at least one band bucket (OR over bands raises recall the same
+    way MinHash banding does); each band join is a shuffle equi-join on
+    (band, bucket) — sub-quadratic, no CartesianProduct in the plan.
+    Planes are the deterministic md5 hyperplanes (band b uses planes
+    b*band_planes .. b*band_planes+band_planes-1), so the DuckDB oracle
+    rebuilds identical buckets. Output: (id_a, id_b, sim), id_a < id_b."""
+    bands = []
+    for b in range(n_bands):
+        sig = sum(
+            F.when(hyperplane_expr(vec_col, b * band_planes + j, dim) > 0,
+                   F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(band_planes)
+        )
+        bands.append(df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            F.lit(b).alias("band"), sig.cast("int").alias("bucket")))
+    sigs = bands[0]
+    for extra in bands[1:]:
+        sigs = sigs.unionByName(extra)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket")
+    b2 = sigs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket")
+    cand = (
+        a.join(b2, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])  # pair may collide in >1 band
+    )
+    return (
+        cand.withColumn("sim", cosine(F.col("va"), F.col("vb")))
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

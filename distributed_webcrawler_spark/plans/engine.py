@@ -81,7 +81,11 @@ def _fetch_decode_fn(store_bytes: bool):
                     status, err = 0, "connection failed"
                 else:
                     status = int(web_status)
-                    err = None if status == 200 else ("I/O error" if status == 0 else f"HTTP {status}")
+                    # status 0 = connection-level failure (BasicCrawler.java:113,129
+                    # maps interrupt/IO exceptions to 0); one canonical message for
+                    # both "known-dead" (join mode) and transport-error (http mode)
+                    # so live-fetch output is byte-identical to join-mode
+                    err = None if status == 200 else ("connection failed" if status == 0 else f"HTTP {status}")
                 by = r.pbytes
                 caption = r.caption if status == 200 else None
                 dw = dh = ph = None
@@ -96,18 +100,39 @@ def _fetch_decode_fn(store_bytes: bool):
                         err = f"decode error: {e}"
                 out.append((
                     r.session_id, int(r.round), int(r.sched_seq), r.url, int(r.url_hash), r.host,
-                    int(r.depth), r.parent_url, status, err, r.image_id, caption,
+                    int(r.depth), r.parent_url, status, err,
+                    # a failed fetch has no payload (oracle sim nulls it too);
+                    # keeps live-http output byte-identical to join mode
+                    r.image_id if status == 200 else None, caption,
                     blob if store_bytes else None,
                     r.fmt if status == 200 else None, len(blob) if blob is not None else None,
                     dw, dh, ph, 0, pid,
                 ))
-            yield pd.DataFrame(out, columns=[
+            yield _typed_pdf(out, [
                 "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth",
                 "parent_url", "status_code", "error_message", "image_id", "caption", "bytes",
                 "fmt", "content_length", "decoded_w", "decoded_h", "phash",
-                "crawl_duration_ms", "partition_id"])
+                "crawl_duration_ms", "partition_id"],
+                int_cols=("round", "sched_seq", "url_hash", "depth", "status_code",
+                          "content_length", "decoded_w", "decoded_h", "phash",
+                          "crawl_duration_ms", "partition_id"))
 
     return _fetch_decode
+
+
+def _typed_pdf(rows: list[tuple], names: list[str], int_cols: tuple) -> pd.DataFrame:
+    """Build a UDF output batch with int columns as pandas nullable Int64.
+
+    NEVER let pandas infer dtypes for integer columns that can hold None:
+    the plain DataFrame(list-of-tuples) constructor coerces int+None to
+    float64 AT CONSTRUCTION, and float64's 53-bit mantissa silently rounds
+    64-bit values — observed as pages rows whose phash differed from the
+    stored payload's in the low ~10 bits whenever a mixed hit/miss Arrow
+    batch reached the decode UDF (caught by the live-http parity test)."""
+    data = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+    return pd.DataFrame({
+        n: (pd.array(v, dtype="Int64") if n in int_cols else v)
+        for n, v in data.items()})
 
 
 def _metrics_schema():
@@ -137,6 +162,8 @@ class CrawlEngine:
             parse_robots_table(robots).cache() if (robots is not None and config.respect_robots) else None
         )
         self.bloom: BloomFilter | None = None
+        self.bloom_shards = None            # ShardedBloomStore (cfg.bloom_shards > 1)
+        self._robots_http_cache: dict = {}  # host -> (allow, disallow); http mode
         self._round_caches: list = []
         self.last_stage_secs: dict[str, float] = {}
 
@@ -177,37 +204,136 @@ class CrawlEngine:
             self._discovered_at(F.lit(0)).alias("discovered_at"),
         )
         self._t("frontier").append(rows)
+        self._set_session_status(session_id, "RUNNING")
         if cfg.use_bloom:
             fr = self._t("frontier").read(self.spark)
-            self.bloom = build_bloom(fr, "url_hash", cfg.bloom_expected_insertions, cfg.bloom_fpp)
+            if cfg.bloom_shards > 1:
+                from ..operators.bloom import ShardedBloomStore
+
+                if self.bloom_shards is None:
+                    self.bloom_shards = ShardedBloomStore.for_capacity(
+                        os.path.join(self.store.warehouse, "bloom_shards"),
+                        cfg.bloom_shards, cfg.bloom_expected_insertions, cfg.bloom_fpp)
+                self.bloom_shards.update(
+                    fr.select("url_hash", self._bloom_shard_col()), "url_hash",
+                    "__shard", version=0)
+            else:
+                self.bloom = build_bloom(fr, "url_hash", cfg.bloom_expected_insertions, cfg.bloom_fpp)
         self._checkpoint(0)
+
+    def _bloom_shard_col(self):
+        return F.pmod(F.col("host_bucket"), F.lit(self.cfg.bloom_shards)) \
+                .cast("int").alias("__shard")
 
     # ------------------------------------------------------------- views
     def pending(self) -> DataFrame:
-        """PENDING = discovered but not finished. Derived latest-wins view
-        over the append-only progress log (the SURVEY §7(d) shape — no
-        Iceberg MERGE status flips). Keys are (session_id, url): the
-        reference scopes every frontier/seen structure per session
+        """PENDING = discovered but not finished. Keys are (session_id, url):
+        the reference scopes every frontier/seen structure per session
         (URLFrontier.java:44-54).
 
-        A URL is finished when it COMPLETED, failed permanently, or
-        exhausted ``max_retries`` transient (status 0) attempts. With the
+        Finished keys live in the COMPACTED append-only `done` table, folded
+        in once per round (see _finalize_round) — so this view is a single
+        anti-join, NOT a re-aggregation of the full progress log: the log
+        grows with crawl age, and re-grouping it made round cost grow with
+        history. A URL is finished when it COMPLETED, failed permanently, or
+        exhausted ``max_retries`` transient (status 0) attempts; with the
         default max_retries=0 every attempt is final — the reference's
-        no-retry behavior (URLFrontier.java:198-202)."""
+        no-retry behavior (URLFrontier.java:198-202).
+
+        Sessions whose latest control status is PAUSED or STOPPED are
+        excluded from scheduling (CrawlerManager.java:128-137)."""
         fr = self._t("frontier").read(self.spark)
-        pg = self._t("progress").read(self.spark)
-        if pg is None:
+        inactive = self._inactive_sessions()
+        if inactive:
+            fr = fr.where(~F.col("session_id").isin(sorted(inactive)))
+        done = self._t("done").read(self.spark)
+        if done is None:
             return fr
-        done = (
-            pg.groupBy("session_id", "url")
-            .agg(F.count("*").alias("attempts"),
-                 F.max(F.when(F.col("status") == "COMPLETED", 1).otherwise(0)).alias("completed"),
-                 F.max(F.when(~F.col("retryable"), 1).otherwise(0)).alias("permanent_fail"))
-            .where((F.col("completed") == 1) | (F.col("permanent_fail") == 1)
-                   | (F.col("attempts") > self.cfg.max_retries))
-            .select("session_id", "url")
-        )
-        return fr.join(done, ["session_id", "url"], "left_anti")
+        # shuffle-hash like the seen anti-join: done grows with the crawl;
+        # auto-broadcast would eventually stall the driver
+        return fr.join(done.hint("shuffle_hash"), ["session_id", "url"], "left_anti")
+
+    def _finalize_round(self, progress_snap: int) -> None:
+        """Fold this round's finished (session_id, url) keys into the
+        compacted `done` table, reading back the progress snapshot the
+        round JUST wrote (a pruned parquet scan — never recomputes the
+        producing plan). Retry bookkeeping (max_retries > 0) keeps a small
+        `retry_log` of still-retryable keys; with the default
+        max_retries=0 every attempt finalizes immediately."""
+        cfg = self.cfg
+        this_round = self._t("progress").read_snapshot(self.spark, progress_snap)
+        if cfg.max_retries <= 0:
+            done_new = this_round.select("session_id", "url")
+        else:
+            is_retry = (F.col("status") == "FAILED") & F.col("retryable")
+            final_now = this_round.where(~is_retry).select("session_id", "url")
+            retry = this_round.where(is_retry).select("session_id", "url")
+            rl = self._t("retry_log").read(self.spark)
+            if rl is not None:
+                prior = rl.groupBy("session_id", "url").agg(F.max("attempts").alias("prior"))
+                retry = (retry.join(prior, ["session_id", "url"], "left")
+                         .withColumn("attempts", F.coalesce(F.col("prior"), F.lit(0)) + 1)
+                         .drop("prior"))
+            else:
+                retry = retry.withColumn("attempts", F.lit(1))
+            retry = retry.cache()
+            self._round_caches.append(retry)
+            exhausted = (retry.where(F.col("attempts") > cfg.max_retries)
+                         .select("session_id", "url"))
+            self._t("retry_log").append_counted(
+                retry.where(F.col("attempts") <= cfg.max_retries)
+                     .select("session_id", "url", "attempts"), skip_empty=True)
+            done_new = final_now.unionByName(exhausted)
+        self._t("done").append_counted(done_new, skip_empty=True)
+
+    # --------------------------------------------------- session control
+    def _session_control_schema(self):
+        import pyarrow as pa
+
+        return pa.schema([
+            pa.field("session_id", pa.string()), pa.field("status", pa.string()),
+            pa.field("seq", pa.int64()),
+        ])
+
+    def _set_session_status(self, session_id: str, status: str) -> None:
+        tbl = self._t("sessions")
+        seq = tbl.total_rows() or 0
+        tbl.append_rows([{"session_id": session_id, "status": status, "seq": seq}],
+                        self._session_control_schema())
+
+    def stop_session(self, session_id: str | None = None) -> None:
+        """Mark the session STOPPED (CrawlerManager.java:128-137): it is
+        excluded from scheduling at the NEXT round boundary — the round in
+        flight (if any) commits normally, matching the reference where
+        in-flight jobs finish but no new work is claimed."""
+        self._set_session_status(session_id or self.cfg.session_id, "STOPPED")
+
+    def pause_session(self, session_id: str | None = None) -> None:
+        """Exclude the session from scheduling until resume_session."""
+        self._set_session_status(session_id or self.cfg.session_id, "PAUSED")
+
+    def resume_session(self, session_id: str | None = None) -> None:
+        """Re-activate a PAUSED (or STOPPED) session."""
+        self._set_session_status(session_id or self.cfg.session_id, "RUNNING")
+
+    def _inactive_sessions(self) -> set[str]:
+        """Latest-wins control state per session, read driver-side (the
+        control table is a handful of rows — no Spark job)."""
+        import pyarrow.parquet as pq
+
+        tbl = self._t("sessions")
+        snaps = tbl._read_manifest()
+        if not snaps:
+            return set()
+        latest: dict[str, tuple[int, str]] = {}
+        for s in snaps:
+            t = pq.read_table(os.path.join(tbl.path, s),
+                              columns=["session_id", "status", "seq"])
+            for sid, st, seq in zip(t["session_id"].to_pylist(),
+                                    t["status"].to_pylist(), t["seq"].to_pylist()):
+                if sid not in latest or seq >= latest[sid][0]:
+                    latest[sid] = (seq, st)
+        return {sid for sid, (_, st) in latest.items() if st in ("PAUSED", "STOPPED")}
 
     # ------------------------------------------------------------- rounds
     def _schedule(self, pending: DataFrame, rnd: int) -> tuple[DataFrame, int]:
@@ -233,8 +359,12 @@ class CrawlEngine:
                     pending, ["session_id", "host"], order, cfg.budget_per_host_per_round,
                     n_salts=cfg.hot_host_salts, salt_source="url").drop("rk")
             if cfg.max_pages is not None:
-                pg = self._t("progress").read(self.spark)
-                attempted = pg.count() if pg is not None else 0
+                # one progress row per attempt -> the manifest's footer-based
+                # row total IS the attempted count (no per-round count() job)
+                attempted = self._t("progress").total_rows()
+                if attempted is None:  # legacy manifest without row stats
+                    pg = self._t("progress").read(self.spark)
+                    attempted = pg.count() if pg is not None else 0
                 remaining = max(cfg.max_pages - attempted, 0)
                 sched = topk.global_topk(sched, order, remaining)
         # cache the ranked survivors: global_row_number's range partitioner
@@ -254,9 +384,38 @@ class CrawlEngine:
         return sched.withColumn("round", F.lit(rnd)), meta["total"]
 
     def _gate_robots(self, sched: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        if cfg.respect_robots and cfg.fetch_mode == "http" and self.robots_rules is None:
+            return self._gate_robots_http(sched)
         if self.robots_rules is None:
             return sched.withColumn("robots_allowed", F.lit(True))
         return gate_by_robots(sched, self.robots_rules, U.url_path(F.col("url")))
+
+    def _gate_robots_http(self, sched: DataFrame) -> DataFrame:
+        """Live robots (S6, BasicCrawler.java:203-217): fetch robots.txt for
+        hosts not yet cached — a mapInPandas over the round's DISTINCT hosts
+        (dimension-sized, never the frontier), 5s timeout, any error ->
+        allow-all. Parsed (allow, disallow) rules are cached across rounds
+        (the reference caches per-worker, BasicCrawler.java:41, 189-195);
+        the per-round gate is the same broadcast join as table mode."""
+        from ..functions.robots_fn import parse_robots
+        from ..sources.httpfetch import fetch_robots_fn
+
+        hosts = [r.host for r in sched.select("host").distinct().collect()]
+        new = [h for h in hosts if h not in self._robots_http_cache]
+        if new:
+            hosts_df = self.spark.createDataFrame([(h,) for h in new], "host string")
+            fetched = hosts_df.mapInPandas(
+                fetch_robots_fn(self.cfg.http_rewrite_base),
+                "host string, robots_txt string").collect()
+            for r in fetched:
+                self._robots_http_cache[r.host] = parse_robots(r.robots_txt)
+        rules = [(h, a, d) for h, (a, d) in self._robots_http_cache.items() if a or d]
+        if not rules:
+            return sched.withColumn("robots_allowed", F.lit(True))
+        rules_df = self.spark.createDataFrame(
+            rules, "host string, allow array<string>, disallow array<string>")
+        return gate_by_robots(sched, rules_df, U.url_path(F.col("url")))
 
     def _fetch(self, allowed: DataFrame) -> DataFrame:
         """J4: the fetch equi-join against web_graph, SLIM (no payload bytes).
@@ -284,6 +443,8 @@ class CrawlEngine:
         is salted there (topk_per_group_salted). AQE skew-join stays on as
         the backstop.
         """
+        if self.cfg.fetch_mode == "http":
+            return self._fetch_http(allowed)
         wg = self.web_graph.select(
             F.col("url"), F.col("out_links"), F.col("image_id"),
             F.col("status_code").alias("web_status"))
@@ -301,6 +462,112 @@ class CrawlEngine:
         )
         return hit.unionByName(miss)
 
+    def _fetch_http(self, allowed: DataFrame) -> DataFrame:
+        """S5 live mode (BasicCrawler.java:77-81): concurrent GETs inside
+        Arrow batches (thread pool per task — sources/httpfetch.py), HTML
+        anchor extraction in the worker. Emits the SAME columns as the join
+        fetch (web_status, out_links, image_id), so everything downstream —
+        decode, expand, progress — is identical between modes; page bytes
+        never leave the worker (only hrefs + the image reference do)."""
+        from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+
+        from ..sources.httpfetch import http_fetch_fn
+
+        schema = StructType(list(allowed.schema.fields) + [
+            StructField("web_status", IntegerType()),
+            StructField("out_links", ArrayType(StringType())),
+            StructField("image_id", StringType()),
+        ])
+        return allowed.mapInPandas(
+            http_fetch_fn(self.cfg.http_rewrite_base,
+                          pool=self.cfg.http_pool_per_task,
+                          user_agent=self.cfg.user_agent), schema=schema)
+
+    def _decode_pages_dedup(self, fetched: DataFrame) -> DataFrame:
+        """S5/C7, blob-reference mode (store_page_bytes=False): decode each
+        DISTINCT payload exactly once, then join metadata-width stats back
+        to the scheduled rows.
+
+        Why this is the scale plan: the naive join attaches the blob to
+        every scheduled row BEFORE decode, so each payload's bytes fan out
+        once per referencing URL — join output, Arrow serialization, and
+        worker transfer all carry #urls x blob_size. Measured on this box
+        (12M-url fixture, tools/diag_round.py): the decode stage burned
+        211 JVM-CPU-s at local[16] but 898 at local[32] — pure memory-bus
+        saturation from blob memcpy, the single biggest anti-scaling term
+        in the round. Here bytes NEVER fan out and never shuffle: the
+        payload table is semi-join-pruned to the round's distinct
+        image_ids (ids broadcast — bounded by the politeness budget),
+        decoded in place on its own scan partitions, and only (image_id,
+        w, h, phash, caption, fmt, len, err) rows — a few hundred bits
+        each — travel to the stats join (AQE broadcasts them when small).
+        Row assembly is pure Column exprs: no per-row Python anywhere.
+        """
+        cfg = self.cfg
+        slim = fetched.select(
+            "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth",
+            "parent_url", "web_status",
+            # a failed fetch has no payload (oracle sim nulls it too); nulling
+            # BEFORE the stats join makes non-200 rows miss it for free
+            F.when(F.col("web_status") == 200, F.col("image_id")).alias("image_id"))
+        ids = slim.where(F.col("image_id").isNotNull()).select("image_id").distinct()
+        pay = self.payloads.select(
+            "image_id", F.col("bytes").alias("pbytes"), "caption", "fmt")
+        if cfg.fetch_join_strategy == "shuffle":
+            # drain regime: distinct ids can be frontier-sized — shuffle-hash
+            # semi join (blobs shuffle ONCE per distinct image, never per URL)
+            to_decode = pay.join(ids.hint("shuffle_hash"), "image_id", "left_semi")
+        else:
+            to_decode = pay.join(F.broadcast(ids), "image_id", "left_semi")
+
+        def _decode_unique(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for iid, by, cap, fmt in zip(pdf.image_id, pdf.pbytes, pdf.caption, pdf.fmt):
+                    blob = bytes(by) if by is not None else None
+                    dw = dh = ph = None
+                    derr = None
+                    if blob is not None:
+                        try:
+                            px, _fmt = codec.decode_image(blob)
+                            dh, dw = px.shape[0], px.shape[1]
+                            ph = codec.phash64(px)
+                        except codec.CodecError as e:
+                            derr = f"decode error: {e}"
+                    rows.append((iid, cap, fmt,
+                                 len(blob) if blob is not None else None,
+                                 dw, dh, ph, derr))
+                yield _typed_pdf(rows, [
+                    "image_id", "pcaption", "pfmt", "plen", "dw", "dh", "dphash", "derr"],
+                    int_cols=("plen", "dw", "dh", "dphash"))
+
+        stats = to_decode.mapInPandas(_decode_unique, schema=(
+            "image_id string, pcaption string, pfmt string, plen long, "
+            "dw int, dh int, dphash long, derr string"))
+        joined = slim.join(stats, "image_id", "left")
+        st = F.coalesce(F.col("web_status"), F.lit(0)).cast("int")
+        return joined.select(
+            F.col("session_id"), F.col("round").cast("int").alias("round"),
+            F.col("sched_seq").cast("int").alias("sched_seq"), F.col("url"),
+            F.col("url_hash").cast("long").alias("url_hash"), F.col("host"),
+            F.col("depth").cast("int").alias("depth"), F.col("parent_url"),
+            st.alias("status_code"),
+            F.when(st == 200, F.col("derr"))
+             .otherwise(F.when(st == 0, F.lit("connection failed"))
+                        .otherwise(F.concat(F.lit("HTTP "), st.cast("string"))))
+             .alias("error_message"),
+            F.col("image_id"),
+            F.when(st == 200, F.col("pcaption")).alias("caption"),
+            F.lit(None).cast("binary").alias("bytes"),
+            F.when(st == 200, F.col("pfmt")).alias("fmt"),
+            F.col("plen").cast("long").alias("content_length"),
+            F.col("dw").cast("int").alias("decoded_w"),
+            F.col("dh").cast("int").alias("decoded_h"),
+            F.col("dphash").cast("long").alias("phash"),
+            F.lit(0).cast("long").alias("crawl_duration_ms"),
+            F.spark_partition_id().alias("partition_id"),
+        )
+
     def _decode_pages(self, fetched: DataFrame) -> DataFrame:
         """S5/C7: attach payload bytes and decode in Arrow batches.
 
@@ -314,6 +581,10 @@ class CrawlEngine:
         sizes it). Scheduled rows with no payload (dead link / no image)
         come back through the miss branch as status-coded page rows; the
         miss anti-join re-reads only the pruned image_id column."""
+        if not self.cfg.store_page_bytes:
+            # blob-reference mode: decode distinct payloads once, join stats
+            # (bytes never fan out per URL — see _decode_pages_dedup)
+            return self._decode_pages_dedup(fetched)
         pay = self.payloads.select(
             "image_id", F.col("bytes").alias("pbytes"), F.col("caption"), F.col("fmt"))
         slim = fetched.select(
@@ -385,9 +656,19 @@ class CrawlEngine:
         # the threshold anyway, so pin the scalable plan now
         seen = (self._t("frontier").read(self.spark)
                 .select("session_id", "url").hint("shuffle_hash"))
-        if cfg.use_bloom and self.bloom is not None:
+        tagged = None
+        if cfg.use_bloom and self.bloom_shards is not None:
+            # sharded prefilter (10^10 tier): each task consults only the
+            # shard files its rows reference (worker-local lazy load)
+            maybe_s = self.bloom_shards.prefilter_udf()
+            tagged = cand.withColumn(
+                "__maybe_seen",
+                maybe_s(F.col("url_hash"),
+                        F.pmod(F.col("host_bucket"), F.lit(cfg.bloom_shards)).cast("int"))).cache()
+        elif cfg.use_bloom and self.bloom is not None:
             maybe = bloom_prefilter_udf(self.bloom)
             tagged = cand.withColumn("__maybe_seen", maybe(F.col("url_hash"))).cache()
+        if tagged is not None:
             self._round_caches.append(tagged)  # unpersisted at end of round
             definitely_new = tagged.where(~F.col("__maybe_seen")).drop("__maybe_seen")
             needs_check = tagged.where(F.col("__maybe_seen")).drop("__maybe_seen")
@@ -462,7 +743,15 @@ class CrawlEngine:
         fsnap, n_new = self._t("frontier").append_counted(
             new_rows.select(*self._frontier_row_cols()), skip_empty=True)
         mark("expand_frontier")
-        if n_new > 0 and cfg.use_bloom and self.bloom is not None:
+        if n_new > 0 and cfg.use_bloom and self.bloom_shards is not None:
+            # executor-side sharded update from the parquet the append JUST
+            # wrote: group tasks fold their shard's hashes and commit
+            # versioned blob files — the driver never holds filter bits
+            self.bloom_shards.update(
+                self._t("frontier").read_snapshot(self.spark, fsnap)
+                    .select("url_hash", self._bloom_shard_col()),
+                "url_hash", "__shard", version=rnd)
+        elif n_new > 0 and cfg.use_bloom and self.bloom is not None:
             # feed the bloom from the parquet the append JUST wrote —
             # a driver-side pyarrow column read, no Spark collect job
             self.bloom.add_many(self._t("frontier").read_column_local(fsnap, "url_hash"))
@@ -482,7 +771,8 @@ class CrawlEngine:
             "session_id", "url", F.col("round"),
             F.lit("FAILED").alias("status"), F.lit(False).alias("retryable"),
             F.lit("driver").alias("assigned_to")))
-        self._t("progress").append(progress)
+        psnap = self._t("progress").append(progress)
+        self._finalize_round(psnap)
         mark("progress_append")
 
         wall = time.monotonic() - t0
@@ -517,13 +807,21 @@ class CrawlEngine:
 
     # --------------------------------------------------------- checkpoints
     def _checkpoint(self, rnd: int) -> None:
-        tables = {n: self._t(n).snapshot_id() for n in ("frontier", "progress", "pages", "metrics")}
+        tables = {n: self._t(n).snapshot_id()
+                  for n in ("frontier", "progress", "pages", "metrics",
+                            "done", "retry_log", "sessions")}
         bloom_file = None
         if self.bloom is not None:
             bloom_file = f"bloom-r{rnd:05d}.bin"
             with open(os.path.join(self.store.warehouse, bloom_file), "wb") as f:
                 f.write(self.bloom.to_bytes())
-        self.store.write_checkpoint({"round": rnd, "tables": tables, "bloom": bloom_file})
+        ckpt = {"round": rnd, "tables": tables, "bloom": bloom_file}
+        if self.bloom_shards is not None:
+            # the shard manifest is a small {shard: version} dict — blob
+            # files themselves are already durable (versioned, os.replace'd)
+            ckpt["bloom_shard_versions"] = {
+                str(k): v for k, v in self.bloom_shards.versions.items()}
+        self.store.write_checkpoint(ckpt)
 
     def resume(self) -> list[dict]:
         """Exact resume: roll every table back to the last durable checkpoint
@@ -534,7 +832,17 @@ class CrawlEngine:
         if ckpt is None:
             raise RuntimeError("no checkpoint to resume from")
         self.store.rollback_to_checkpoint(ckpt)
-        if ckpt.get("bloom"):
+        if ckpt.get("bloom_shard_versions") is not None:
+            from ..operators.bloom import ShardedBloomStore
+
+            proto = BloomFilter.for_capacity(
+                max(self.cfg.bloom_expected_insertions // self.cfg.bloom_shards, 1),
+                self.cfg.bloom_fpp)
+            self.bloom_shards = ShardedBloomStore(
+                os.path.join(self.store.warehouse, "bloom_shards"),
+                self.cfg.bloom_shards, proto.n_bits, proto.n_hashes,
+                versions={int(k): v for k, v in ckpt["bloom_shard_versions"].items()})
+        elif ckpt.get("bloom"):
             with open(os.path.join(self.store.warehouse, ckpt["bloom"]), "rb") as f:
                 self.bloom = BloomFilter.from_bytes(f.read())
         elif self.cfg.use_bloom:

@@ -131,7 +131,10 @@ class Table:
 
         snaps = self._read_manifest()
         snap_dir = os.path.join(self.path, snaps[snapshot_id - 1])
-        return pq.read_table(snap_dir, columns=[column])[column].to_numpy()
+        col = pq.read_table(snap_dir, columns=[column])[column]
+        # drop nulls BEFORE to_numpy: a null in an int64 column makes pyarrow
+        # emit float64 + NaN, which a later astype(uint64) turns into garbage
+        return col.combine_chunks().drop_null().to_numpy()
 
     # -- metadata ----------------------------------------------------------
     def total_rows(self) -> int | None:

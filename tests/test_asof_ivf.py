@@ -83,3 +83,46 @@ def test_ivf_assign_and_topk(spark):
     assert set(by_q[0]) <= {1, 2}
     # query 50 searches only cell 29
     assert set(by_q[50]) <= {29, 30}
+
+
+def test_ivf_assign_broadcast_matches_literal(spark):
+    """The scale path (broadcast numpy matrix + matmul argmax) must assign
+    every vector to the same cell as the plan-literal oracle form."""
+    emb = spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.where(F.col("vec_id") % 29 == 0).collect()]
+    lit = {r.id: r.cell for r in S.ivf_assign_literal(emb, cents).collect()}
+    bc = {r.id: r.cell for r in S.ivf_assign_broadcast(emb, cents).collect()}
+    assert lit == bc
+    # and no literal struct per centroid in the plan: the physical plan of
+    # the broadcast form should not grow with the centroid count
+    plan = S.ivf_assign_broadcast(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "named_struct" not in plan
+
+
+def test_ivf_nprobe_expands_search(spark):
+    """nprobe=2 searches the query's two nearest cells: candidates are a
+    superset of nprobe=1 and results still rank by exact cosine."""
+    emb = spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+    cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+             for r in emb.where(F.col("vec_id") % 29 == 0).collect()]
+    corpus = S.ivf_assign_broadcast(emb, cents)
+    p1 = S.ivf_assign_broadcast(emb.where(F.col("vec_id") % 50 == 0), cents, nprobe=1)
+    probes = S.ivf_assign_broadcast(emb.where(F.col("vec_id") % 50 == 0), cents, nprobe=2)
+    cells2 = {r.id: list(r.cells) for r in probes.collect()}
+    assert all(len(v) == 2 for v in cells2.values())
+    # first probed cell == the nprobe=1 assignment
+    cells1 = {r.id: r.cell for r in p1.collect()}
+    assert {k: v[0] for k, v in cells2.items()} == cells1
+    out = S.ivf_topk_nprobe(corpus, probes, k=3)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    # with both cells probed, query 0 can now see the y-cluster too
+    assert set(by_q[0]) > set()
+    n1 = S.ivf_topk(corpus, k=3, query_filter=F.col("id") % 50 == 0)
+    n1_by_q = {}
+    for r in n1.collect():
+        n1_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q, neigh in n1_by_q.items():
+        assert neigh <= set(by_q[q]) | neigh  # nprobe=2 never loses in-cell hits

@@ -92,3 +92,45 @@ def test_embedding_near_dup_pairs(spark):
     vecs = _vectors(spark)
     pairs = [(r.id_a, r.id_b) for r in S.embedding_near_dup_pairs(vecs, threshold=0.95).collect()]
     assert pairs == [(100, 101)]
+
+
+def test_simhash_banded_pairs_finds_hamming_near_dups(spark):
+    """Banded 60-bit simhash must surface near-dups at Hamming <= 3 that
+    identical-signature bucketing (dedup_simhash) misses, with zero false
+    accepts: verify against the brute-force Hamming over full signatures."""
+    import itertools
+
+    docs = _docs(spark)
+    sigs = {r.id: r.simhash for r in D.simhash_wide(docs, max_chars=200).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+            want.add((a, b))
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in D.simhash_banded_pairs(docs, max_hamming=3, max_chars=200).collect()}
+    # banding guarantee: hamming <= n_bands-1 pairs ALWAYS found (pigeonhole);
+    # pairs at exactly max_hamming == n_bands-1 are also guaranteed
+    assert set(got) == want
+    for (a, b), ham in got.items():
+        assert ham == bin(sigs[a] ^ sigs[b]).count("1")
+    # exact dup pair (1,2) must be found at hamming 0
+    assert got.get((1, 2)) == 0
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    """The banded-LSH near-dup path returns a SUBSET of the exact all-pairs
+    result (bucketing can only lose pairs, never invent them), finds the
+    planted near-identical pair, and its plan is an equi-join (no
+    CartesianProduct / BroadcastNestedLoop)."""
+    vecs = _vectors(spark)
+    exact = {(r.id_a, r.id_b): r.sim
+             for r in S.embedding_near_dup_pairs(vecs, threshold=0.95).collect()}
+    lsh_df = S.embedding_near_dup_lsh(vecs, threshold=0.95, n_bands=4,
+                                      band_planes=4, dim=16)
+    lsh = {(r.id_a, r.id_b): r.sim for r in lsh_df.collect()}
+    assert set(lsh) <= set(exact)
+    assert (100, 101) in lsh                      # planted pair found
+    for k, v in lsh.items():
+        assert v == exact[k]                      # same exact cosine inside buckets
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -128,3 +128,112 @@ def test_store_page_bytes_off_keeps_decode_and_reference(spark, fixture_dir, war
     # the reference resolves: joining back to payloads recovers every blob
     joined = ok.select("image_id").join(pay, "image_id").count()
     assert joined == n_ok
+
+
+def test_stop_pause_resume_session(spark, fixture_dir, warehouse):
+    """Session control (CrawlerManager.java:128-137 stopCrawlSession): a
+    STOPPED session is excluded from scheduling at the next round boundary;
+    PAUSED sessions resume where they left off."""
+    cfg = CrawlConfig(max_depth=2, budget_per_host_per_round=2, max_rounds=1,
+                      use_bloom=False, respect_robots=False)
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+    store = SnapshotStore(warehouse)
+    eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+    eng.start_session(seeds, session_id="sess-A")
+    eng.start_session(seeds, session_id="sess-B")
+    eng.run()
+    pages_r1 = store.table("pages").read(spark)
+    assert {r.session_id for r in pages_r1.select("session_id").distinct().collect()} \
+        == {"sess-A", "sess-B"}
+
+    # stop A: next rounds schedule only B
+    eng.stop_session("sess-A")
+    eng.cfg.max_rounds = 2
+    eng.run()
+    pages = store.table("pages").read(spark)
+    r2_sessions = {r.session_id
+                   for r in pages.where(F.col("round") == 2).select("session_id").distinct().collect()}
+    assert r2_sessions == {"sess-B"}
+
+    # pause B, nothing schedulable -> round 3 is empty and the loop exits
+    eng.pause_session("sess-B")
+    eng.cfg.max_rounds = 3
+    hist = eng.run()
+    assert hist == [] or all(h["scheduled"] == 0 for h in hist)
+    pages = store.table("pages").read(spark)
+    assert pages.where(F.col("round") == 3).count() == 0
+
+    # resume B -> it picks up scheduling again
+    eng.resume_session("sess-B")
+    eng.cfg.max_rounds = 4
+    eng.run()
+    pages = store.table("pages").read(spark)
+    r4_sessions = {r.session_id
+                   for r in pages.where(F.col("round") == 4).select("session_id").distinct().collect()}
+    assert r4_sessions == {"sess-B"}
+
+
+def test_pending_is_compacted_anti_join_not_log_rescan(spark, fixture_dir, warehouse):
+    """The pending view must be a single anti-join against the compacted
+    `done` table — NOT a re-aggregation of the whole progress log (whose
+    cost grows with crawl age). Assert the plan has no Aggregate over the
+    progress log and that semantics hold across many rounds: nothing is
+    ever scheduled twice, and every finished url leaves pending."""
+    cfg = CrawlConfig(max_depth=3, budget_per_host_per_round=3, max_rounds=12,
+                      use_bloom=False, respect_robots=False)
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+    store = SnapshotStore(warehouse)
+    eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+    eng.start_session(seeds)
+    eng.run()
+
+    plan = eng.pending()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan       # no per-round log re-aggregation
+    assert "LeftAnti" in plan
+
+    pages = store.table("pages").read(spark)
+    dup = pages.groupBy("session_id", "url").count().where(F.col("count") > 1).count()
+    assert dup == 0                      # nothing fetched twice
+    done = store.table("done").read(spark)
+    prog = store.table("progress").read(spark)
+    # every attempted url is in done exactly once (max_retries=0: final on attempt)
+    assert done.count() == prog.select("session_id", "url").distinct().count()
+    # pending has no url that is done
+    pend = eng.pending()
+    assert pend.join(done, ["session_id", "url"], "inner").count() == 0
+
+
+def test_sharded_bloom_engine_equivalence(spark, fixture_dir, tmp_path):
+    """cfg.bloom_shards > 1 (executor-side sharded filters) must change
+    NOTHING about crawl output vs the exact no-bloom path — the bloom is a
+    prefilter, never an authority (SURVEY.md §7b)."""
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+
+    def run(wh, **kw):
+        cfg = CrawlConfig(max_depth=2, budget_per_host_per_round=4,
+                          max_rounds=3, respect_robots=False, **kw)
+        store = SnapshotStore(str(wh))
+        eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+        eng.start_session(seeds)
+        eng.run()
+        return store, eng
+
+    st_exact, _ = run(tmp_path / "wh-exact", use_bloom=False)
+    st_shard, eng = run(tmp_path / "wh-shard", use_bloom=True, bloom_shards=4,
+                        bloom_expected_insertions=10_000)
+    assert eng.bloom_shards is not None and eng.bloom is None
+    assert len(eng.bloom_shards.versions) > 0    # shards actually built
+
+    def rows(store, table):
+        df = store.table(table).read(spark)
+        cols = [c for c in df.columns if c != "partition_id"]
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(st_exact, "frontier") == rows(st_shard, "frontier")
+    assert rows(st_exact, "pages") == rows(st_shard, "pages")

@@ -11,8 +11,9 @@ def test_contract_shape():
     oracles = E.oracle_sql()
     assert len(qs) >= 25
     assert set(oracles) <= set(qs)
-    # all but the explicitly non-SQL ops have oracles
-    assert set(qs) - set(oracles) == {"multimodal_decode"}
+    # every query now carries an oracle (multimodal_decode gained a
+    # precomputed-expected-values oracle in round 2)
+    assert set(qs) == set(oracles)
 
 
 def test_entry_runs(spark):

@@ -125,6 +125,14 @@ warm_eng = CrawlEngine(spark, SnapshotStore(wh_warm), warm_cfg, wg, pay, rob)
 warm_eng.start_session(seeds.limit(4000))
 warm_eng.run()
 shutil.rmtree(wh_warm, ignore_errors=True)
+# spawn ALL N python UDF workers before the timed round: the tiny warm-up
+# round runs only a handful of concurrent tasks, so the first wide Python
+# stage of the timed round was paying 32x worker fork+import (~10-20s of
+# near-zero-CPU wall, visible as stages with cpu_s ~ 0 in diag_round).
+# Steady-state crawls reuse workers, so spawn cost is not throughput.
+(spark.range(cpus * 2000).repartition(cpus)
+      .mapInPandas(lambda it: it, "id long")
+      .write.format("noop").mode("overwrite").save())
 
 wh = tempfile.mkdtemp(dir=scratch, prefix=f"dws-scale-{{cpus}}-")
 store = SnapshotStore(wh)
@@ -156,6 +164,12 @@ print("RESULT " + json.dumps({{"cpus": cpus, "fetched": fetched,
 
 
 def _gen_fixture(fix: str, n_urls: int, n_seeds: int, decode_rows: int) -> None:
+    # images ~ n_urls/10: a real crawl's images are near-unique per URL, so
+    # the round's decode work must scale with fetched URLs. (The old 20k-image
+    # pool made 3.6M fetches share 20k payloads — after the distinct-payload
+    # decode optimization that would leave the benchmark decoding almost
+    # nothing, flattering throughput dishonestly.)
+    n_images = max(20_000, n_urls // 10)
     code = (
         "import sys; sys.path.insert(0, {repo!r})\n"
         "from pyspark.sql import functions as F\n"
@@ -163,7 +177,7 @@ def _gen_fixture(fix: str, n_urls: int, n_seeds: int, decode_rows: int) -> None:
         "from distributed_webcrawler_spark.sources import datagen\n"
         "spark = get_spark(cpus=32, app_name='dws-scaling-gen')\n"
         "datagen.write_fixture(spark, {fix!r}, n_urls={n}, n_hosts=400,"
-        " n_images=20000, n_seeds={s}, max_out_degree=6)\n"
+        " n_images={ni}, n_seeds={s}, max_out_degree=6)\n"
         # decode-core input: payload pool replicated to ~decode_rows rows,
         # written ONCE with a fixed file count shared by every level
         "pay = spark.read.parquet({fix!r} + '/payloads')\n"
@@ -173,7 +187,8 @@ def _gen_fixture(fix: str, n_urls: int, n_seeds: int, decode_rows: int) -> None:
         "          .withColumn('image_id', F.concat('image_id', F.lit('#'), F.col('r')))\n"
         "          .repartition({files}))\n"
         "rep.write.mode('overwrite').parquet({fix!r} + '/decode_input')\n"
-    ).format(repo=REPO, fix=fix, n=n_urls, s=n_seeds, d=decode_rows, files=DECODE_FILES)
+    ).format(repo=REPO, fix=fix, n=n_urls, ni=n_images, s=n_seeds,
+             d=decode_rows, files=DECODE_FILES)
     subprocess.run([sys.executable, "-c", code], check=True)
 
 
@@ -218,6 +233,15 @@ def main() -> None:
             t0 = time.monotonic()
             _gen_fixture(fix, n_urls, n_seeds, decode_rows)
             print(f"fixture done in {time.monotonic()-t0:.0f}s", flush=True)
+
+        # host silicon probe (pure userspace, no JVM): per-task CPU
+        # inflation at width 8/16/32 — the floor any single-box scaling
+        # number sits on. Run FIRST so it shares the measurement window.
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        import cpuprobe as _cpuprobe
+
+        host_probe = _cpuprobe.probe()
+        print("host probe:", json.dumps(host_probe), flush=True)
 
         # best of k, INTERLEAVED across levels (attempt 1 of every level,
         # then attempt 2 of every level, ...): the sandbox host's throughput
@@ -278,6 +302,7 @@ def main() -> None:
                                   for lo, hi in pairs},
             "raw_attempt_walls": {str(c): [round(a["wall"], 2) for a in all_attempts[c]]
                                   for c in levels},
+            "host_probe": host_probe,
         }
         # headline: the best ATTEMPT-CONSISTENT x4 window — every pair and
         # every raw wall is reported alongside, so the choice is visible.
@@ -310,6 +335,13 @@ def main() -> None:
             + ", ".join(f"{a['wall']:.1f}" for a in all_attempts[c])
             for c in levels)
 
+        probe_rows = "\n".join(
+            f"| {w} | {host_probe['int']['avg_task_s'][w]} | "
+            f"{host_probe['int']['inflation'][w]}x | "
+            f"{host_probe['zlib']['avg_task_s'][w]} | "
+            f"{host_probe['zlib']['inflation'][w]}x |"
+            for w in sorted(host_probe["int"]["avg_task_s"]))
+
         md = f"""# BENCH — measured throughput + N->4N scaling evidence
 
 Produced by `python tools/bench_scaling.py {n_urls} {n_seeds} {decode_rows}`.
@@ -319,7 +351,8 @@ Arrow-batched image decode, parquet appends + bloom update; pages
 reference payload blobs by image_id — inlining a second copy of every
 blob would duplicate the payload store at the 10^10 tier) over an
 identical pre-generated fixture ({n_urls:,} urls, 400 hosts Zipf-skewed,
-20,000 image payloads, {n_seeds:,}-url seeded frontier). Fresh JVM per
+{max(20_000, n_urls // 10):,} image payloads (~1 per 10 urls — decode
+work scales with fetched URLs), {n_seeds:,}-url seeded frontier). Fresh JVM per
 run, `taskset`-pinned to exactly N cores, attempts interleaved across
 levels, best of {attempts_n}; session bootstrap and fixture generation
 excluded from timing. Decode-core: scan of a pre-materialized
@@ -370,15 +403,28 @@ shuffle block; pread scales, mmap/munmap does not). Together: the same
 local[32] round went 271s -> 144s with kernel time 78% -> 43%. On a real
 cluster these are executor JVM flags; nothing about the query plan changed.
 
-The remaining sandbox/cluster gap is stated, not hidden: all levels share
-ONE memory bus, one page cache, and one /tmp disk (~600-800 MB/s). A real
-4N-executor cluster multiplies those WITH the cores, so single-box
-efficiency at the top level is a lower bound on cluster efficiency for
-shuffle/write-heavy stages. The plan-level properties that matter on a
-real cluster are explicit in the engine: web_graph never shuffles
-(scheduled side broadcast), no shuffle carries pixels, the seen anti-join
-is bloom-prefiltered, the scheduling window is hot-host-salted, and the
-global sequence is computed without a single-partition sort.
+The remaining sandbox/cluster gap is stated, not hidden — and MEASURED,
+not asserted. A pure-userspace probe (tools/cpuprobe.py, no JVM/Spark:
+cache-resident int math + 1MB zlib loops) run in the same window shows
+how much per-task CPU inflates as width grows on this box with identical
+per-task work:
+
+| width | int avg task (s) | int inflation | zlib avg task (s) | zlib inflation |
+|---|---|---|---|---|
+{probe_rows}
+
+That inflation (hypervisor steal + ONE shared memory bus + one page
+cache) is the floor any single-box N->4N measurement sits on: a real
+4N-executor cluster multiplies bus/cache/hypervisor slots WITH the
+cores, so single-box efficiency at the top level is a lower bound on
+cluster efficiency. The plan-level properties that matter on a real
+cluster are explicit in the engine: web_graph never shuffles (scheduled
+side broadcast), payload blobs never fan out per URL (distinct-payload
+decode + metadata-width stats join — the blob-per-row join was measured
+at 211 JVM-CPU-s @16 cores vs 898 @32 for identical work, pure
+memory-bus burn, and is gone), the seen anti-join is bloom-prefiltered,
+the scheduling window is hot-host-salted, and the global sequence is
+computed without a single-partition sort.
 
 Scale honesty rule (BASELINE.md): the 10^10-URL tier is addressed by this
 design, not extrapolated from single-box numbers.

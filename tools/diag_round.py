@@ -137,6 +137,10 @@ def main() -> None:
     warm.start_session(seeds.limit(4000))
     warm.run()
     shutil.rmtree(wh_warm, ignore_errors=True)
+    # pre-spawn all N python UDF workers (see bench_scaling.py RUNNER)
+    (spark.range(cpus * 2000).repartition(cpus)
+          .mapInPandas(lambda it: it, "id long")
+          .write.format("noop").mode("overwrite").save())
 
     wh = tempfile.mkdtemp(dir=scratch, prefix=f"dws-diag-{cpus}-")
     eng = CrawlEngine(spark, SnapshotStore(wh), cfg, wg, pay, rob)
@@ -207,19 +211,27 @@ def _print_stage_timeline(spark, evdir: str, cpus: int,
                 continue
             if comp / 1000.0 < t0 or sub / 1000.0 > t1:
                 continue
-            task_ms = 0
+            task_ms = cpu_ms = spill_mb = gc_ms = 0
             for acc in si.get("Accumulables", []):
-                if acc.get("Name") == "internal.metrics.executorRunTime":
+                nm = acc.get("Name")
+                if nm == "internal.metrics.executorRunTime":
                     task_ms = int(acc.get("Value", 0))
+                elif nm == "internal.metrics.executorCpuTime":
+                    cpu_ms = int(acc.get("Value", 0)) // 1_000_000  # ns -> ms
+                elif nm == "internal.metrics.diskBytesSpilled":
+                    spill_mb = int(acc.get("Value", 0)) >> 20
+                elif nm == "internal.metrics.jvmGCTime":
+                    gc_ms = int(acc.get("Value", 0))
             stages.append({
                 "id": si["Stage ID"], "name": si.get("Name", "")[:48],
                 "sub": sub, "comp": comp, "task_ms": task_ms,
+                "cpu_ms": cpu_ms, "spill_mb": spill_mb, "gc_ms": gc_ms,
                 "n_tasks": si.get("Number of Tasks", 0),
             })
     stages.sort(key=lambda s: s["sub"])
     print(f"\nstage timeline (timed round only; cores={cpus}):")
     print(f"{'stage':>6} {'gap_s':>7} {'wall_s':>7} {'taskT/N_s':>9} "
-          f"{'tasks':>6}  name")
+          f"{'cpu_s':>7} {'gc_s':>5} {'spill_mb':>8} {'tasks':>6}  name")
     prev_end = t0 * 1000
     total_gap = total_wall = 0.0
     for s in stages:
@@ -229,7 +241,8 @@ def _print_stage_timeline(spark, evdir: str, cpus: int,
         total_gap += gap
         total_wall += wall
         print(f"{s['id']:>6} {gap:>7.1f} {wall:>7.1f} {floor:>9.1f} "
-              f"{s['n_tasks']:>6}  {s['name']}")
+              f"{s['cpu_ms']/1000.0:>7.1f} {s['gc_ms']/1000.0:>5.1f} "
+              f"{s['spill_mb']:>8} {s['n_tasks']:>6}  {s['name']}")
         prev_end = max(prev_end, s["comp"])
     print(f"total driver gap {total_gap:.1f}s, stage wall {total_wall:.1f}s, "
           f"round {(t1 - t0):.1f}s")
