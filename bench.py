@@ -34,7 +34,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash64",
+    "dedup_embedding_cosine",
     "ann_brute_topk",
+    "ann_ivf_topk",
     "text_quality",
     "text_token_stats",
     "multimodal_decode",

@@ -316,8 +316,12 @@ def main() -> None:
             for e in attempt_effs(lo, hi):
                 if e > head_eff:
                     head, head_eff = (lo, hi), e
-        scaling["efficiency_n_to_4n"] = head_eff
-        scaling["headline_pair"] = f"local[{head[0]}]->local[{head[1]}]"
+        if head is not None:
+            scaling["efficiency_n_to_4n"] = head_eff
+            scaling["headline_pair"] = f"local[{head[0]}]->local[{head[1]}]"
+        else:  # single-level smoke run: no pair to rate
+            scaling["efficiency_n_to_4n"] = None
+            scaling["headline_pair"] = None
 
         def row(c: int) -> str:
             r = results[c]
