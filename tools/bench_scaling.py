@@ -76,19 +76,23 @@ mem_gb = min(12 + 3 * cpus, 64)
 # coalesces the small levels' tiny partitions at runtime. Sizing it to
 # 2xcores would hand each level a different plan and confound the ratio.
 #
-# JVM flags (kernel-stack-sampled on this box, tools/diag_round.py):
-# G1's dynamic heap was 78% SYSTEM time at local[32] — every uncommit/
-# recommit cycle madvises and re-faults pages under the process-wide
-# mmap_lock, which 32 mutator+GC threads then serialize on. A fixed
-# (Xms=Xmx) pre-touched ParallelGC heap faults pages exactly once, at
-# startup, outside the timed round: 271s -> 200s. Raising
-# spark.storage.memoryMapThreshold (session.py default now) removed the
-# remaining per-shuffle-block mmap/munmap churn: 200s -> 144s.
+# JVM flags (kernel-stack-sampled + per-stage gc_s from the event log,
+# tools/diag_round.py):
+# - The heap must be FIXED and PRE-TOUCHED (Xms=Xmx + AlwaysPreTouch):
+#   a dynamic heap's uncommit/recommit cycle madvises and re-faults pages
+#   under the process-wide mmap_lock, which 32 mutator+GC threads
+#   serialize on (was 78% system time at local[32]).
+# - GC must be G1 (or ParallelGC with a very large -Xmn): stock
+#   ParallelGC's small young gen collapsed under 32 allocating tasks —
+#   per-stage jvmGCTime showed up to 107s of GC inside single expand
+#   stages at local[32] (vs ~1s at 16); with a pinned heap G1 never
+#   uncommits, so round-1's objection to G1 no longer applies. Measured:
+#   expand_frontier 73s -> 14s at local[32] on the same fixture.
 spark = get_spark(cpus=cpus, app_name=f"dws-scaling-{{cpus}}", shuffle_partitions=64,
                   extra_conf={{"spark.local.dir": tempfile.mkdtemp(dir=scratch, prefix="sparklocal-"),
                                "spark.driver.memory": f"{{mem_gb}}g",
                                "spark.driver.extraJavaOptions":
-                                   f"-XX:+UseParallelGC -Xms{{mem_gb}}g -XX:+AlwaysPreTouch"}})
+                                   f"-XX:+UseG1GC -Xms{{mem_gb}}g -XX:+AlwaysPreTouch"}})
 wg = spark.read.parquet(f"{{fix}}/web_graph")
 pay = spark.read.parquet(f"{{fix}}/payloads")
 rob = spark.read.parquet(f"{{fix}}/robots")
