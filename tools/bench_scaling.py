@@ -402,14 +402,16 @@ exactly N vCPUs, the same accounting a real N-core executor has.
 Attempts are interleaved across levels (best-of-{attempts_n} per level) so
 the sandbox host's minute-scale throughput drift cannot bias one level.
 
-JVM tuning (same at every level, found by kernel-stack sampling with
-tools/diag_round.py): fixed pre-touched ParallelGC heap (Xms=Xmx +
-AlwaysPreTouch — G1's dynamic heap madvise/re-fault cycle serialized 32
-threads on the process-wide mmap_lock, 78% system time at local[32]) and
+JVM tuning (same at every level, found by kernel-stack sampling + the
+event log's per-stage jvmGCTime with tools/diag_round.py): G1 over a
+FIXED pre-touched heap (Xms=Xmx + AlwaysPreTouch — a dynamic heap's
+madvise/re-fault cycle serialized 32 threads on the process-wide
+mmap_lock, 78% system time at local[32]; stock ParallelGC's small young
+gen then collapsed under 32 allocating tasks, up to 107s of GC inside
+single expand stages — expand went 73s -> 14s at local[32] with G1) and
 spark.storage.memoryMapThreshold=512m (stock Spark mmaps every >2MB
-shuffle block; pread scales, mmap/munmap does not). Together: the same
-local[32] round went 271s -> 144s with kernel time 78% -> 43%. On a real
-cluster these are executor JVM flags; nothing about the query plan changed.
+shuffle block; pread scales, mmap/munmap does not). On a real cluster
+these are executor JVM flags; nothing about the query plan changed.
 
 The remaining sandbox/cluster gap is stated, not hidden — and MEASURED,
 not asserted. A pure-userspace probe (tools/cpuprobe.py, no JVM/Spark:
