@@ -951,6 +951,80 @@ FROM (VALUES
 """
 
 
+_VID_N = 48
+
+
+def _vid_specs() -> list:
+    """Deterministic (video_id, w, h, n_frames, fmt) specs — md5-derived in
+    pure Python (same scheme as _mm_specs) so Spark and the DuckDB oracle
+    rebuild identical DWSV payloads."""
+    import hashlib
+
+    specs = []
+    fmts = ["png", "jpeg", "webp"]
+    for i in range(_VID_N):
+        hw = int(hashlib.md5(f"vw:{i}".encode()).hexdigest()[:8], 16)
+        hh = int(hashlib.md5(f"vh:{i}".encode()).hexdigest()[:8], 16)
+        hn = int(hashlib.md5(f"vn:{i}".encode()).hexdigest()[:8], 16)
+        specs.append((f"vid-{i:05d}", 16 + hw % 17, 16 + hh % 17,
+                      3 + hn % 8, fmts[i % 3]))
+    return specs
+
+
+def _vid_payload(video_id: str, w: int, h: int, n: int, fmt: str) -> bytes:
+    from distributed_webcrawler_spark.sources import codec
+
+    return codec.encode_video(codec.synth_video(video_id, w, h, n), fmt, fps=8)
+
+
+def _vid_expected_rows() -> list:
+    """Driver-side run of the deterministic DWSV codec + sampling policy:
+    the (video_id, frame_idx, t_ms, n_frames, w, h, gray_mean, phash) rows
+    the Spark mapInPandas frame sampler must reproduce."""
+    from distributed_webcrawler_spark.sources import codec
+
+    rows = []
+    for vid, w, h, n, fmt in _vid_specs():
+        frames, _, fps = codec.decode_video(_vid_payload(vid, w, h, n, fmt))
+        for i in range(0, len(frames), 2):
+            px = frames[i]
+            gm = round(float(px.astype("float64").mean()), 4)
+            rows.append((vid, i, i * 1000 // fps, n, w, h, gm, codec.phash64(px)))
+    return rows
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 2nd frame) over binary DWSV payloads:
+    Arrow-batched mapInPandas decode, one stats-width row per sampled frame
+    (pixels never shuffle). Deterministic payload batch -> the DuckDB oracle
+    gates rows+schema+hash against a precomputed expected table."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import frame_sample
+
+    pdf = pd.DataFrame(
+        [(vid, _vid_payload(vid, w, h, n, fmt)) for vid, w, h, n, fmt in _vid_specs()],
+        columns=["video_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    return (frame_sample(payloads, every_n=2).where(F.col("ok"))
+            .select("video_id", "frame_idx", "t_ms", "n_frames", "w", "h",
+                    "gray_mean", "phash"))
+
+
+def _vid_sql() -> str:
+    vals = ",\n".join(
+        f"('{vid}', {fi}, {tms}, {n}, {w}, {h}, {gm!r}, {ph})"
+        for vid, fi, tms, n, w, h, gm, ph in _vid_expected_rows())
+    return f"""
+SELECT video_id, cast(frame_idx as int) AS frame_idx, cast(t_ms as int) AS t_ms,
+       cast(n_frames as int) AS n_frames, cast(w as int) AS w, cast(h as int) AS h,
+       cast(gray_mean as double) AS gray_mean, cast(phash as bigint) AS phash
+FROM (VALUES
+{vals}
+) AS t(video_id, frame_idx, t_ms, n_frames, w, h, gray_mean, phash)
+"""
+
+
 def q_asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operators/asof.py): for each 'view' event, the
     latest at-or-before 'purchase' value of the same user. One shuffle on
@@ -1143,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "video_frame_sample": q_video_frame_sample,
     }
 
 
@@ -1194,4 +1269,5 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": _Q_TOKENS_SQL,
         "text_fingerprint": _Q_FP_SQL,
         "multimodal_decode": _mm_sql(),
+        "video_frame_sample": _vid_sql(),
     }

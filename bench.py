@@ -41,6 +41,7 @@ HEADLINE = [
     "text_quality",
     "text_token_stats",
     "multimodal_decode",
+    "video_frame_sample",
 ]
 
 

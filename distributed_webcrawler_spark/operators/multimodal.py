@@ -86,8 +86,54 @@ def resize(payloads: DataFrame, out_w: int, out_h: int,
     return payloads.select(id_col, bytes_col).mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
-def frame_sample_stub(*_args, **_kwargs):
-    """Video frame sampling requires a real media library (not in this
-    container). The Spark-side plumbing would be identical to
-    :func:`decode_stats` (binary column -> mapInPandas -> typed frames)."""
-    raise NotImplementedError("video decode libraries are not available in this sandbox")
+FRAME_SCHEMA = (
+    "video_id string, ok boolean, fmt string, frame_idx int, t_ms int, "
+    "n_frames int, w int, h int, gray_mean double, phash long, err string"
+)
+
+
+def frame_sample(payloads: DataFrame, every_n: int = 1, max_frames: int | None = None,
+                 id_col: str = "video_id", bytes_col: str = "bytes") -> DataFrame:
+    """Video frame sampling: binary DWSV column -> one metadata-width row per
+    sampled frame (every Nth frame, optionally capped at max_frames).
+
+    Mirrors reference payload handling (BasicCrawler.java:77-105 treats
+    fetched bodies as opaque bytes) extended to the training-data brief's
+    video axis. The codec is the deterministic DWSV fake (sources/codec.py —
+    no PyAV/ffmpeg in this container); the Spark-side shape is production:
+    Arrow-batched mapInPandas, pixels never leave the decode task, sampled
+    frames emit stats-width rows (shuffle carries no pixels), and junk
+    payloads become ok=false rows instead of failing the task.
+    """
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    names = ["video_id", "ok", "fmt", "frame_idx", "t_ms", "n_frames",
+             "w", "h", "gray_mean", "phash", "err"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for vid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    frames, fmt, fps = codec.decode_video(bytes(data))
+                except codec.CodecError as e:
+                    rows.append((vid, False, None, None, None, None, None,
+                                 None, None, None, str(e)))
+                    continue
+                idxs = range(0, len(frames), every_n)
+                if max_frames is not None:
+                    idxs = list(idxs)[:max_frames]
+                for i in idxs:
+                    px = frames[i]
+                    gm = float(px.astype(np.float64).mean())
+                    rows.append((vid, True, fmt, i, i * 1000 // fps, len(frames),
+                                 px.shape[1], px.shape[0], round(gm, 4),
+                                 codec.phash64(px), None))
+            data_cols = {n: [r[j] for r in rows] for j, n in enumerate(names)}
+            # nullable Int64 for int+None columns (float64 coercion would
+            # silently round 64-bit phash values — see decode_stats)
+            for n in ("frame_idx", "t_ms", "n_frames", "w", "h", "phash"):
+                data_cols[n] = pd.array(data_cols[n], dtype="Int64")
+            yield pd.DataFrame(data_cols)
+
+    return payloads.select(id_col, bytes_col).mapInPandas(batches, schema=FRAME_SCHEMA)

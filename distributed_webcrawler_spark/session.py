@@ -68,6 +68,10 @@ def get_spark(
     n_threads = os.cpu_count() or 32 if str(cpus) == "*" else int(cpus)
     if shuffle_partitions is None:
         shuffle_partitions = max(8, 2 * n_threads)
+    # Xms below must track the FINAL driver memory (callers may shrink it
+    # via extra_conf; Xms > Xmx aborts JVM launch)
+    driver_mem = (extra_conf or {}).get(
+        "spark.driver.memory", os.environ.get("DWS_DRIVER_MEM", "24g"))
 
     builder = (
         SparkSession.builder.master(master)
@@ -78,7 +82,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("DWS_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", driver_mem)
+        # G1 over a FIXED, PRE-TOUCHED heap. Two measured failure modes at
+        # 32-wide in one JVM (tools/diag_round.py kernel-stack + jvmGCTime):
+        # a dynamic heap's madvise/re-fault cycle serializes all threads on
+        # the process-wide mmap_lock (78% system time), and ParallelGC's
+        # small young gen collapses under 32 allocating tasks (107s GC in a
+        # single stage; expand_frontier 73s -> 14s after this change). On a
+        # real cluster these are per-executor JVM flags.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("DWS_DRIVER_JAVA_OPTS",
+                               f"-XX:+UseG1GC -Xms{driver_mem} -XX:+AlwaysPreTouch"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Never mmap shuffle blocks (default maps any block >2MB): at high

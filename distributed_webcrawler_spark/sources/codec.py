@@ -107,6 +107,69 @@ def phash64(pixels: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+VIDEO_MAGIC = b"DWSV"
+
+
+def encode_video(frames: list, fmt: str, fps: int = 8) -> bytes:
+    """frames: list of (h, w, 3) uint8 arrays (same dims) -> container bytes.
+
+    Wire format (little-endian):
+      b"DWSV" | fmt_code u8 | fps u8 | n_frames u16 | per frame: len u32 + DWS1 blob
+
+    The per-frame blob IS the image container, so a real media lib (PyAV /
+    ffmpeg) slots in by replacing this whole function pair — everything
+    above (Arrow batches, frame-row schema, sampling policy) is unchanged.
+    """
+    if not frames:
+        raise CodecError("empty frame list")
+    if fmt not in _FMT_CODES:
+        raise CodecError(f"unknown fmt {fmt!r}")
+    if not 1 <= fps <= 255 or len(frames) > 0xFFFF:
+        raise CodecError("fps/frame-count out of range")
+    parts = [VIDEO_MAGIC + struct.pack("<BBH", _FMT_CODES[fmt], fps, len(frames))]
+    for fr in frames:
+        blob = encode_image(fr, fmt)
+        parts.append(struct.pack("<I", len(blob)))
+        parts.append(blob)
+    return b"".join(parts)
+
+
+def decode_video(data: bytes) -> tuple[list, str, int]:
+    """container bytes -> (list of (h, w, 3) uint8 frames, fmt, fps)."""
+    if not isinstance(data, (bytes, bytearray)) or len(data) < 8 or data[:4] != VIDEO_MAGIC:
+        raise CodecError("bad video magic")
+    fmt_code, fps, n = struct.unpack("<BBH", bytes(data[4:8]))
+    if fmt_code not in _FMT_NAMES:
+        raise CodecError(f"bad fmt code {fmt_code}")
+    frames, off = [], 8
+    for _ in range(n):
+        if off + 4 > len(data):
+            raise CodecError("truncated frame table")
+        (blen,) = struct.unpack("<I", bytes(data[off:off + 4]))
+        off += 4
+        if off + blen > len(data):
+            raise CodecError("truncated frame payload")
+        px, _ = decode_image(bytes(data[off:off + blen]))
+        frames.append(px)
+        off += blen
+    if off != len(data):
+        raise CodecError("trailing bytes after last frame")
+    return frames, _FMT_NAMES[fmt_code], fps
+
+
+def synth_video(video_id: str, w: int, h: int, n_frames: int) -> list:
+    """Deterministic frame stack: per-frame synth_pixels seeded by
+    video_id#frame plus a horizontal roll so consecutive frames are related
+    (motion) the way real video frames are — exercises that sampled frames
+    genuinely differ while staying reproducible driver- and executor-side."""
+    base = synth_pixels(video_id, w, h)
+    frames = []
+    for i in range(n_frames):
+        noise = synth_pixels(f"{video_id}#f{i}", w, h) >> 2
+        frames.append((np.roll(base, i, axis=1) + noise).astype(np.uint8))
+    return frames
+
+
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     """Deterministic pixels from image_id (md5-seeded PRNG + smooth gradient,
     so zlib gets some compressible structure like a real image would)."""

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from distributed_webcrawler_spark.operators import multimodal as M
+from distributed_webcrawler_spark.sources import codec
 from distributed_webcrawler_spark.sources.datagen import gen_payloads
 
 
@@ -42,6 +43,53 @@ def test_resize(spark):
     assert all(r.ok and r.w == 16 and r.h == 12 for r in stats)
 
 
-def test_frame_sample_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        M.frame_sample_stub()
+def test_video_codec_roundtrip():
+    import numpy as np
+
+    frames = codec.synth_video("vid-a", 20, 14, 5)
+    data = codec.encode_video(frames, "png", fps=10)
+    dec, fmt, fps = codec.decode_video(data)
+    assert fmt == "png" and fps == 10 and len(dec) == 5
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)          # png frames round-trip bit-exact
+    assert not np.array_equal(dec[0], dec[1])  # frames genuinely differ
+    with pytest.raises(codec.CodecError):
+        codec.decode_video(data[:-3])        # truncated last frame
+    with pytest.raises(codec.CodecError):
+        codec.decode_video(b"nope")
+
+
+def test_frame_sample(spark):
+    import pandas as pd
+
+    vids = [("vid-%d" % i, codec.encode_video(
+        codec.synth_video("vid-%d" % i, 18, 12, 4 + i), "jpeg", fps=8))
+        for i in range(3)]
+    payloads = spark.createDataFrame(
+        pd.DataFrame(vids, columns=["video_id", "bytes"])).repartition(2)
+
+    rows = M.frame_sample(payloads, every_n=2).collect()
+    # video i has 4+i frames -> ceil((4+i)/2) sampled
+    assert sorted((r.video_id, r.frame_idx) for r in rows) == [
+        ("vid-0", 0), ("vid-0", 2), ("vid-1", 0), ("vid-1", 2), ("vid-1", 4),
+        ("vid-2", 0), ("vid-2", 2), ("vid-2", 4)]
+    by_key = {(r.video_id, r.frame_idx): r for r in rows}
+    exp = codec.synth_video("vid-1", 18, 12, 5)[2]
+    q, _ = codec.decode_image(codec.encode_image(exp, "jpeg"))
+    r = by_key[("vid-1", 2)]
+    assert (r.ok, r.fmt, r.w, r.h, r.n_frames) == (True, "jpeg", 18, 12, 5)
+    assert r.t_ms == 250 and r.phash == codec.phash64(q)
+
+    capped = M.frame_sample(payloads, every_n=1, max_frames=2).collect()
+    assert len(capped) == 6 and all(r.frame_idx in (0, 1) for r in capped)
+
+
+def test_frame_sample_flags_corrupt_bytes(spark):
+    import pandas as pd
+
+    good = codec.encode_video(codec.synth_video("vid-ok", 16, 16, 3), "png")
+    payloads = spark.createDataFrame(pd.DataFrame(
+        [("vid-ok", good), ("vid-bad", b"DWSVjunk")],
+        columns=["video_id", "bytes"]))
+    rows = {(r.video_id, r.ok) for r in M.frame_sample(payloads).collect()}
+    assert ("vid-bad", False) in rows and ("vid-ok", True) in rows
