@@ -1025,6 +1025,115 @@ FROM (VALUES
 """
 
 
+_PN_N = 96
+
+
+def _pn_payloads() -> list:
+    """(image_id, w, h, pixels) for the image near-dup batch: _PN_N
+    md5-derived base images plus, for every 3rd one, a perturbed copy (a
+    small corner block nudged) whose phash lands a few bits away. Encoded
+    png (lossless), so the decoded pixels — and therefore the phash the
+    Spark decode path computes — are exactly these arrays."""
+    import hashlib
+
+    from distributed_webcrawler_spark.sources import codec
+
+    out = []
+    for i in range(_PN_N):
+        hw = int(hashlib.md5(f"pnw:{i}".encode()).hexdigest()[:8], 16)
+        hh = int(hashlib.md5(f"pnh:{i}".encode()).hexdigest()[:8], 16)
+        w, h = 24 + hw % 25, 24 + hh % 25
+        px = codec.synth_pixels(f"pn-{i:05d}", w, h)
+        out.append((f"pn-{i:05d}", px))
+        if i % 3 == 0:
+            px2 = px.copy()
+            # corner-block xor tuned so the dup's phash lands 0-3 bits away
+            # (measured spread over this batch: 9x H0, 12x H1, 7x H2, 4x H3)
+            px2[: max(2, h // 3), : max(2, w // 3)] ^= 96
+            out.append((f"pn-{i:05d}-dup", px2))
+    return out
+
+
+def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection — the canonical 100 TB image-pipeline
+    dedup (operators/multimodal.py phash_near_dup_pairs): Arrow-batched
+    decode -> 64-bit perceptual hash -> banded Hamming search (4x16-bit
+    slices, pigeonhole-complete for Hamming <= 3). Pixels never shuffle;
+    the join carries (id, phash) only. The payload batch is deterministic,
+    so the DuckDB oracle re-derives the SAME banding + bit_count(xor)
+    verify in pure SQL over the expected phash table."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import phash_near_dup_pairs
+    from distributed_webcrawler_spark.sources import codec
+
+    pdf = pd.DataFrame(
+        [(iid, codec.encode_image(px, "png")) for iid, px in _pn_payloads()],
+        columns=["image_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    return phash_near_dup_pairs(payloads, max_hamming=3)
+
+
+def _pn_sql() -> str:
+    from distributed_webcrawler_spark.sources import codec
+
+    vals = ",\n".join(f"('{iid}', {codec.phash64(px)})"
+                      for iid, px in _pn_payloads())
+    return f"""
+WITH sig AS (
+  SELECT image_id, cast(phash as bigint) AS phash
+  FROM (VALUES
+{vals}
+  ) AS t(image_id, phash)
+),
+bands AS (
+  SELECT image_id, phash, b.band,
+         ((phash >> (b.band * 16)) & 65535) AS slice
+  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+                  a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.slice = b.slice
+  WHERE a.image_id < b.image_id
+)
+SELECT id_a, id_b, cast(bit_count(xor(pa, pb)) as int) AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= 3
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the reproducible-split primitive
+    every training pipeline needs: split = portable h64('split:'||doc_id) %
+    100 bucketed 80/10/10. Pure map-side Column math (codegen, no UDF, no
+    shuffle except the final stats agg); adding data never reassigns an
+    existing doc's split."""
+    docs = _t(spark, sf_dir, "documents")
+    b = h64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (F.when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+    return (docs.select(split.alias("split"), "n_chars", "lang")
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.countDistinct("lang").alias("n_langs")))
+
+
+_Q_SPLIT_SQL = f"""
+WITH s AS (
+  SELECT CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split, n_chars, lang
+  FROM (SELECT {h64_sql("concat('split:', cast(doc_id as varchar))")} % 100 AS bucket,
+               n_chars, lang
+        FROM documents)
+)
+SELECT split, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS sum_chars,
+       count(DISTINCT lang) AS n_langs
+FROM s GROUP BY split
+"""
+
+
 def q_asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operators/asof.py): for each 'view' event, the
     latest at-or-before 'purchase' value of the same user. One shuffle on
@@ -1218,6 +1327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "video_frame_sample": q_video_frame_sample,
+        "image_phash_near_dup": q_image_phash_near_dup,
+        "dataset_split": q_dataset_split,
     }
 
 
@@ -1270,4 +1381,6 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _Q_FP_SQL,
         "multimodal_decode": _mm_sql(),
         "video_frame_sample": _vid_sql(),
+        "image_phash_near_dup": _pn_sql(),
+        "dataset_split": _Q_SPLIT_SQL,
     }

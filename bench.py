@@ -42,6 +42,8 @@ HEADLINE = [
     "text_token_stats",
     "multimodal_decode",
     "video_frame_sample",
+    "image_phash_near_dup",
+    "dataset_split",
 ]
 
 

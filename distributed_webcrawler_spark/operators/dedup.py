@@ -188,32 +188,34 @@ def simhash_wide(docs: DataFrame, n_bits: int = 60, text_col: str = "text",
     return agg.select("id", sig.cast("long").alias("simhash"))
 
 
-def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 3,
-                         n_bits: int = 60, n_bands: int = 4,
-                         text_col: str = "text", id_col: str = "doc_id",
-                         max_chars: int = 200) -> DataFrame:
-    """Near-dup pairs at Hamming distance <= max_hamming via banded search —
-    the scale-correct form simhash_dup_groups (identical-signature buckets)
-    cannot provide: by pigeonhole, any pair within Hamming <= n_bands-1
-    agrees EXACTLY on at least one of the n_bands bit-slices, so candidates
-    are n_bands shuffle equi-joins on (band, slice) instead of all pairs;
-    the exact bit_count(xor) verify then runs only inside buckets.
+def hamming_banded_pairs(sig: DataFrame, max_hamming: int = 3,
+                         n_bits: int = 64, n_bands: int = 4,
+                         sig_col: str = "sig", id_col: str = "id") -> DataFrame:
+    """Near-dup pairs at Hamming distance <= max_hamming over ANY integer
+    signature column (simhash, image phash, audio fingerprint) via banded
+    search: by pigeonhole, any pair within Hamming <= n_bands-1 agrees
+    EXACTLY on at least one of the n_bands bit-slices, so candidates are
+    n_bands shuffle equi-joins on (band, slice) instead of all pairs; the
+    exact bit_count(xor) verify then runs only inside buckets.
+
+    Works for full signed-64-bit signatures: arithmetic shiftright followed
+    by the band mask extracts the true bit-slice regardless of sign.
     Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
     """
     assert max_hamming <= n_bands - 1, "pigeonhole guarantee needs max_hamming < n_bands"
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
-    sig = simhash_wide(docs, n_bits, text_col, id_col, max_chars)
+    sig = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
     bands = None
     for bi in range(n_bands):
         part = sig.select(
-            "id", "simhash", F.lit(bi).alias("band"),
-            F.shiftright(F.col("simhash"), bi * band_bits)
+            "id", "sig", F.lit(bi).alias("band"),
+            F.shiftright(F.col("sig"), bi * band_bits)
              .bitwiseAND(F.lit(mask)).alias("slice"))
         bands = part if bands is None else bands.unionByName(part)
-    a = bands.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"),
+    a = bands.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
                      "band", "slice")
-    b = bands.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"),
+    b = bands.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
                      "band", "slice")
     cand = (
         a.join(b, ["band", "slice"])
@@ -227,6 +229,19 @@ def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 3,
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 3,
+                         n_bits: int = 60, n_bands: int = 4,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         max_chars: int = 200) -> DataFrame:
+    """Text near-dup pairs at Hamming <= max_hamming: simhash_wide signature
+    + the generic banded Hamming search (see hamming_banded_pairs) — the
+    scale-correct form simhash_dup_groups (identical-signature buckets)
+    cannot provide. Output: (id_a, id_b, hamming), id_a < id_b."""
+    sig = simhash_wide(docs, n_bits, text_col, id_col, max_chars)
+    return hamming_banded_pairs(sig, max_hamming, n_bits, n_bands,
+                                sig_col="simhash", id_col="id")
 
 
 def first_wins(df: DataFrame, key_cols: list[str], order_cols: list) -> DataFrame:

@@ -23,6 +23,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..sources import codec
 
@@ -59,6 +60,24 @@ def decode_stats(payloads: DataFrame, id_col: str = "image_id", bytes_col: str =
             yield pd.DataFrame(data)
 
     return payloads.select(id_col, bytes_col).mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def phash_near_dup_pairs(payloads: DataFrame, max_hamming: int = 3,
+                         id_col: str = "image_id",
+                         bytes_col: str = "bytes") -> DataFrame:
+    """Image near-duplicate pairs — THE canonical 100 TB image-pipeline
+    dedup: decode each payload once (Arrow batches, pixels never shuffle),
+    take its 64-bit perceptual hash, then banded Hamming search (4x16-bit
+    slices, pigeonhole-complete for Hamming <= 3). The shuffle after decode
+    carries only (id, phash) — 16 bytes/row — and candidate verification is
+    one bit_count(xor) inside band buckets, never an image comparison.
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming."""
+    from .dedup import hamming_banded_pairs
+
+    sig = decode_stats(payloads, id_col, bytes_col).where("ok").select(
+        F.col("image_id").alias("id"), F.col("phash").alias("sig"))
+    return hamming_banded_pairs(sig, max_hamming, n_bits=64, n_bands=4,
+                                sig_col="sig", id_col="id")
 
 
 RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"

@@ -93,3 +93,36 @@ def test_frame_sample_flags_corrupt_bytes(spark):
         columns=["video_id", "bytes"]))
     rows = {(r.video_id, r.ok) for r in M.frame_sample(payloads).collect()}
     assert ("vid-bad", False) in rows and ("vid-ok", True) in rows
+
+
+def test_phash_near_dup_pairs(spark):
+    """Banded Hamming search over decoded phash == brute-force pairs, and a
+    perturbed copy is found at its true distance (pixels never shuffle)."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    imgs = {}
+    for i in range(12):
+        imgs[f"im-{i}"] = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    # near-dup: nudge one corner block of im-0 (flips 1 phash bit here)
+    px2 = imgs["im-0"].copy()
+    px2[:6, :8] ^= 32
+    imgs["im-0-dup"] = px2
+
+    payloads = spark.createDataFrame(pd.DataFrame(
+        [(iid, codec.encode_image(px, "png")) for iid, px in imgs.items()],
+        columns=["image_id", "bytes"])).repartition(3)
+    got = sorted((r.id_a, r.id_b, r.hamming)
+                 for r in M.phash_near_dup_pairs(payloads, max_hamming=3).collect())
+
+    sig = {iid: codec.phash64(px) for iid, px in imgs.items()}
+    mask = (1 << 64) - 1
+    exp = sorted(
+        (a, b, bin((sig[a] ^ sig[b]) & mask).count("1"))
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin((sig[a] ^ sig[b]) & mask).count("1") <= 3)
+    assert got == exp
+    assert any(a == "im-0" and b == "im-0-dup" for a, b, _ in got)
