@@ -166,6 +166,20 @@ class CrawlEngine:
         self._robots_http_cache: dict = {}  # host -> (allow, disallow); http mode
         self._round_caches: list = []
         self.last_stage_secs: dict[str, float] = {}
+        self._pool = None  # lazy persistent pool for the round's side branches
+
+    def _branch_pool(self):
+        """One persistent 2-thread pool per engine: the round's independent
+        job branches (expand->frontier->bloom, progress->done) run here while
+        the pages write runs on the caller thread. Persistent so py4j's
+        pinned-thread mode maps each pool thread to ONE reused JVM thread
+        (fresh threads per round would leak JVM-side thread objects)."""
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=2,
+                                            thread_name_prefix="dws-round-branch")
+        return self._pool
 
     # ------------------------------------------------------------- helpers
     def _t(self, name: str):
@@ -731,49 +745,75 @@ class CrawlEngine:
             F.sum(F.when(F.col("status_code") == 403, 1).otherwise(0)).alias("robots_blocked"),
             F.sum(F.coalesce(F.col("content_length"), F.lit(0))).alias("bytes_total"),
             F.avg("depth").alias("avg_depth"))
+        # ---- three independent job branches, overlapped ------------------
+        # The pages write, the expand->frontier->bloom chain, and the
+        # progress->done chain touch DISJOINT store tables and all hang off
+        # the same cached `fetched`; serialized they leave the executor pool
+        # idle through every stage tail and driver commit. Spark's per-block
+        # loading locks make the concurrent first touch of the `fetched` /
+        # `sched` caches compute each partition exactly once, and local[N]
+        # caps concurrent tasks at N, so overlap never oversubscribes the
+        # pinned cores — it only fills slots another branch left idle.
+        # Snapshot ids, table contents, and checkpoint payloads are
+        # byte-identical to the serial order (per-table manifests).
+        def _branch_expand() -> int:
+            new_rows = self._expand(fetched, rnd).cache()
+            self._round_caches.append(new_rows)
+            # the frontier append doubles as new_rows' count (parquet footer
+            # metadata) — no separate count() action, no empty snapshot on
+            # exhausted rounds
+            fsnap, n_new = self._t("frontier").append_counted(
+                new_rows.select(*self._frontier_row_cols()), skip_empty=True)
+            mark_at("expand_frontier")
+            if n_new > 0 and cfg.use_bloom and self.bloom_shards is not None:
+                # executor-side sharded update from the parquet the append
+                # JUST wrote: group tasks fold their shard's hashes and commit
+                # versioned blob files — the driver never holds filter bits
+                self.bloom_shards.update(
+                    self._t("frontier").read_snapshot(self.spark, fsnap)
+                        .select("url_hash", self._bloom_shard_col()),
+                    "url_hash", "__shard", version=rnd)
+            elif n_new > 0 and cfg.use_bloom and self.bloom is not None:
+                # feed the bloom from the parquet the append JUST wrote —
+                # a driver-side pyarrow column read, no Spark collect job
+                self.bloom.add_many(self._t("frontier").read_column_local(fsnap, "url_hash"))
+            mark_at("bloom_update")
+            return n_new
+
+        def _branch_progress() -> None:
+            # every scheduled URL yields exactly one pages row with
+            # status_code = web_status (0 sentinel when the fetch missed), so
+            # progress projects straight off the cached slim fetch result —
+            # COMPLETED on 200 else FAILED, never retried
+            # (URLFrontier.java:198-202); only connection-level failures
+            # (sentinel 0) are retryable
+            progress = fetched.select(
+                "session_id", "url", F.col("round"),
+                F.when(F.col("web_status") == 200, "COMPLETED").otherwise("FAILED").alias("status"),
+                (F.coalesce(F.col("web_status"), F.lit(0)) == 0).alias("retryable"),
+                F.lit("driver").alias("assigned_to"),
+            ).unionByName(blocked.select(
+                "session_id", "url", F.col("round"),
+                F.lit("FAILED").alias("status"), F.lit(False).alias("retryable"),
+                F.lit("driver").alias("assigned_to")))
+            psnap = self._t("progress").append(progress)
+            self._finalize_round(psnap)
+            mark_at("progress_done")
+
+        def mark_at(name: str) -> None:
+            # branch-local stage walls, measured from round start (branches
+            # overlap, so deltas against a shared cursor would be noise)
+            stages[name] = round(time.monotonic() - t0, 3)
+
+        pool = self._branch_pool()
+        fut_expand = pool.submit(_branch_expand)
+        fut_progress = pool.submit(_branch_progress)
         self._t("pages").append(pages_all)
         stats_row = obs.get
-        mark("fetch_decode_pages")
-
-        new_rows = self._expand(fetched, rnd).cache()
-        self._round_caches.append(new_rows)
-        # the frontier append doubles as new_rows' count (parquet footer
-        # metadata) — no separate count() action, no empty snapshot on
-        # exhausted rounds
-        fsnap, n_new = self._t("frontier").append_counted(
-            new_rows.select(*self._frontier_row_cols()), skip_empty=True)
-        mark("expand_frontier")
-        if n_new > 0 and cfg.use_bloom and self.bloom_shards is not None:
-            # executor-side sharded update from the parquet the append JUST
-            # wrote: group tasks fold their shard's hashes and commit
-            # versioned blob files — the driver never holds filter bits
-            self.bloom_shards.update(
-                self._t("frontier").read_snapshot(self.spark, fsnap)
-                    .select("url_hash", self._bloom_shard_col()),
-                "url_hash", "__shard", version=rnd)
-        elif n_new > 0 and cfg.use_bloom and self.bloom is not None:
-            # feed the bloom from the parquet the append JUST wrote —
-            # a driver-side pyarrow column read, no Spark collect job
-            self.bloom.add_many(self._t("frontier").read_column_local(fsnap, "url_hash"))
-        mark("bloom_update")
-
-        # every scheduled URL yields exactly one pages row with
-        # status_code = web_status (0 sentinel when the fetch missed), so
-        # progress projects straight off the cached slim fetch result —
-        # COMPLETED on 200 else FAILED, never retried (URLFrontier.java:198-202);
-        # only connection-level failures (sentinel 0) are retryable
-        progress = fetched.select(
-            "session_id", "url", F.col("round"),
-            F.when(F.col("web_status") == 200, "COMPLETED").otherwise("FAILED").alias("status"),
-            (F.coalesce(F.col("web_status"), F.lit(0)) == 0).alias("retryable"),
-            F.lit("driver").alias("assigned_to"),
-        ).unionByName(blocked.select(
-            "session_id", "url", F.col("round"),
-            F.lit("FAILED").alias("status"), F.lit(False).alias("retryable"),
-            F.lit("driver").alias("assigned_to")))
-        psnap = self._t("progress").append(progress)
-        self._finalize_round(psnap)
-        mark("progress_append")
+        mark_at("pages_write")
+        n_new = fut_expand.result()
+        fut_progress.result()
+        mark("round_branches")
 
         wall = time.monotonic() - t0
         stats = {"session_id": cfg.session_id, "round": rnd,
