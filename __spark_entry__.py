@@ -602,7 +602,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_MH_K, max_chars=_MH_CHARS, min_est=_MH_MIN)
 
 
-def _minhash_sql() -> str:
+def _minhash_cte_body() -> tuple[str, str]:
+    """Shared CTE chain (pos -> sh -> sig -> bands -> cand) plus the
+    signature-match count expression; used by the pairs oracle and the
+    connected-components oracle so both see identical candidate semantics."""
     mins = ",\n         ".join(
         f"min(md5(concat('{s}:', sh))) AS mh_{s}" for s in range(_MH_N))
     n_bands = _MH_N // _MH_BAND
@@ -612,8 +615,7 @@ def _minhash_sql() -> str:
         for b in range(n_bands))
     matches = " + ".join(
         f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(_MH_N))
-    return f"""
-WITH pos AS (
+    body = f"""pos AS (
   SELECT doc_id AS id, substr(text, 1, {_MH_CHARS}) AS t,
          unnest(generate_series(1, greatest(length(substr(text, 1, {_MH_CHARS})) - {_MH_K - 1}, 0))) AS i
   FROM documents
@@ -624,10 +626,56 @@ bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-)
+)"""
+    return body, matches
+
+
+def _minhash_sql() -> str:
+    body, matches = _minhash_cte_body()
+    return f"""
+WITH {body}
 SELECT id_a, id_b, round(({matches}) / 8.0, 6) AS est_sim
 FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
 WHERE round(({matches}) / 8.0, 6) >= {_MH_MIN}
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: MinHash-LSH candidate pairs grouped by
+    iterative min-label connected components (pointer doubling, O(log d)
+    rounds — operators/components.py). component = min doc_id of the
+    cluster, i.e. the canonical keeper under the engine's first-wins rule."""
+    from distributed_webcrawler_spark.operators.components import connected_components
+
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=_MH_N, band_size=_MH_BAND,
+        k=_MH_K, max_chars=_MH_CHARS, min_est=_MH_MIN)
+    return (connected_components(pairs, src="id_a", dst="id_b")
+            .select(F.col("id").alias("doc_id"), "component"))
+
+
+def _components_sql() -> str:
+    # same filtered pair set as dedup_minhash_lsh, then the exact transitive
+    # closure: reach(id, r) = "node r reaches id"; component = min reachable.
+    body, matches = _minhash_cte_body()
+    return f"""
+WITH RECURSIVE {body},
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+  WHERE round(({matches}) / 8.0, 6) >= {_MH_MIN}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
 
 
@@ -1312,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1366,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _Q_JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_components": _components_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
         "ann_brute_topk": _Q_ANN_BRUTE_SQL,
