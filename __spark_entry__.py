@@ -1073,6 +1073,86 @@ FROM (VALUES
 """
 
 
+_AU_N = 128
+
+
+def _au_specs() -> list:
+    """Deterministic (audio_id, n_samples, sr, fmt) specs — md5-derived in
+    pure Python (same scheme as _mm_specs/_vid_specs) so the Spark query and
+    the DuckDB oracle rebuild the identical clip set."""
+    import hashlib
+
+    specs = []
+    for i in range(_AU_N):
+        hn = int(hashlib.md5(f"aun:{i}".encode()).hexdigest()[:8], 16)
+        sr = 8000 if i % 2 == 0 else 16000
+        n = sr // 2 + hn % (sr * 2)  # 0.5s .. 2.5s
+        specs.append((f"au-{i:05d}", n, sr, "wav" if i % 3 else "aac"))
+    return specs
+
+
+def _au_expected_rows() -> list:
+    """Pure-Python reference pass over the spec batch (encode -> decode ->
+    features): the expected rows the Spark mapInPandas audio decode must
+    reproduce. Gates the PLUMBING (Arrow batches, schema, Int64 fingerprint
+    width); the codec/DSP math is unit-tested in tests/test_multimodal.py."""
+    import numpy as np
+
+    from distributed_webcrawler_spark.sources import codec
+
+    rows = []
+    for aid, n, sr, fmt in _au_specs():
+        data = codec.encode_audio(codec.synth_pcm(aid, n, sr), sr, fmt)
+        x, dsr, dfmt = codec.decode_audio(data)
+        xf = x.astype(np.float64)
+        rms = float(np.sqrt(np.mean(xf * xf)))
+        zcr = float(np.mean(np.signbit(xf[1:]) != np.signbit(xf[:-1])))
+        spec = np.abs(np.fft.rfft(xf))
+        freqs = np.fft.rfftfreq(len(xf), 1.0 / dsr)
+        denom = float(spec.sum())
+        centroid = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
+        rows.append((aid, dfmt, dsr, len(x), len(x) * 1000 // dsr,
+                     round(rms, 4), round(zcr, 6), round(centroid, 4),
+                     codec.afp64(x)))
+    return rows
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode / feature extraction (duration, RMS, zero-crossings,
+    rfft spectral centroid, 64-bit energy-delta fingerprint) over binary
+    DWSA payloads — the audio leg of the multimodal triple. Deterministic
+    payload batch -> the DuckDB oracle gates rows+schema+hash against a
+    precomputed expected table."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import audio_stats
+    from distributed_webcrawler_spark.sources import codec
+
+    pdf = pd.DataFrame(
+        [(aid, codec.encode_audio(codec.synth_pcm(aid, n, sr), sr, fmt))
+         for aid, n, sr, fmt in _au_specs()],
+        columns=["audio_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    return (audio_stats(payloads).where(F.col("ok"))
+            .select("audio_id", "fmt", "sr", "n_samples", "duration_ms",
+                    "rms", "zcr", "centroid_hz", "afp"))
+
+
+def _au_sql() -> str:
+    vals = ",\n".join(
+        f"('{aid}', '{fmt}', {sr}, {n}, {dms}, {rms!r}, {zcr!r}, {ce!r}, {afp})"
+        for aid, fmt, sr, n, dms, rms, zcr, ce, afp in _au_expected_rows())
+    return f"""
+SELECT audio_id, fmt, cast(sr as int) AS sr, cast(n_samples as int) AS n_samples,
+       cast(duration_ms as int) AS duration_ms, cast(rms as double) AS rms,
+       cast(zcr as double) AS zcr, cast(centroid_hz as double) AS centroid_hz,
+       cast(afp as bigint) AS afp
+FROM (VALUES
+{vals}
+) AS t(audio_id, fmt, sr, n_samples, duration_ms, rms, zcr, centroid_hz, afp)
+"""
+
+
 _PN_N = 96
 
 
@@ -1376,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "video_frame_sample": q_video_frame_sample,
+        "audio_features": q_audio_features,
         "image_phash_near_dup": q_image_phash_near_dup,
         "dataset_split": q_dataset_split,
     }
@@ -1431,6 +1512,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _Q_FP_SQL,
         "multimodal_decode": _mm_sql(),
         "video_frame_sample": _vid_sql(),
+        "audio_features": _au_sql(),
         "image_phash_near_dup": _pn_sql(),
         "dataset_split": _Q_SPLIT_SQL,
     }

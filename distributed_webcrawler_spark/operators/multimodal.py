@@ -105,6 +105,76 @@ def resize(payloads: DataFrame, out_w: int, out_h: int,
     return payloads.select(id_col, bytes_col).mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "audio_id string, ok boolean, fmt string, sr int, n_samples int, "
+    "duration_ms int, rms double, zcr double, centroid_hz double, afp long, "
+    "err string"
+)
+
+
+def audio_stats(payloads: DataFrame, id_col: str = "audio_id",
+                bytes_col: str = "bytes") -> DataFrame:
+    """Audio decode / feature extraction over binary DWSA payloads — the
+    audio leg of the brief's image/audio/video triple, same production
+    shape as decode_stats: Arrow-batched mapInPandas, samples never leave
+    the decode task, metadata-width output rows, junk bytes -> ok=false
+    rows. The codec is the deterministic DWSA fake (sources/codec.py — no
+    soundfile/librosa in this container); swapping decode_audio for a real
+    loader changes nothing above it.
+
+    Features per clip: duration, RMS level, zero-crossing rate, spectral
+    centroid (numpy rfft — real DSP, not a stub), and the 64-bit
+    energy-delta fingerprint afp64 that feeds banded-Hamming near-dup."""
+
+    names = ["audio_id", "ok", "fmt", "sr", "n_samples", "duration_ms",
+             "rms", "zcr", "centroid_hz", "afp", "err"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    x, sr, fmt = codec.decode_audio(bytes(data))
+                except codec.CodecError as e:
+                    rows.append((aid, False, None, None, None, None, None,
+                                 None, None, None, str(e)))
+                    continue
+                xf = x.astype(np.float64)
+                rms = float(np.sqrt(np.mean(xf * xf)))
+                zcr = float(np.mean(np.signbit(xf[1:]) != np.signbit(xf[:-1])))
+                spec = np.abs(np.fft.rfft(xf))
+                freqs = np.fft.rfftfreq(len(xf), 1.0 / sr)
+                denom = float(spec.sum())
+                centroid = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
+                rows.append((aid, True, fmt, sr, len(x),
+                             len(x) * 1000 // sr, round(rms, 4),
+                             round(zcr, 6), round(centroid, 4),
+                             codec.afp64(x), None))
+            data_cols = {n: [r[j] for r in rows] for j, n in enumerate(names)}
+            # nullable Int64 for int+None columns (float64 coercion would
+            # silently round the 64-bit fingerprint — see decode_stats)
+            for n in ("sr", "n_samples", "duration_ms", "afp"):
+                data_cols[n] = pd.array(data_cols[n], dtype="Int64")
+            yield pd.DataFrame(data_cols)
+
+    return payloads.select(id_col, bytes_col).mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+def audio_near_dup_pairs(payloads: DataFrame, max_hamming: int = 3,
+                         id_col: str = "audio_id",
+                         bytes_col: str = "bytes") -> DataFrame:
+    """Audio near-duplicate pairs: decode once -> afp64 fingerprint ->
+    the same generic banded Hamming search images use (phash_near_dup_pairs)
+    — the shuffle after decode carries 16 bytes/row, never samples.
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming."""
+    from .dedup import hamming_banded_pairs
+
+    sig = audio_stats(payloads, id_col, bytes_col).where("ok").select(
+        F.col("audio_id").alias("id"), F.col("afp").alias("sig"))
+    return hamming_banded_pairs(sig, max_hamming, n_bits=64, n_bands=4,
+                                sig_col="sig", id_col="id")
+
+
 FRAME_SCHEMA = (
     "video_id string, ok boolean, fmt string, frame_idx int, t_ms int, "
     "n_frames int, w int, h int, gray_mean double, phash long, err string"

@@ -170,6 +170,88 @@ def synth_video(video_id: str, w: int, h: int, n_frames: int) -> list:
     return frames
 
 
+AUDIO_MAGIC = b"DWSA"
+# bits kept per sample; wav lossless (16), "aac" stand-in keeps the top 10
+_AUDIO_BITS = {"wav": 16, "aac": 10}
+_AUDIO_CODES = {"wav": 0, "aac": 1}
+_AUDIO_NAMES = {v: k for k, v in _AUDIO_CODES.items()}
+
+
+def encode_audio(samples: np.ndarray, sr: int, fmt: str) -> bytes:
+    """samples: 1-D int16 mono PCM -> container bytes. Lossy fmt quantizes
+    (keeps the top _AUDIO_BITS bits per sample), so lossy round-trips have
+    real, measurable reconstruction error like a real perceptual codec.
+
+    Wire format (little-endian):
+      b"DWSA" | fmt_code u8 | sr u32 | n_samples u32 | zlib(int16 payload)
+    """
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise CodecError(f"expected 1-D int16, got {samples.shape} {samples.dtype}")
+    if fmt not in _AUDIO_CODES:
+        raise CodecError(f"unknown audio fmt {fmt!r}")
+    if not 1 <= sr <= 0xFFFFFFFF:
+        raise CodecError("bad sample rate")
+    bits = _AUDIO_BITS[fmt]
+    if bits < 16:
+        shift = 16 - bits
+        q = ((samples.astype(np.int32) >> shift) << shift).astype(np.int16)
+    else:
+        q = samples
+    header = AUDIO_MAGIC + struct.pack("<BII", _AUDIO_CODES[fmt], sr, len(q))
+    return header + zlib.compress(q.tobytes(), level=1)
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int, str]:
+    """container bytes -> (1-D int16 samples, sample_rate, fmt)."""
+    if not isinstance(data, (bytes, bytearray)) or len(data) < 13 or data[:4] != AUDIO_MAGIC:
+        raise CodecError("bad audio magic")
+    fmt_code, sr, n = struct.unpack("<BII", bytes(data[4:13]))
+    if fmt_code not in _AUDIO_NAMES:
+        raise CodecError(f"bad audio fmt code {fmt_code}")
+    raw = zlib.decompress(bytes(data[13:]))
+    if len(raw) != n * 2:
+        raise CodecError("audio payload size mismatch")
+    return np.frombuffer(raw, dtype=np.int16), sr, _AUDIO_NAMES[fmt_code]
+
+
+def afp64(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: energy-delta sign bits over 65 equal frames
+    (the Haitsma-Kalker "sign of band-energy difference" shape collapsed to
+    one band — public literature, "A Highly Robust Audio Fingerprinting
+    System", ISMIR 2002). bit_i = E[i+1] > E[i]; robust to quantization
+    noise (lossy vs lossless encodings land within a small Hamming
+    distance), so it composes with hamming_banded_pairs for near-dup audio
+    exactly like phash64 does for images. Deterministic; signed-int64."""
+    x = samples.astype(np.float64)
+    n_frames = 65
+    edges = np.linspace(0, len(x), n_frames + 1).astype(int)
+    # cumulative energy -> per-frame energy without a python loop
+    csq = np.concatenate(([0.0], np.cumsum(x * x)))
+    e = csq[edges[1:]] - csq[edges[:-1]]
+    bits = e[1:] > e[:-1]
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def synth_pcm(audio_id: str, n_samples: int, sr: int) -> np.ndarray:
+    """Deterministic mono PCM from audio_id: md5-seeded mix of three
+    sinusoids + noise floor, int16 — spectrally structured like real audio
+    so the rfft-based features (centroid) measure something non-trivial."""
+    seed = int.from_bytes(hashlib.md5(audio_id.encode()).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples, dtype=np.float64) / sr
+    sig = np.zeros(n_samples)
+    for k in range(3):
+        f = 80.0 * (2.0 ** (rng.uniform(0, 6)))
+        sig += rng.uniform(0.1, 0.5) * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+    sig += rng.normal(0, 0.02, n_samples)
+    # slow amplitude envelope -> frame energies differ (fingerprint entropy)
+    sig *= 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(0.2, 2.0) * t)
+    return np.clip(sig * 12000, -32768, 32767).astype(np.int16)
+
+
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     """Deterministic pixels from image_id (md5-seeded PRNG + smooth gradient,
     so zlib gets some compressible structure like a real image would)."""

@@ -126,3 +126,82 @@ def test_phash_near_dup_pairs(spark):
         if bin((sig[a] ^ sig[b]) & mask).count("1") <= 3)
     assert got == exp
     assert any(a == "im-0" and b == "im-0-dup" for a, b, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# audio (DWSA)
+# ---------------------------------------------------------------------------
+
+def test_audio_codec_roundtrip_and_lossy_snr():
+    import numpy as np
+
+    x = codec.synth_pcm("clip-1", 16000, 16000)
+    # wav is lossless
+    y, sr, fmt = codec.decode_audio(codec.encode_audio(x, 16000, "wav"))
+    assert fmt == "wav" and sr == 16000 and np.array_equal(x, y)
+    # aac stand-in quantizes: real reconstruction error, bounded (top 10
+    # bits kept -> max error 2^6 per sample)
+    z, _, zfmt = codec.decode_audio(codec.encode_audio(x, 16000, "aac"))
+    assert zfmt == "aac" and not np.array_equal(x, z)
+    assert int(np.abs(x.astype(np.int32) - z.astype(np.int32)).max()) < (1 << 6)
+
+
+def test_audio_junk_rejected():
+    import pytest as _pytest
+
+    for junk in (b"", b"DWSA", b"nope" * 10):
+        with _pytest.raises(codec.CodecError):
+            codec.decode_audio(junk)
+
+
+def test_audio_stats_matches_reference(spark):
+    import numpy as np
+    import pandas as pd
+
+    specs = [("a-0", 8000, 8000, "wav"), ("a-1", 12000, 16000, "aac"),
+             ("a-2", 4000, 8000, "wav")]
+    pdf = pd.DataFrame(
+        [(aid, codec.encode_audio(codec.synth_pcm(aid, n, sr), sr, fmt))
+         for aid, n, sr, fmt in specs], columns=["audio_id", "bytes"])
+    got = {r["audio_id"]: r for r in
+           M.audio_stats(spark.createDataFrame(pdf)).collect()}
+    for aid, n, sr, fmt in specs:
+        x, dsr, dfmt = codec.decode_audio(
+            codec.encode_audio(codec.synth_pcm(aid, n, sr), sr, fmt))
+        r = got[aid]
+        assert r["ok"] and r["fmt"] == dfmt and r["sr"] == dsr
+        assert r["n_samples"] == n and r["duration_ms"] == n * 1000 // sr
+        xf = x.astype(np.float64)
+        assert r["rms"] == round(float(np.sqrt(np.mean(xf * xf))), 4)
+        assert r["afp"] == codec.afp64(x)
+
+
+def test_audio_stats_flags_corrupt_bytes(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame([("good", codec.encode_audio(
+        codec.synth_pcm("good", 8000, 8000), 8000, "wav")),
+        ("bad", b"garbage-bytes")], columns=["audio_id", "bytes"])
+    rows = {r["audio_id"]: r for r in
+            M.audio_stats(spark.createDataFrame(pdf)).collect()}
+    assert rows["good"]["ok"] and rows["good"]["err"] is None
+    assert not rows["bad"]["ok"] and rows["bad"]["err"] is not None
+    assert rows["bad"]["afp"] is None
+
+
+def test_audio_near_dup_pairs(spark):
+    import pandas as pd
+
+    # same signal encoded lossless and lossy -> near-identical fingerprints;
+    # unrelated clips must not pair at Hamming <= 3
+    x = codec.synth_pcm("dup-src", 16000, 16000)
+    pdf = pd.DataFrame([
+        ("d-wav", codec.encode_audio(x, 16000, "wav")),
+        ("d-aac", codec.encode_audio(x, 16000, "aac")),
+        ("other-1", codec.encode_audio(codec.synth_pcm("other-1", 16000, 16000), 16000, "wav")),
+        ("other-2", codec.encode_audio(codec.synth_pcm("other-2", 12000, 8000), 8000, "wav")),
+    ], columns=["audio_id", "bytes"])
+    pairs = {(r["id_a"], r["id_b"])
+             for r in M.audio_near_dup_pairs(spark.createDataFrame(pdf)).collect()}
+    assert ("d-aac", "d-wav") in pairs
+    assert all({a, b} == {"d-aac", "d-wav"} for a, b in pairs)
