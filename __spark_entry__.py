@@ -1073,6 +1073,62 @@ FROM (VALUES
 """
 
 
+_PR_ITER, _PR_DAMP = 5, 0.85
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the host link graph (edges derived deterministically
+    from lineitem: supplier-host -> part-host) — the canonical crawl
+    priority signal, computed by fixed power iteration with uniform
+    dangling-mass redistribution (operators/pagerank.py). Both engines
+    round each iteration to 12 decimals so double summation order cannot
+    drift them apart; the report rounds to 6."""
+    from distributed_webcrawler_spark.operators.pagerank import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("host"), (F.col("l_suppkey") % N_FRONTIER_HOSTS).cast("string")).alias("src"),
+        F.concat(F.lit("host"), (F.col("l_partkey") % N_FRONTIER_HOSTS).cast("string")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return (pagerank(edges, n_iter=_PR_ITER, damping=_PR_DAMP)
+            .select(F.col("id").alias("host"), F.round("rank", 6).alias("rank")))
+
+
+def _pagerank_sql() -> str:
+    # unrolled power iterations (standard SQL forbids aggregates in a
+    # recursive CTE term); float-exact parity with the Spark side: the
+    # teleport constant is embedded as repr() of the Python double, all
+    # other arithmetic is double-typed and parenthesized identically, and
+    # each iteration rounds to 12 on both engines.
+    tele = repr(1.0 - _PR_DAMP)
+    parts = [f"""e AS (
+  SELECT DISTINCT concat('host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar)) AS src,
+                  concat('host', cast(l_partkey % {N_FRONTIER_HOSTS} as varchar)) AS dst
+  FROM lineitem
+  WHERE l_suppkey % {N_FRONTIER_HOSTS} <> l_partkey % {N_FRONTIER_HOSTS}),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT cast(count(*) as double) AS n FROM nodes),
+deg AS (SELECT src, cast(count(*) as double) AS deg FROM e GROUP BY src),
+r0 AS (SELECT id, cast(1 as double) / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for t in range(_PR_ITER):
+        parts.append(f"""dang{t} AS (
+  SELECT coalesce(sum(r.rank), cast(0 as double)) AS dm FROM r{t} r
+  WHERE r.id NOT IN (SELECT src FROM deg)),
+c{t} AS (
+  SELECT e.dst AS id, sum(r.rank / d.deg) AS contrib
+  FROM e JOIN r{t} r ON r.id = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst),
+r{t + 1} AS (
+  SELECT n.id,
+         round(({tele}) / (SELECT n FROM nn)
+               + {_PR_DAMP!r} * (coalesce(c.contrib, cast(0 as double))
+                                 + (SELECT dm FROM dang{t}) / (SELECT n FROM nn)),
+               12) AS rank
+  FROM nodes n LEFT JOIN c{t} c ON c.id = n.id)""")
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT id AS host, round(rank, 6) AS rank FROM r{_PR_ITER}"
+
+
 _AU_N = 128
 
 
@@ -1441,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "pagerank_hosts": q_pagerank_hosts,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1497,6 +1554,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _Q_JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_components": _components_sql(),
+        "pagerank_hosts": _pagerank_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
         "ann_brute_topk": _Q_ANN_BRUTE_SQL,

@@ -1,0 +1,74 @@
+"""PageRank over the crawl link graph — the canonical crawl-priority
+signal (Page/Brin/Motwani/Winograd 1999, public literature): a crawler
+that orders its frontier by link authority fetches important pages first,
+so this feeds the same priority ladder the scheduler already ranks on
+(functions/urls.py priority formula, SURVEY.md C5).
+
+Power iteration, fixed iteration count, deterministic cross-engine:
+
+  r_{t+1}(v) = (1-d)/N + d * ( Σ_{u→v} r_t(u)/outdeg(u)  +  dangling_t/N )
+
+- dangling mass (rank sitting on nodes with no out-edges) is redistributed
+  uniformly — the standard correction, and it keeps Σr = 1 so ranks are
+  comparable across graphs.
+- every iteration rounds to 12 decimals ON BOTH ENGINES (Spark and the
+  DuckDB oracle): double summation is order-dependent across partitions,
+  so an unrounded pipeline would accumulate last-ulp drift over
+  iterations; an identical per-iteration round re-converges both engines
+  at every step. The final report rounds to 6.
+
+Scale design (10^10-edge web graphs):
+- per iteration: one equi-join of edges with the rank table on src (both
+  hash-partitioned on the same key — co-partitioned across iterations),
+  one partial/final sum on dst, one left join back to the node table. No
+  CartesianProduct, no windows, no collect of vectors.
+- the dangling term is a scalar aggregate per iteration (one number to the
+  driver — the same cost class as a convergence check).
+- the rank table is localCheckpoint()ed per iteration: truncates lineage
+  so plan depth stays O(1) in iteration count (on a real cluster point
+  setCheckpointDir at durable storage and use checkpoint()).
+- edge skew (a mega-hub dst) lands in the sum aggregate, which Spark
+  executes as partial map-side sums — hub fan-in is combined before the
+  shuffle; AQE skew handling covers the join side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """(id, rank) after ``n_iter`` power iterations over the distinct edge
+    set. Ranks sum to 1 (modulo the per-iteration 1e-12 rounding)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
+    nodes = (e.select(F.col("src").alias("id"))
+              .unionByName(e.select(F.col("dst").alias("id")))
+              .distinct().persist())
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    teleport = (1.0 - damping) / n
+    r = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    try:
+        for _ in range(n_iter):
+            dangling = (r.join(deg.withColumnRenamed("src", "id"), "id", "left_anti")
+                          .agg(F.sum("rank")).first()[0]) or 0.0
+            contribs = (e.join(r.withColumnRenamed("id", "src"), "src")
+                         .join(deg, "src")
+                         .select(F.col("dst").alias("id"),
+                                 (F.col("rank") / F.col("deg")).alias("c"))
+                         .groupBy("id").agg(F.sum("c").alias("contrib")))
+            r = (nodes.join(contribs, "id", "left")
+                      .select("id",
+                              F.round(F.lit(teleport)
+                                      + F.lit(damping)
+                                      * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                                         + F.lit(dangling / n)),
+                                      12).alias("rank"))
+                      .localCheckpoint(eager=True))
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        deg.unpersist()
+    return r
