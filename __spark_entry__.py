@@ -1073,6 +1073,24 @@ FROM (VALUES
 """
 
 
+_BM25_TERMS = ["spark", "query", "join", "window"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical relevance search over documents (top-100 for a fixed
+    query) — corpus stats (df/N/avgdl) + per-term contributions, final
+    top-k planned as TakeOrderedAndProject (operators/relevance.py)."""
+    from distributed_webcrawler_spark.operators.relevance import bm25_search
+
+    return bm25_search(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+def _bm25_sql() -> str:
+    from distributed_webcrawler_spark.operators.relevance import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS)
+
+
 _PR_ITER, _PR_DAMP = 5, 0.85
 
 
@@ -1498,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "pagerank_hosts": q_pagerank_hosts,
+        "bm25_search": q_bm25_search,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1555,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_components": _components_sql(),
         "pagerank_hosts": _pagerank_sql(),
+        "bm25_search": _bm25_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
         "ann_brute_topk": _Q_ANN_BRUTE_SQL,
