@@ -1073,6 +1073,48 @@ FROM (VALUES
 """
 
 
+_KM_K, _KM_ITER = 8, 2
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means IVF training over embeddings (k=8, 2 Lloyd
+    iterations): broadcast-matmul cosine assignment + mean update, every
+    centroid coordinate rounded to 12 per iteration on both engines
+    (operators/kmeans.py). Output: exploded centroid table."""
+    from distributed_webcrawler_spark.operators.kmeans import kmeans_fit
+
+    cents = kmeans_fit(_t(spark, sf_dir, "embeddings"), k=_KM_K, n_iter=_KM_ITER)
+    return cents.select("cell", "dim", F.round("val", 6).alias("val"))
+
+
+def _kmeans_sql() -> str:
+    # unrolled Lloyd iterations; assignment restates the ANN queries'
+    # proven round-6 cosine + smaller-cell tie-break, update is avg
+    # rounded to 12, empty cells keep the previous centroid (coalesce).
+    parts = [f"""emb AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+         FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_KM_K}) t),
+c0 AS (SELECT cell, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val FROM init)"""]
+    for t in range(_KM_ITER):
+        parts.append(f"""cl{t} AS (SELECT cell, list(val ORDER BY dim) AS cv FROM c{t} GROUP BY cell),
+a{t} AS (SELECT vec_id, cell FROM (
+   SELECT e.vec_id, c.cell,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            round(list_dot_product(e.v, c.cv)
+                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+            c.cell ASC) AS rn
+   FROM emb e CROSS JOIN cl{t} c) q WHERE rn = 1),
+u{t} AS (SELECT cell, dim, round(avg(val), 12) AS val FROM (
+   SELECT a.cell, generate_subscripts(e.v, 1) - 1 AS dim, unnest(e.v) AS val
+   FROM a{t} a JOIN emb e USING (vec_id)) s GROUP BY cell, dim),
+c{t + 1} AS (SELECT c{t}.cell, c{t}.dim, coalesce(u{t}.val, c{t}.val) AS val
+       FROM c{t} LEFT JOIN u{t} ON u{t}.cell = c{t}.cell AND u{t}.dim = c{t}.dim)""")
+    body = ",\n".join(parts)
+    return (f"WITH {body}\n"
+            f"SELECT cast(cell as bigint) AS cell, cast(dim as int) AS dim, "
+            f"round(val, 6) AS val FROM c{_KM_ITER}")
+
+
 _BM25_TERMS = ["spark", "query", "join", "window"]
 
 
@@ -1517,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "pagerank_hosts": q_pagerank_hosts,
         "bm25_search": q_bm25_search,
+        "kmeans_centroids": q_kmeans_centroids,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1575,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _components_sql(),
         "pagerank_hosts": _pagerank_sql(),
         "bm25_search": _bm25_sql(),
+        "kmeans_centroids": _kmeans_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
         "ann_brute_topk": _Q_ANN_BRUTE_SQL,
