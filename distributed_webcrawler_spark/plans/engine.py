@@ -41,6 +41,7 @@ import os
 import time
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -74,48 +75,72 @@ def _fetch_decode_fn(store_bytes: bool):
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         for pdf in it:
-            out = []
-            for r in pdf.itertuples(index=False):
-                web_status = r.web_status
-                if web_status is None or pd.isna(web_status):
-                    status, err = 0, "connection failed"
-                else:
-                    status = int(web_status)
-                    # status 0 = connection-level failure (BasicCrawler.java:113,129
-                    # maps interrupt/IO exceptions to 0); one canonical message for
-                    # both "known-dead" (join mode) and transport-error (http mode)
-                    # so live-fetch output is byte-identical to join-mode
-                    err = None if status == 200 else ("connection failed" if status == 0 else f"HTTP {status}")
-                by = r.pbytes
-                caption = r.caption if status == 200 else None
-                dw = dh = ph = None
-                blob = None
-                if status == 200 and by is not None and not (isinstance(by, float) and pd.isna(by)):
-                    blob = bytes(by)
-                    try:
-                        px, _fmt = codec.decode_image(blob)
-                        dh, dw = px.shape[0], px.shape[1]
-                        ph = codec.phash64(px)
-                    except codec.CodecError as e:
-                        err = f"decode error: {e}"
-                out.append((
-                    r.session_id, int(r.round), int(r.sched_seq), r.url, int(r.url_hash), r.host,
-                    int(r.depth), r.parent_url, status, err,
-                    # a failed fetch has no payload (oracle sim nulls it too);
-                    # keeps live-http output byte-identical to join mode
-                    r.image_id if status == 200 else None, caption,
-                    blob if store_bytes else None,
-                    r.fmt if status == 200 else None, len(blob) if blob is not None else None,
-                    dw, dh, ph, 0, pid,
-                ))
-            yield _typed_pdf(out, [
-                "session_id", "round", "sched_seq", "url", "url_hash", "host", "depth",
-                "parent_url", "status_code", "error_message", "image_id", "caption", "bytes",
-                "fmt", "content_length", "decoded_w", "decoded_h", "phash",
-                "crawl_duration_ms", "partition_id"],
-                int_cols=("round", "sched_seq", "url_hash", "depth", "status_code",
-                          "content_length", "decoded_w", "decoded_h", "phash",
-                          "crawl_duration_ms", "partition_id"))
+            n = len(pdf)
+            # status 0 = connection-level failure (BasicCrawler.java:113,129
+            # maps interrupt/IO exceptions to 0); one canonical message for
+            # both "known-dead" (join mode) and transport-error (http mode)
+            # so live-fetch output is byte-identical to join-mode.
+            # Everything except the per-image decode is vectorized: the
+            # status/error/null-propagation columns are whole-array ops and
+            # the python loop below touches ONLY fetched rows with payloads.
+            status = pd.to_numeric(pdf["web_status"], errors="coerce").fillna(0).astype("int64")
+            st = status.to_numpy()
+            ok = st == 200
+            err = np.full(n, None, dtype=object)
+            err[st == 0] = "connection failed"
+            other = ~ok & (st != 0)
+            if other.any():
+                err[other] = [f"HTTP {s}" for s in st[other]]
+            caption = np.where(ok, pdf["caption"].to_numpy(dtype=object), None)
+            # a failed fetch has no payload (oracle sim nulls it too);
+            # keeps live-http output byte-identical to join mode
+            image_id = np.where(ok, pdf["image_id"].to_numpy(dtype=object), None)
+            fmt = np.where(ok, pdf["fmt"].to_numpy(dtype=object), None)
+            pb = pdf["pbytes"].to_numpy(dtype=object)
+            dw = np.full(n, None, dtype=object)
+            dh = np.full(n, None, dtype=object)
+            ph = np.full(n, None, dtype=object)
+            clen = np.full(n, None, dtype=object)
+            blob_out = np.full(n, None, dtype=object)
+            for i in np.flatnonzero(ok):
+                by = pb[i]
+                if by is None or (isinstance(by, float) and pd.isna(by)):
+                    continue
+                blob = bytes(by)
+                clen[i] = len(blob)
+                if store_bytes:
+                    blob_out[i] = blob
+                try:
+                    px, _fmt = codec.decode_image(blob)
+                    dh[i], dw[i] = px.shape[0], px.shape[1]
+                    ph[i] = codec.phash64(px)
+                except codec.CodecError as e:
+                    err[i] = f"decode error: {e}"
+            # NEVER let pandas infer int columns that can hold None: float64
+            # coercion silently rounds 64-bit phash values (see _typed_pdf)
+            i64 = lambda v: pd.array(v, dtype="Int64")  # noqa: E731
+            yield pd.DataFrame({
+                "session_id": pdf["session_id"].to_numpy(dtype=object),
+                "round": i64(pdf["round"]),
+                "sched_seq": i64(pdf["sched_seq"]),
+                "url": pdf["url"].to_numpy(dtype=object),
+                "url_hash": i64(pdf["url_hash"]),
+                "host": pdf["host"].to_numpy(dtype=object),
+                "depth": i64(pdf["depth"]),
+                "parent_url": pdf["parent_url"].to_numpy(dtype=object),
+                "status_code": i64(status),
+                "error_message": err,
+                "image_id": image_id,
+                "caption": caption,
+                "bytes": blob_out,
+                "fmt": fmt,
+                "content_length": i64(clen),
+                "decoded_w": i64(dw),
+                "decoded_h": i64(dh),
+                "phash": i64(ph),
+                "crawl_duration_ms": i64(np.zeros(n, dtype=np.int64)),
+                "partition_id": i64(np.full(n, pid, dtype=np.int64)),
+            })
 
     return _fetch_decode
 
