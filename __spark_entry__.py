@@ -1073,6 +1073,43 @@ FROM (VALUES
 """
 
 
+_KMV_K, _WS_K = 256, 100
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over l_partkey: per-partition bounded
+    top-k state (no column shuffle), lossless below k, (k-1)/h_k estimate
+    above (operators/sketch.py)."""
+    from distributed_webcrawler_spark.operators.sketch import kmv_distinct
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("pk"))
+    return kmv_distinct(li, "pk", k=_KMV_K)
+
+
+def _kmv_sql() -> str:
+    from distributed_webcrawler_spark.operators.sketch import kmv_distinct_sql
+
+    return kmv_distinct_sql("cast(l_partkey as varchar)", "lineitem", k=_KMV_K)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted sample of documents
+    (weight = text length): map-side key + TakeOrderedAndProject, no
+    shuffle (operators/sketch.py)."""
+    from distributed_webcrawler_spark.operators.sketch import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("wlen"))
+    return weighted_sample(docs, "wlen", k=_WS_K, id_col="doc_id")
+
+
+def _weighted_sample_sql() -> str:
+    from distributed_webcrawler_spark.operators.sketch import weighted_sample_sql
+
+    return weighted_sample_sql("doc_id", "length(text)", "documents", k=_WS_K)
+
+
 _KM_K, _KM_ITER = 8, 2
 
 
@@ -1560,6 +1597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "bm25_search": q_bm25_search,
         "kmeans_centroids": q_kmeans_centroids,
+        "kmv_distinct": q_kmv_distinct,
+        "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1619,6 +1658,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _pagerank_sql(),
         "bm25_search": _bm25_sql(),
         "kmeans_centroids": _kmeans_sql(),
+        "kmv_distinct": _kmv_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
         "ann_brute_topk": _Q_ANN_BRUTE_SQL,

@@ -1,0 +1,120 @@
+"""Bounded-state sketches for 100 TB-scale corpus statistics:
+
+- KMV (k minimum values) distinct-count sketch — Bar-Yossef et al.,
+  "Counting distinct elements in a data stream" (RANDOM 2002), public
+  literature: keep the k smallest distinct hash values; if the k-th
+  smallest normalized hash is h, the distinct estimate is (k-1)/h.
+- Deterministic weighted sampling (A-Res) — Efraimidis & Spirakis,
+  "Weighted random sampling with a reservoir" (IPL 2006): key_i =
+  u_i^(1/w_i) with u_i uniform(0,1); the k largest keys are a weighted
+  sample without replacement.
+
+Both use the portable md5-derived 60-bit hash (functions/hashes.py) as the
+randomness source, so results are exactly reproducible across engines and
+runs — the property the DuckDB oracle gate and the engine's byte-identical
+resume both need. (A production variant would swap in xxhash64 for speed;
+semantics are identical.)
+
+Scale shapes:
+- KMV's whole point is BOUNDED state: a mapPartitions pass keeps only the
+  k smallest unique hashes per partition (k values of state, no shuffle of
+  the column), then the global k smallest of those n_partitions*k
+  survivors are selected with orderBy+limit (TakeOrderedAndProject). The
+  per-partition prune is lossless for the final answer: the global k
+  smallest distinct hashes each are among their own partition's k
+  smallest.
+- A-Res is one map-side key computation + one TakeOrderedAndProject: no
+  shuffle, no global sort, state bounded at k per partition heap.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashes import h64, h64_sql
+
+_H_SPACE = float(1 << 60)  # h64 is uniform on [0, 2^60)
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One-row DataFrame (k_used, kth_hash, est_distinct): the KMV distinct
+    estimate of ``col``. If fewer than k distinct hashes exist the estimate
+    is the exact distinct count (the sketch is lossless below k)."""
+
+    def partition_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        heap: list[int] = []          # max-heap of negated hashes, size <= k
+        members: set[int] = set()
+        for pdf in it:
+            for h in pdf["h"]:
+                h = int(h)
+                if h in members:
+                    continue
+                if len(heap) < k:
+                    heapq.heappush(heap, -h)
+                    members.add(h)
+                elif h < -heap[0]:
+                    members.discard(-heapq.heappushpop(heap, -h))
+                    members.add(h)
+        yield pd.DataFrame({"h": pd.array(sorted(members), dtype="Int64")})
+
+    hashed = df.select(h64(col).alias("h"))
+    survivors = hashed.mapInPandas(partition_topk, "h long")
+    # <= k*n_partitions rows reach here; dedup across partitions FIRST
+    # (a hash present in two partitions must not occupy two of the global
+    # k slots), then TakeOrderedAndProject picks the k smallest
+    merged = survivors.distinct().orderBy("h").limit(k)
+    scale = float(k - 1) * _H_SPACE
+    return (merged.agg(F.count("*").alias("k_used"), F.max("h").alias("kth_hash"))
+                  .select("k_used", "kth_hash",
+                          F.round(
+                              F.when(F.col("k_used") < k,
+                                     F.col("k_used").cast("double"))
+                               .otherwise(F.lit(scale) / F.col("kth_hash")),
+                              4).alias("est_distinct")))
+
+
+def kmv_distinct_sql(expr: str, source: str, k: int = 256) -> str:
+    """DuckDB restatement: the global k smallest distinct hashes directly
+    (the per-partition prune is lossless, so the sketch equals this)."""
+    scale = float(k - 1) * _H_SPACE
+    return f"""
+WITH hashes AS (SELECT DISTINCT {h64_sql(expr)} AS h FROM {source}),
+smallest AS (SELECT h FROM hashes ORDER BY h LIMIT {k})
+SELECT cast(count(*) as bigint) AS k_used, max(h) AS kth_hash,
+       round(CASE WHEN count(*) < {k} THEN cast(count(*) as double)
+                  ELSE {scale!r} / max(h) END, 4) AS est_distinct
+FROM smallest
+"""
+
+
+def weighted_sample(df: DataFrame, weight_col, k: int = 100,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted sample WITHOUT
+    replacement: key = u^(1/w) with u = h64(id)/2^60; keep the k largest
+    keys. ``weight_col`` is any positive numeric Column/name. The key is
+    rounded to 12 on both engines (libm pow can differ in the last ulp);
+    ties break to the smaller id. Returns (id, weight, key)."""
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast("double")
+    u = h64(F.col(id_col).cast("string")).cast("double") / F.lit(_H_SPACE)
+    key = F.round(F.pow(u, F.lit(1.0) / w), 12)
+    return (df.select(F.col(id_col).alias("id"), w.alias("weight"), key.alias("key"))
+              .orderBy(F.col("key").desc(), F.col("id").asc())
+              .limit(k))
+
+
+def weighted_sample_sql(id_expr: str, weight_expr: str, source: str,
+                        k: int = 100) -> str:
+    """DuckDB restatement with identical arithmetic and rounding."""
+    return f"""
+SELECT {id_expr} AS id, cast({weight_expr} as double) AS weight,
+       round(pow(cast({h64_sql(f'cast({id_expr} as varchar)')} as double) / {_H_SPACE!r},
+                 1.0 / cast({weight_expr} as double)), 12) AS key
+FROM {source}
+ORDER BY key DESC, id ASC
+LIMIT {k}
+"""
