@@ -44,6 +44,13 @@ HEADLINE = [
     "video_frame_sample",
     "image_phash_near_dup",
     "dataset_split",
+    "dedup_components",
+    "pagerank_hosts",
+    "bm25_search",
+    "kmeans_centroids",
+    "kmv_distinct",
+    "weighted_sample",
+    "audio_features",
 ]
 
 
