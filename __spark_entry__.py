@@ -999,6 +999,78 @@ FROM (VALUES
 """
 
 
+def _mm_caption(i: int) -> str:
+    """Deterministic caption for spec index i — mixes normal short captions
+    with the input_hint edge cases: empty, unicode, and over-long (>64
+    tokens). Pure Python (md5-derived) so Spark and DuckDB agree."""
+    import hashlib
+
+    if i % 17 == 0:
+        return ""
+    if i % 13 == 0:
+        return "word " * 300
+    vocab = ["a", "photo", "of", "the", "quick", "red", "fox", "mountain",
+             "sunset", "with", "tiny", "bridge", "überholt", "東京",
+             "river", "03"]
+    h = int(hashlib.md5(f"cap:{i}".encode()).hexdigest()[:8], 16)
+    n = 1 + h % 12
+    return " ".join(vocab[(h + j) % len(vocab)] for j in range(n))
+
+
+def q_image_caption_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION/CLIP-style training-pair filter over the crawl's image+caption
+    payloads (the input_hint table shape): Arrow-batched decode -> keep
+    pairs whose image has min(w,h) >= 24 and aspect ratio <= 2, and whose
+    caption tokenizes to 3..64 alphanumeric tokens. Stats-width rows only —
+    pixel bytes never survive the decode stage, so at 10^10 pairs the
+    filter's shuffle carries ~tens of bytes/row. Oracle: the precomputed
+    expected decode table + the same caption math in SQL."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import decode_stats
+    from distributed_webcrawler_spark.sources import codec
+
+    pdf = pd.DataFrame(
+        [(iid, codec.encode_image(codec.synth_pixels(iid, w, h), fmt),
+          _mm_caption(idx))
+         for idx, (iid, w, h, fmt) in enumerate(_mm_specs())],
+        columns=["image_id", "bytes", "caption"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    stats = decode_stats(payloads.select("image_id", "bytes")).where(F.col("ok"))
+    caps = payloads.select(
+        "image_id", "caption",
+        X.token_count("caption").cast("int").alias("n_tokens"))
+    return (stats.join(caps, "image_id")
+            .where((F.least("w", "h") >= F.lit(24))
+                   & ((F.greatest("w", "h") / F.least("w", "h")) <= F.lit(2.0))
+                   & F.col("n_tokens").between(3, 64))
+            .select("image_id", "fmt", "w", "h", "n_tokens", "caption"))
+
+
+def _pairfilter_sql() -> str:
+    vals = ",\n".join(
+        f"('{iid}', '{fmt}', {w}, {h}, '{_mm_caption(idx)}')"
+        for idx, (iid, fmt, w, h, _mr, _mg, _mb, _ph)
+        in enumerate(_mm_expected_rows()))
+    return f"""
+WITH exp AS (
+  SELECT image_id, fmt, cast(w as int) AS w, cast(h as int) AS h, caption
+  FROM (VALUES
+{vals}
+  ) AS t(image_id, fmt, w, h, caption)),
+base AS (
+  SELECT image_id, fmt, w, h,
+         cast(len(regexp_extract_all(lower(caption), '[a-z0-9]+')) as int) AS n_tokens,
+         caption
+  FROM exp)
+SELECT image_id, fmt, w, h, n_tokens, caption
+FROM base
+WHERE least(w, h) >= 24
+  AND greatest(w, h) * 1.0 / least(w, h) <= 2.0
+  AND n_tokens BETWEEN 3 AND 64
+"""
+
+
 _VID_N = 48
 
 
@@ -1613,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "image_caption_pair_filter": q_image_caption_pair_filter,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
         "image_phash_near_dup": q_image_phash_near_dup,
@@ -1674,6 +1747,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": _Q_TOKENS_SQL,
         "text_fingerprint": _Q_FP_SQL,
         "multimodal_decode": _mm_sql(),
+        "image_caption_pair_filter": _pairfilter_sql(),
         "video_frame_sample": _vid_sql(),
         "audio_features": _au_sql(),
         "image_phash_near_dup": _pn_sql(),
