@@ -1047,6 +1047,94 @@ def q_image_caption_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("image_id", "fmt", "w", "h", "n_tokens", "caption"))
 
 
+def q_caption_image_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-shaped caption<->image alignment over the crawl's
+    image+caption pairs (the LAION filtering step between the pair gate and
+    dedup): caption -> 4-dim hashed bag-of-words vector (portable h64
+    buckets), image -> 4-dim feature vector from the decoded stats
+    (mean RGB + phash popcount), score = cosine. A real pipeline swaps the
+    two featurizers for CLIP embeddings; the JOIN/agg/score plumbing — the
+    Spark-side shape — is identical and is what this query gates. Stats
+    stay stats-width; the token explode is the only row blowup and it is
+    bounded by the 64-token caption gate upstream."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.functions.hashes import h64
+    from distributed_webcrawler_spark.operators.multimodal import decode_stats
+    from distributed_webcrawler_spark.sources import codec
+
+    pdf = pd.DataFrame(
+        [(iid, codec.encode_image(codec.synth_pixels(iid, w, h), fmt),
+          _mm_caption(idx))
+         for idx, (iid, w, h, fmt) in enumerate(_mm_specs())],
+        columns=["image_id", "bytes", "caption"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+
+    toks = (payloads
+            .select("image_id",
+                    F.explode(F.regexp_extract_all(
+                        F.lower("caption"), F.lit("([a-z0-9]+)"), 1)).alias("tok"))
+            .withColumn("b", (h64(F.col("tok")) % 4).cast("int")))
+    cap_vec = toks.groupBy("image_id").agg(
+        *[F.sum(F.when(F.col("b") == k, 1).otherwise(0))
+          .cast("double").alias(f"c{k}") for k in range(4)])
+
+    stats = (decode_stats(payloads.select("image_id", "bytes"))
+             .where(F.col("ok"))
+             .select("image_id",
+                     (F.col("mean_r") + 1.0).alias("i0"),
+                     (F.col("mean_g") + 1.0).alias("i1"),
+                     (F.col("mean_b") + 1.0).alias("i2"),
+                     (F.bit_count("phash").cast("double") + 1.0).alias("i3")))
+
+    j = stats.join(cap_vec, "image_id")
+    dot = sum(F.col(f"c{k}") * F.col(f"i{k}") for k in range(4))
+    n_cap = F.sqrt(sum(F.col(f"c{k}") * F.col(f"c{k}") for k in range(4)))
+    n_img = F.sqrt(sum(F.col(f"i{k}") * F.col(f"i{k}") for k in range(4)))
+    return (j.select("image_id",
+                     F.round(dot / (n_cap * n_img), 6).alias("align_score"))
+            .where(F.col("align_score") > 0.0))
+
+
+def _alignment_sql() -> str:
+    from distributed_webcrawler_spark.functions.hashes import h64_sql
+
+    vals = ",\n".join(
+        f"('{iid}', {mr!r}, {mg!r}, {mb!r}, {ph}, '{_mm_caption(idx)}')"
+        for idx, (iid, _fmt, _w, _h, mr, mg, mb, ph)
+        in enumerate(_mm_expected_rows()))
+    b = h64_sql("tok")
+    dot = " + ".join(f"c{k} * i{k}" for k in range(4))
+    n_cap = "sqrt(" + " + ".join(f"c{k} * c{k}" for k in range(4)) + ")"
+    n_img = "sqrt(" + " + ".join(f"i{k} * i{k}" for k in range(4)) + ")"
+    cks = ",\n         ".join(
+        f"cast(sum(CASE WHEN ({b}) % 4 = {k} THEN 1 ELSE 0 END) as double) AS c{k}"
+        for k in range(4))
+    return f"""
+WITH exp AS (
+  SELECT image_id, cast(mean_r as double) AS mean_r,
+         cast(mean_g as double) AS mean_g, cast(mean_b as double) AS mean_b,
+         cast(phash as bigint) AS phash, caption
+  FROM (VALUES
+{vals}
+  ) AS t(image_id, mean_r, mean_g, mean_b, phash, caption)),
+toks AS (
+  SELECT image_id, unnest(regexp_extract_all(lower(caption), '([a-z0-9]+)', 1)) AS tok
+  FROM exp),
+cap AS (
+  SELECT image_id,
+         {cks}
+  FROM toks GROUP BY image_id),
+img AS (
+  SELECT image_id, mean_r + 1.0 AS i0, mean_g + 1.0 AS i1,
+         mean_b + 1.0 AS i2, cast(bit_count(phash) as double) + 1.0 AS i3
+  FROM exp)
+SELECT img.image_id, round(({dot}) / (({n_cap}) * ({n_img})), 6) AS align_score
+FROM img JOIN cap ON img.image_id = cap.image_id
+WHERE round(({dot}) / (({n_cap}) * ({n_img})), 6) > 0.0
+"""
+
+
 def _pairfilter_sql() -> str:
     vals = ",\n".join(
         f"('{iid}', '{fmt}', {w}, {h}, '{_mm_caption(idx)}')"
@@ -1686,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
         "image_caption_pair_filter": q_image_caption_pair_filter,
+        "caption_image_alignment": q_caption_image_alignment,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
         "image_phash_near_dup": q_image_phash_near_dup,
@@ -1748,6 +1837,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _Q_FP_SQL,
         "multimodal_decode": _mm_sql(),
         "image_caption_pair_filter": _pairfilter_sql(),
+        "caption_image_alignment": _alignment_sql(),
         "video_frame_sample": _vid_sql(),
         "audio_features": _au_sql(),
         "image_phash_near_dup": _pn_sql(),
