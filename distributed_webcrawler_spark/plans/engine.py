@@ -207,6 +207,16 @@ class CrawlEngine:
         return self._pool
 
     # ------------------------------------------------------------- helpers
+    def _desc(self, desc: str) -> None:
+        """Tag this (python) thread's Spark jobs with a round-phase label —
+        purely observational (event log / UI); PYSPARK_PIN_THREAD maps each
+        python thread to its own JVM thread, so branch threads keep
+        independent labels."""
+        try:
+            self.spark.sparkContext.setJobDescription(desc)
+        except Exception:
+            pass
+
     def _t(self, name: str):
         return self.store.table(name)
 
@@ -731,6 +741,7 @@ class CrawlEngine:
             _last[0] = now
 
         cfg = self.cfg
+        self._desc(f"dws r{rnd}: schedule")
         sched, n_sched = self._schedule(self.pending(), rnd)
         mark("schedule")
         if n_sched == 0:
@@ -782,6 +793,7 @@ class CrawlEngine:
         # Snapshot ids, table contents, and checkpoint payloads are
         # byte-identical to the serial order (per-table manifests).
         def _branch_expand() -> int:
+            self._desc(f"dws r{rnd}: expand+frontier+bloom")
             new_rows = self._expand(fetched, rnd).cache()
             self._round_caches.append(new_rows)
             # the frontier append doubles as new_rows' count (parquet footer
@@ -806,6 +818,7 @@ class CrawlEngine:
             return n_new
 
         def _branch_progress() -> None:
+            self._desc(f"dws r{rnd}: progress+done")
             # every scheduled URL yields exactly one pages row with
             # status_code = web_status (0 sentinel when the fetch missed), so
             # progress projects straight off the cached slim fetch result —
@@ -833,6 +846,7 @@ class CrawlEngine:
         pool = self._branch_pool()
         fut_expand = pool.submit(_branch_expand)
         fut_progress = pool.submit(_branch_progress)
+        self._desc(f"dws r{rnd}: fetch+decode+pages_write")
         self._t("pages").append(pages_all)
         stats_row = obs.get
         mark_at("pages_write")
@@ -840,6 +854,7 @@ class CrawlEngine:
         fut_progress.result()
         mark("round_branches")
 
+        self._desc(f"dws r{rnd}: metrics+checkpoint")
         wall = time.monotonic() - t0
         stats = {"session_id": cfg.session_id, "round": rnd,
                  **{k: (int(v) if k != "avg_depth" else float(v)) for k, v in stats_row.items()},

@@ -26,24 +26,29 @@ def _tune_allocator() -> None:
     224MB numpy temporary. Raising the mmap/trim thresholds keeps big
     blocks in the arena, so pages fault once per process and are reused.
 
-    The env vars are inherited by the JVM this process launches and by the
-    Python UDF workers the JVM forks — one call covers driver + workers.
-    mallopt() applies it to the CURRENT process (env is read only at
-    startup). RSS tradeoff: freed big blocks stay resident at the process
-    high-water mark, the same accounting an executor is sized by anyway.
+    SCOPE — Python processes ONLY. The thresholds reach the UDF workers
+    via spark.executorEnv.* (set in get_spark; local-mode workers get it
+    too) and the driver Python via mallopt() below. They must NOT reach
+    the JVM: glibc keeps up to 8*ncores per-thread arenas, and with a 1 GiB
+    trim threshold every arena retains its native high-water mark forever —
+    measured here as the driver JVM (Xmx 24g) ballooning past 118 GB anon
+    RSS and getting OOM-killed mid-round at local[32]. On a real cluster
+    that balloon is an executor container kill (YARN/K8s memory limit).
+    The JVM instead gets MALLOC_ARENA_MAX=4 (env is read at its exec): its
+    native allocations are pooled/small (heap is G1-managed; shuffle reads
+    are pread via memoryMapThreshold below), so arena count — not
+    retention — is the JVM-side knob.
     """
-    thr = str(1 << 30)
-    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", thr)
-    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", thr)
-    os.environ.setdefault(
-        "GLIBC_TUNABLES",
-        f"glibc.malloc.mmap_threshold={1 << 30}:glibc.malloc.trim_threshold={1 << 30}")
+    os.environ.pop("MALLOC_MMAP_THRESHOLD_", None)
+    os.environ.pop("MALLOC_TRIM_THRESHOLD_", None)
+    os.environ.pop("GLIBC_TUNABLES", None)
+    os.environ.setdefault("MALLOC_ARENA_MAX", "4")
     try:
         libc = ctypes.CDLL("libc.so.6")
-        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
-        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD (this process only)
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD (this process only)
     except OSError:
-        pass  # non-glibc platform: env hints above still apply where read
+        pass  # non-glibc platform
 
 
 def get_spark(
@@ -103,6 +108,13 @@ def get_spark(
         # local[32]. pread into pooled buffers scales; 512m keeps mmap only
         # for blocks that would not fit a buffer anyway.
         .config("spark.storage.memoryMapThreshold", "512m")
+        # Python-worker-only allocator tuning (see _tune_allocator): big
+        # Arrow/numpy blocks fault once and are reused instead of
+        # mmap/munmap-cycling per batch. Scoped here so the JVM does NOT
+        # inherit the 1 GiB retention thresholds.
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.MALLOC_ARENA_MAX", "4")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

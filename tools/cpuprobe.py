@@ -63,4 +63,8 @@ def probe(widths=(8, 16, 32)) -> dict:
 
 
 if __name__ == "__main__":
-    print(json.dumps(probe()))
+    import sys
+
+    ws = (tuple(int(x) for x in sys.argv[1].split(","))
+          if len(sys.argv) > 1 else (8, 16, 32))
+    print(json.dumps(probe(ws)))

@@ -18,6 +18,7 @@ import collections
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import threading
@@ -41,6 +42,36 @@ class StackSampler(threading.Thread):
         self.stop_flag = False
         self.cpu = {"utime": 0, "stime": 0}
         self._t0 = self._read_cpu()
+        # python UDF worker CPU: pyspark.daemon + its forked workers are the
+        # OTHER pool of cores the round consumes. Track per-pid (first, last)
+        # utime+stime and sum deltas — the daemon's cutime would attribute a
+        # dead worker's WHOLE lifetime (incl. pre-round warm-up) to the
+        # round; per-pid deltas only lose a worker's final <2s.
+        self._py_seen: dict = {}
+        self._py_sample()
+
+    @property
+    def py_cpu_ticks(self) -> int:
+        return sum(last - first for first, last in self._py_seen.values())
+
+    def _py_sample(self) -> None:
+        try:
+            pids = subprocess.run(["pgrep", "-f", "pyspark.daemon"],
+                                  capture_output=True, text=True).stdout.split()
+            for pid in pids:
+                kids = subprocess.run(["pgrep", "-P", pid], capture_output=True,
+                                      text=True).stdout.split()
+                for p in [pid, *kids]:
+                    try:
+                        with open(f"/proc/{p}/stat") as f:
+                            st = f.read().split()
+                        ticks = int(st[13]) + int(st[14])
+                    except (OSError, ValueError):
+                        continue
+                    first, _ = self._py_seen.get(p, (ticks, ticks))
+                    self._py_seen[p] = (first, ticks)
+        except Exception:
+            pass
 
     def _read_cpu(self):
         try:
@@ -77,6 +108,7 @@ class StackSampler(threading.Thread):
                         break
                 self.frames[frame] += 1
             self.samples += 1
+            self._py_sample()
             time.sleep(self.period)
         t1 = self._read_cpu()
         if self._t0 and t1:
@@ -94,7 +126,9 @@ def main() -> None:
     from distributed_webcrawler_spark.plans.engine import CrawlEngine
     from distributed_webcrawler_spark.sources.store import SnapshotStore
 
-    mem_gb = int(os.environ.get("DWS_DIAG_MEM_GB", 12 + 3 * cpus))
+    # same sizing AND the same 64g cap as bench_scaling's RUNNER: 12+3*32
+    # uncapped is a 108g pre-touched heap — instant OOM on the 125g box
+    mem_gb = int(os.environ.get("DWS_DIAG_MEM_GB", min(12 + 3 * cpus, 64)))
     extra = {"spark.local.dir": tempfile.mkdtemp(dir=scratch, prefix="sparklocal-"),
              "spark.driver.memory": f"{mem_gb}g"}
     if os.environ.get("DWS_JAVA_OPTS"):
@@ -167,6 +201,13 @@ def main() -> None:
         print(f"jvm cpu during round: user {sampler.cpu['utime']/hz:.0f}s "
               f"sys {sampler.cpu['stime']/hz:.0f}s "
               f"(sys share {sampler.cpu['stime']/max(1, sampler.cpu['utime']+sampler.cpu['stime']):.0%})")
+        py_s = sampler.py_cpu_ticks / hz
+        jvm_s = (sampler.cpu['utime'] + sampler.cpu['stime']) / hz
+        avail = cpus * wall
+        print(f"python worker cpu during round: {py_s:.0f}s; "
+              f"core-budget use (jvm+py)/(cores*wall): "
+              f"{(jvm_s + py_s) / max(1.0, avail):.0%} of {avail:.0f} core-s "
+              f"(idle = pipeline gaps / slot starvation)")
         print(f"top kernel frames over {sampler.samples} samples "
               f"(runnable threads only):")
         for frame, n in sampler.frames.most_common(15):
@@ -197,10 +238,27 @@ def _print_stage_timeline(spark, evdir: str, cpus: int,
         print(f"(no event log under {evdir})")
         return
     stages = []
+    jobs: dict[int, dict] = {}
     import itertools
     lines = itertools.chain.from_iterable(open(p) for p in paths)
     if True:
         for line in lines:
+            if '"SparkListenerJobStart"' in line:
+                ev = json.loads(line)
+                props = ev.get("Properties", {}) or {}
+                jobs[ev["Job ID"]] = {
+                    "sub": ev.get("Submission Time"),
+                    "site": (props.get("spark.job.description")
+                             or props.get("callSite.short", ""))[:72],
+                    "n_stages": len(ev.get("Stage IDs", [])),
+                }
+                continue
+            if '"SparkListenerJobEnd"' in line:
+                ev = json.loads(line)
+                j = jobs.get(ev["Job ID"])
+                if j is not None:
+                    j["comp"] = ev.get("Completion Time")
+                continue
             if '"SparkListenerStageCompleted"' not in line:
                 continue
             ev = json.loads(line)
@@ -223,7 +281,7 @@ def _print_stage_timeline(spark, evdir: str, cpus: int,
                 elif nm == "internal.metrics.jvmGCTime":
                     gc_ms = int(acc.get("Value", 0))
             stages.append({
-                "id": si["Stage ID"], "name": si.get("Name", "")[:48],
+                "id": si["Stage ID"], "name": si.get("Stage Name", "")[:48],
                 "sub": sub, "comp": comp, "task_ms": task_ms,
                 "cpu_ms": cpu_ms, "spill_mb": spill_mb, "gc_ms": gc_ms,
                 "n_tasks": si.get("Number of Tasks", 0),
@@ -246,6 +304,16 @@ def _print_stage_timeline(spark, evdir: str, cpus: int,
         prev_end = max(prev_end, s["comp"])
     print(f"total driver gap {total_gap:.1f}s, stage wall {total_wall:.1f}s, "
           f"round {(t1 - t0):.1f}s")
+
+    timed = [(jid, j) for jid, j in sorted(jobs.items())
+             if j.get("sub") and j.get("comp")
+             and j["comp"] / 1000.0 >= t0 and j["sub"] / 1000.0 <= t1]
+    if timed:
+        print(f"\njob timeline (timed round; start offsets relative to round t0):")
+        print(f"{'job':>5} {'start_s':>8} {'wall_s':>7} {'stages':>6}  callsite")
+        for jid, j in timed:
+            print(f"{jid:>5} {(j['sub'] / 1000.0 - t0):>8.1f} "
+                  f"{(j['comp'] - j['sub']) / 1000.0:>7.1f} {j['n_stages']:>6}  {j['site']}")
 
 
 if __name__ == "__main__":
