@@ -34,15 +34,20 @@ def _tune_allocator() -> None:
     measured here as the driver JVM (Xmx 24g) ballooning past 118 GB anon
     RSS and getting OOM-killed mid-round at local[32]. On a real cluster
     that balloon is an executor container kill (YARN/K8s memory limit).
-    The JVM instead gets MALLOC_ARENA_MAX=4 (env is read at its exec): its
-    native allocations are pooled/small (heap is G1-managed; shuffle reads
-    are pread via memoryMapThreshold below), so arena count — not
-    retention — is the JVM-side knob.
+    The JVM instead gets MALLOC_ARENA_MAX scaled to the task width (set in
+    get_spark, where the core count is known; env is read at JVM exec).
+    Glibc assigns threads to arenas on first malloc CONTENTION, so a fixed
+    low cap (4) is a lottery: an unlucky assignment convoys every native
+    allocation (zstd/lz4 contexts, Arrow IPC, parquet buffers) behind 4
+    locks — measured here at 16-wide as the SAME round taking 45s or 214s
+    (916 kernel CPU-s of futex) depending only on that race. ncores-to-
+    2*ncores arenas removes the convoy; with the retention thresholds above
+    NOT reaching the JVM, per-arena retention stays at glibc's dynamic
+    default (<=32MB), i.e. bounded by ~2GB at 64 arenas — container-safe.
     """
     os.environ.pop("MALLOC_MMAP_THRESHOLD_", None)
     os.environ.pop("MALLOC_TRIM_THRESHOLD_", None)
     os.environ.pop("GLIBC_TUNABLES", None)
-    os.environ.setdefault("MALLOC_ARENA_MAX", "4")
     try:
         libc = ctypes.CDLL("libc.so.6")
         libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD (this process only)
@@ -71,6 +76,10 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = f"local[{cpus}]"
     n_threads = os.cpu_count() or 32 if str(cpus) == "*" else int(cpus)
+    # JVM-side arena count scales with task width (see _tune_allocator);
+    # must be in the env BEFORE the gateway JVM is exec'd by getOrCreate.
+    os.environ.setdefault(
+        "MALLOC_ARENA_MAX", str(max(8, min(64, 2 * n_threads))))
     if shuffle_partitions is None:
         shuffle_partitions = max(8, 2 * n_threads)
     # Xms below must track the FINAL driver memory (callers may shrink it
