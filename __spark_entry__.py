@@ -550,6 +550,42 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (p50/p95 fetch-latency-style stats; the
+    reference reports only counts — a percentile dashboard is the first
+    thing an operator adds on top of A1-A8).
+
+    Spark's `percentile` is the EXACT linearly-interpolated quantile
+    (rank p*(n-1)), the same definition as DuckDB/Postgres
+    `quantile_cont`/`percentile_cont`, so the oracle can gate values —
+    unlike `approx_percentile`, whose sketch is engine-specific. Exact
+    percentile sorts within each group post-shuffle; at the 10^10 tier
+    with bounded group count this is the same single-shuffle shape as
+    any groupBy, and the swap to `approx_percentile` (t-digest, fixed
+    ~KB state per group, mergeable map-side) is one function name when
+    a 0.1% error tolerance is acceptable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_Q_QUANTILE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+       round(quantile_cont(l_quantity, 0.5), 6)       AS p50_qty,
+       cast(count(*) as bigint) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -1750,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status": q_pivot_status,
         "rolling_window": q_rolling_window,
         "count_distinct": q_count_distinct,
+        "quantile_stats": q_quantile_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1813,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_status": _Q_PIVOT_SQL,
         "rolling_window": _Q_ROLLING_SQL,
         "count_distinct": _Q_COUNTD_SQL,
+        "quantile_stats": _Q_QUANTILE_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _Q_JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
