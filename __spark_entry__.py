@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from distributed_webcrawler_spark.functions import scrub as SC
 from distributed_webcrawler_spark.functions import text as X
 from distributed_webcrawler_spark.functions import urls as U
 from distributed_webcrawler_spark.functions.hashes import h64, h64_sql
@@ -1760,6 +1761,277 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_crawl_round_schedule(spark, SF001)
 
 
+# ---------------------------------------------------------------------------
+# Pipeline-hygiene operators (round 2): PII scrubbing, Gopher-style
+# repetition rules, benchmark-contamination checks, quality-aware dedup
+# representatives, freshness-driven recrawl scheduling, HTML text extraction.
+# All pure Column expressions / DataFrame compositions — no Python in the
+# hot path; see functions/scrub.py for the builders.
+# ---------------------------------------------------------------------------
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails / IPv4 / phone numbers) over
+    documents. The corpus is synthetic and PII-free, so the query injects
+    deterministic PII spans for a fixed doc_id subset IN the query (same
+    literal construction on both engines) — the oracle then verifies both
+    the counts and the redacted text byte-for-byte. Pure regexp Column ops
+    (Java-regex/RE2 common subset), embedded in the scan at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    inject = (
+        F.when(d % 7 == 0, F.concat(
+            F.lit(" reach user"), d.cast("string"),
+            F.lit("@mail.example.test or 10."), (d % 200).cast("string"),
+            F.lit(".3.44")))
+        .when(d % 11 == 3, F.concat(
+            F.lit(" call 555-"), (d % 900 + 100).cast("string"),
+            F.lit("-0199 now")))
+        .otherwise(F.lit("")))
+    aug = docs.select("doc_id", F.concat(F.col("text"), inject).alias("t"))
+    return aug.select(
+        "doc_id",
+        SC.pii_count("t", "email").alias("n_email"),
+        SC.pii_count("t", "ip").alias("n_ip"),
+        SC.pii_count("t", "phone").alias("n_phone"),
+        SC.pii_redact("t").alias("clean"),
+    )
+
+
+def _pii_sql() -> str:
+    pats = dict(SC.PII_PATTERNS)
+    e, i, p = pats["email"], pats["ip"], pats["phone"]
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN ' reach user' || cast(doc_id as varchar) || '@mail.example.test or 10.' || cast(doc_id % 200 as varchar) || '.3.44'
+                      WHEN doc_id % 11 = 3 THEN ' call 555-' || cast(doc_id % 900 + 100 as varchar) || '-0199 now'
+                      ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       cast(len(regexp_extract_all(t, '{e}')) as int) AS n_email,
+       cast(len(regexp_extract_all(t, '{i}')) as int) AS n_ip,
+       cast(len(regexp_extract_all(t, '{p}')) as int) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(t, '{e}', '<email>', 'g'), '{i}', '<ip>', 'g'), '{p}', '<phone>', 'g') AS clean
+FROM aug
+"""
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules per document: duplicate-word
+    fraction, most-frequent-word fraction, most-frequent-bigram fraction,
+    and the keep/drop gate. Token array materialized once per row and
+    reused; O(tokens x distinct) in-row work, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    t = (docs.select("doc_id", SC.word_tokens("text").alias("t"))
+             .withColumn("bg", SC.word_bigrams("t")))
+    dup = SC.dup_frac("t")
+    topw = SC.top_element_frac("t")
+    topb = SC.top_element_frac("bg")
+    return t.select(
+        "doc_id",
+        F.size("t").cast("int").alias("n_tokens"),
+        dup.alias("dup_word_frac"),
+        topw.alias("top_word_frac"),
+        topb.alias("top_bigram_frac"),
+        SC.repetition_keep(dup, topw, topb).alias("keep"),
+    )
+
+
+_Q_REPETITION_SQL = f"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+bg AS (SELECT doc_id, t,
+              CASE WHEN len(t) < 2 THEN [] ELSE list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1]) END AS b
+       FROM tok),
+m AS (SELECT doc_id,
+             cast(len(t) as int) AS n_tokens,
+             cast(round((len(t) - len(list_distinct(t))) / greatest(len(t), 1), 6) as double) AS dup_word_frac,
+             CASE WHEN len(t) < 1 THEN cast(0.0 as double) ELSE cast(round(list_max(list_transform(list_distinct(t), w -> len(list_filter(t, x -> x = w)))) / len(t), 6) as double) END AS top_word_frac,
+             CASE WHEN len(b) < 1 THEN cast(0.0 as double) ELSE cast(round(list_max(list_transform(list_distinct(b), w -> len(list_filter(b, x -> x = w)))) / len(b), 6) as double) END AS top_bigram_frac
+      FROM bg)
+SELECT doc_id, n_tokens, dup_word_frac, top_word_frac, top_bigram_frac,
+       (dup_word_frac <= {SC.REP_MAX_DUP_WORD} AND top_word_frac <= {SC.REP_MAX_TOP_WORD} AND top_bigram_frac <= {SC.REP_MAX_TOP_BIGRAM}) AS keep
+FROM m
+"""
+
+
+_CT_K, _CT_MOD = 3, 23
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: word k-gram overlap between an eval
+    subset (doc_id % {mod} == 0 stands in for the benchmark corpus) and the
+    training docs. Output: per contaminated training doc, its shingle count,
+    overlap count and fraction. Scale path: the eval shingle set is tiny
+    relative to the corpus, so it broadcasts and the training side is a
+    single map-side semi-match + one aggregation — the 100 TB plan is scan +
+    broadcast-join + partial agg, no corpus self-shuffle. Production uses
+    k=13 (n-gram decontamination convention); the oracle-gated query uses
+    k={k} so the tiny word-soup fixture has real overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", SC.word_tokens("text").alias("t")).where(F.size("t") >= _CT_K)
+    sh = (tok.select("doc_id", F.explode(SC.word_shingles("t", _CT_K)).alias("sh"))
+             .distinct())
+    ev = sh.where(F.col("doc_id") % _CT_MOD == 0).select("sh").distinct()
+    train = sh.where(F.col("doc_id") % _CT_MOD != 0)
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (train.join(F.broadcast(ev), "sh")
+                 .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
+    return (hits.join(sizes, "doc_id")
+                .select("doc_id", "n_shingles", "n_overlap",
+                        F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias("overlap_frac")))
+
+
+q_contamination_overlap.__doc__ = q_contamination_overlap.__doc__.format(mod=_CT_MOD, k=_CT_K)
+
+_Q_CONTAMINATION_SQL = f"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+ok AS (SELECT * FROM tok WHERE len(t) >= {_CT_K}),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_CT_K - 1})) AS i FROM ok),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh FROM pos),
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_CT_MOD} = 0),
+train AS (SELECT * FROM sh WHERE doc_id % {_CT_MOD} <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+hits AS (SELECT t.doc_id, count(*) AS n_overlap FROM train t JOIN ev USING (sh) GROUP BY t.doc_id)
+SELECT doc_id, n_shingles, n_overlap, round(n_overlap / n_shingles, 6) AS overlap_frac
+FROM hits JOIN sizes USING (doc_id)
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline composition: MinHash-LSH candidate pairs
+    -> connected components -> quality-aware representative per cluster
+    (highest text.quality_score, ties to smallest doc_id). This is the
+    "which duplicate do we KEEP" answer a training-data pipeline actually
+    needs, not just the pair list. One extra shuffle over the component id
+    beyond the components themselves."""
+    from distributed_webcrawler_spark.operators.components import (
+        component_representatives, connected_components)
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, n_hashes=_MH_N, band_size=_MH_BAND,
+                                k=_MH_K, max_chars=_MH_CHARS, min_est=_MH_MIN)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    qual = docs.select(F.col("doc_id").alias("id"), X.quality_score("text").alias("q"))
+    reps = component_representatives(comp, qual, id_col="id", score_col="q")
+    return reps.select("component", "keep_id",
+                       F.col("best_score").alias("best_quality"),
+                       F.col("n_members").cast("bigint").alias("n_members"))
+
+
+def _keep_best_sql() -> str:
+    body, matches = _minhash_cte_body()
+    qual = _quality_sql().strip()
+    return f"""
+WITH RECURSIVE {body},
+pairs AS (
+  SELECT id_a, id_b FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+  WHERE round(({matches}) / 8.0, 6) >= {_MH_MIN}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+qual AS ({qual}),
+j AS (SELECT c.component, c.doc_id, q.quality FROM comp c JOIN qual q USING (doc_id)),
+rr AS (SELECT *, row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn,
+              count(*) OVER (PARTITION BY component) AS n_members
+       FROM j)
+SELECT component, doc_id AS keep_id, quality AS best_quality, cast(n_members as bigint) AS n_members
+FROM rr WHERE rn = 1
+"""
+
+
+_RECRAWL_TOPK = 3
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling (the other half of a crawler's
+    scheduler next to crawl_round_schedule's budget scheduling): a page is
+    due for refetch when its age exceeds a depth-derived TTL; due pages are
+    ranked per host by age x priority and the top-k per host win the round.
+    TTL is integer math (30 + 60*depth days) so the gate is float-free on
+    both engines; the score is round(6)ed. The "now" scalar is a broadcast
+    one-row join, not a global window."""
+    fr = _frontier(spark, sf_dir)
+    now = fr.agg(F.max("discovered_at").alias("now"))
+    aged = (fr.crossJoin(F.broadcast(now))
+              .withColumn("age_days", F.datediff(F.col("now"), F.col("discovered_at")).cast("int"))
+              .withColumn("ttl_days", (F.lit(30) + F.lit(60) * F.col("depth")).cast("int"))
+              .where(F.col("age_days") > F.col("ttl_days"))
+              .withColumn("score", F.round(F.col("age_days") * F.col("priority"), 6).cast("double")))
+    w = Window.partitionBy("host").orderBy(F.col("score").desc(), F.col("url").asc())
+    return (aged.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= _RECRAWL_TOPK)
+                .select("host", "url", "age_days", "ttl_days", "score",
+                        F.col("rk").cast("int").alias("rk")))
+
+
+_Q_RECRAWL_SQL = f"""
+WITH f AS ({_FRONTIER_SQL}),
+aged AS (
+  SELECT f.*, cast(date_diff('day', discovered_at, (SELECT max(discovered_at) FROM f)) as int) AS age_days,
+         cast(30 + 60 * depth as int) AS ttl_days
+  FROM f),
+due AS (
+  SELECT host, url, age_days, ttl_days,
+         cast(round(age_days * cast(priority as double), 6) as double) AS score
+  FROM aged WHERE age_days > ttl_days),
+ranked AS (
+  SELECT *, cast(row_number() OVER (PARTITION BY host ORDER BY score DESC, url) as int) AS rk
+  FROM due)
+SELECT host, url, age_days, ttl_days, score, rk FROM ranked WHERE rk <= {_RECRAWL_TOPK}
+"""
+
+
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML title + visible-text extraction (Jsoup doc.title()/body.text()
+    parity, BasicCrawler.java:96-105) as pure regexp Column ops. The markup
+    is synthesized deterministically from documents IN the query (same
+    literal construction on both engines) so the oracle verifies the
+    extraction byte-for-byte; in the live engine the same builders run over
+    fetched page bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("lang"), F.lit(" #"), d,
+        F.lit("</title></head><body><h1>"), F.upper(F.col("source")),
+        F.lit("</h1><p>"), F.substring(F.col("text"), 1, 120),
+        F.lit('</p><a href="/doc/'), d,
+        F.lit('">next</a> <a href="/lang/'), F.col("lang"),
+        F.lit('">more</a></body></html>'))
+    h = docs.select("doc_id", html.alias("html"))
+    return h.select(
+        "doc_id",
+        SC.html_title("html").alias("title"),
+        SC.html_visible_text("html").alias("body_text"),
+        SC.html_link_count("html").alias("n_links"),
+    )
+
+
+_Q_HTML_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>' || lang || ' #' || cast(doc_id as varchar) ||
+         '</title></head><body><h1>' || upper(source) || '</h1><p>' || substr(text, 1, 120) ||
+         '</p><a href="/doc/' || cast(doc_id as varchar) || '">next</a> <a href="/lang/' || lang ||
+         '">more</a></body></html>' AS html
+  FROM documents)
+SELECT doc_id,
+       regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS body_text,
+       cast(len(regexp_extract_all(html, '<a href')) as int) AS n_links
+FROM h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -1816,15 +2088,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "image_phash_near_dup": q_image_phash_near_dup,
         "dataset_split": q_dataset_split,
+        "pii_scrub": q_pii_scrub,
+        "quality_repetition": q_quality_repetition,
+        "contamination_overlap": q_contamination_overlap,
+        "dedup_keep_best": q_dedup_keep_best,
+        "recrawl_schedule": q_recrawl_schedule,
+        "html_text_extract": q_html_text_extract,
     }
 
 
-def oracle_sql() -> dict[str, str]:
-    quality_sql = _Q_QUALITY_SQL.replace(
+def _quality_sql() -> str:
+    return _Q_QUALITY_SQL.replace(
         "(SELECT_EN_SCORE)",
         "(" + " + ".join(
             f"cast((length(concat(' ', lower(text), ' ')) - length(replace(concat(' ', lower(text), ' '), '{m}', ''))) / {len(m)} as int)"
             for m in X.LANG_MARKERS["en"]) + ")")
+
+
+def oracle_sql() -> dict[str, str]:
     return {
         "crawl_round_schedule": _Q_CRAWL_SQL,
         "frontier_topk_global": _Q_TOPK_GLOBAL_SQL,
@@ -1870,7 +2151,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_followups": _Q_RANGE_SQL,
         "dedup_embedding_cosine": _emb_nd_sql(),
         "text_lang_id": _lang_id_sql(),
-        "text_quality": quality_sql,
+        "text_quality": _quality_sql(),
         "text_token_stats": _Q_TOKENS_SQL,
         "text_fingerprint": _Q_FP_SQL,
         "multimodal_decode": _mm_sql(),
@@ -1880,4 +2161,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _au_sql(),
         "image_phash_near_dup": _pn_sql(),
         "dataset_split": _Q_SPLIT_SQL,
+        "pii_scrub": _pii_sql(),
+        "quality_repetition": _Q_REPETITION_SQL,
+        "contamination_overlap": _Q_CONTAMINATION_SQL,
+        "dedup_keep_best": _keep_best_sql(),
+        "recrawl_schedule": _Q_RECRAWL_SQL,
+        "html_text_extract": _Q_HTML_SQL,
     }

@@ -1,0 +1,135 @@
+"""Data-scrubbing column builders for the training-data pipeline:
+PII detection/redaction, Gopher-style repetition quality rules, and
+HTML title/visible-text extraction.
+
+Like functions/text.py, every builder is a pure Column expression
+(JVM-side, whole-stage codegen, no Python in the hot path) restateable in
+ANSI SQL for the DuckDB oracle. Regexes stay inside the Java-regex /
+RE2 common subset (character classes, bounded+greedy quantifiers, no
+alternation, no back-references, no look-around) so both engines match
+identical spans.
+
+At 100 TB these run embedded in the scan stage — no shuffle, no UDF
+serialization. The repetition metrics materialize the token array once
+per row and reuse it (O(tokens * distinct) in-row work, zero exchange);
+a production corpus with mega-token documents would cap the array via
+``max_tokens``, exactly like text.fingerprint caps at ``max_chars``.
+
+Reference parity: the reference crawler stores Jsoup's ``doc.title()``
+and body text per page (BasicCrawler.java:96-105); ``html_title`` /
+``html_visible_text`` are the declarative restatement of that extraction
+(tag-strip + whitespace collapse) over raw markup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- PII -------------------------------------------------------------------
+# Detection patterns, ordered: redaction applies them in this order so a
+# span is consumed by the first family that matches it (emails before IPs
+# before phones — an IP-looking fragment inside an email host is redacted
+# as part of the email).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+    ("phone", r"[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+]
+
+
+def pii_count(text_col: str, kind: str) -> Column:
+    """#matches of one PII family (kind in {email, ip, phone})."""
+    pattern = dict(PII_PATTERNS)[kind]
+    return F.regexp_count(F.col(text_col), F.lit(pattern)).cast("int")
+
+
+def pii_redact(text_col: str) -> Column:
+    """Replace every PII span with its <kind> token, in PII_PATTERNS order."""
+    out = F.col(text_col)
+    for kind, pattern in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, f"<{kind}>")
+    return out
+
+
+# --- repetition / quality rules (Gopher-style) -----------------------------
+
+def word_tokens(text_col: str) -> Column:
+    """Lower-cased alphanumeric token array (same tokenizer as
+    text.token_count, materialized as an array for reuse)."""
+    return F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+
+
+def word_bigrams(tokens_col: str) -> Column:
+    """Adjacent-token bigram array ('w1 w2'); empty when < 2 tokens.
+    (sequence() is guarded: Spark's sequence(1, 0) counts DOWN.)"""
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) < 2 THEN array()"
+        f" ELSE transform(sequence(1, size({tokens_col}) - 1),"
+        f"   i -> concat(element_at({tokens_col}, i), ' ', element_at({tokens_col}, i + 1))) END"
+    )
+
+
+def word_shingles(tokens_col: str, k: int) -> Column:
+    """Word k-gram array joined by single spaces; caller filters rows with
+    size(tokens) < k first (contamination checks use k=13 in production;
+    the oracle-gated query uses a small k so the tiny fixture has overlap)."""
+    parts = ", ' ', ".join(f"element_at({tokens_col}, i + {j})" for j in range(k))
+    return F.expr(
+        f"transform(sequence(1, size({tokens_col}) - {k - 1}), i -> concat({parts}))"
+    )
+
+
+def dup_frac(arr_col: str) -> Column:
+    """Fraction of array elements that are repeats of an earlier element."""
+    return F.round(
+        (F.size(arr_col) - F.size(F.array_distinct(F.col(arr_col))))
+        / F.greatest(F.size(arr_col), F.lit(1)), 6).cast("double")
+
+
+def top_element_frac(arr_col: str) -> Column:
+    """Fraction of the array occupied by its single most frequent element
+    (0.0 for empty arrays). O(n * distinct) in-row, no shuffle — the
+    explode+window restatement is only needed when rows exceed memory."""
+    return F.expr(
+        f"CASE WHEN size({arr_col}) < 1 THEN cast(0.0 as double)"
+        f" ELSE cast(round(array_max(transform(array_distinct({arr_col}),"
+        f"   w -> size(filter({arr_col}, x -> x = w)))) / size({arr_col}), 6) as double) END"
+    )
+
+
+# Gopher-style gate thresholds (arbitrary-but-fixed; tuned so the synthetic
+# corpus splits — the oracle restates them verbatim).
+REP_MAX_DUP_WORD = 0.55
+REP_MAX_TOP_WORD = 0.11
+REP_MAX_TOP_BIGRAM = 0.06
+
+
+def repetition_keep(dup_word: Column, top_word: Column, top_bigram: Column) -> Column:
+    return (
+        (dup_word <= REP_MAX_DUP_WORD)
+        & (top_word <= REP_MAX_TOP_WORD)
+        & (top_bigram <= REP_MAX_TOP_BIGRAM)
+    )
+
+
+# --- HTML extraction -------------------------------------------------------
+
+_TITLE_RE = "<title>([^<]*)</title>"
+_TAG_RE = "<[^>]*>"
+
+
+def html_title(html_col: str) -> Column:
+    """First <title> element's text ('' when absent), Jsoup doc.title()."""
+    return F.regexp_extract(F.col(html_col), _TITLE_RE, 1)
+
+
+def html_visible_text(html_col: str) -> Column:
+    """Tag-strip + whitespace collapse + trim — Jsoup body.text() shape."""
+    stripped = F.regexp_replace(F.col(html_col), _TAG_RE, " ")
+    return F.trim(F.regexp_replace(stripped, " +", " "))
+
+
+def html_link_count(html_col: str) -> Column:
+    """#anchor-with-href occurrences (the link-extraction fan-out width)."""
+    return F.regexp_count(F.col(html_col), F.lit("<a href")).cast("int")

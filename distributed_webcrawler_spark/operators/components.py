@@ -34,7 +34,7 @@ LLM-training-data surface the brief adds on top.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -88,3 +88,25 @@ def dedup_component_groups(edges: DataFrame, src: str = "src", dst: str = "dst",
     cc = connected_components(edges, src, dst, max_iter)
     return (cc.groupBy("component")
               .agg(F.count("*").alias("n_members")))
+
+def component_representatives(components: DataFrame, scores: DataFrame,
+                              id_col: str = "id", score_col: str = "score") -> DataFrame:
+    """Quality-aware cluster representative: for each near-dup component keep
+    the member with the highest score (ties break to the smallest id — a
+    total order, so the choice is deterministic on both engines).
+
+    ``components`` is connected_components() output (id, component);
+    ``scores`` carries (id_col, score_col). One shuffle on component; the
+    window never sees more rows than the largest cluster. Returns
+    (component, keep_id, best_score, n_members).
+    """
+    j = components.join(
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("__score")), "id")
+    w = Window.partitionBy("component").orderBy(F.col("__score").desc(), F.col("id").asc())
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("component")))
+        .where(F.col("__rn") == 1)
+        .select("component", F.col("id").alias("keep_id"),
+                F.col("__score").alias("best_score"), "n_members")
+    )
