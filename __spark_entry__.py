@@ -716,6 +716,56 @@ SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: flag docs in an incoming batch (doc_id % 8
+    == 0, a stand-in for 'this crawl round') that near-duplicate the
+    existing corpus — candidates only cross sides, so the join volume is
+    batch-sized, not corpus², the shape a per-round production pipeline
+    needs (reference crawls continuously; ref BasicCrawler.java loops
+    rounds — our Spark twin dedups each round against all kept docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_incremental(
+        docs.where(F.col("doc_id") % 8 == 0), docs.where(F.col("doc_id") % 8 != 0),
+        n_hashes=_MH_N, band_size=_MH_BAND, k=_MH_K, max_chars=_MH_CHARS,
+        min_est=_MH_MIN)
+
+
+def _minhash_incr_sql() -> str:
+    # same signature CTEs; candidates cross sides only (batch x corpus),
+    # then best corpus match per batch doc (max est_sim, ties -> min id).
+    mins = ",\n         ".join(
+        f"min(md5(concat('{s}:', sh))) AS mh_{s}" for s in range(_MH_N))
+    n_bands = _MH_N // _MH_BAND
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band, concat({cols}) AS bucket FROM sig".format(
+            b=b, cols=", '|', ".join(f"mh_{b * _MH_BAND + j}" for j in range(_MH_BAND)))
+        for b in range(n_bands))
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(_MH_N))
+    return f"""
+WITH pos AS (
+  SELECT doc_id AS id, substr(text, 1, {_MH_CHARS}) AS t,
+         unnest(generate_series(1, greatest(length(substr(text, 1, {_MH_CHARS})) - {_MH_K - 1}, 0))) AS i
+  FROM documents
+),
+sh AS (SELECT DISTINCT id, substr(t, cast(i as int), {_MH_K}) AS sh FROM pos),
+sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS bid, b.id AS cid
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id % 8 = 0 AND b.id % 8 <> 0
+),
+scored AS (
+  SELECT bid, cid, round(({matches}) / {float(_MH_N)}, 6) AS est_sim
+  FROM cand JOIN sig sa ON sa.id = bid JOIN sig sb ON sb.id = cid
+  WHERE round(({matches}) / {float(_MH_N)}, 6) >= {_MH_MIN}
+)
+SELECT bid AS doc_id, cid AS match_id, est_sim FROM scored
+QUALIFY row_number() OVER (PARTITION BY bid ORDER BY est_sim DESC, cid ASC) = 1
+"""
+
+
 _SIM_CHARS = 200
 
 
@@ -2063,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "dedup_incremental": q_dedup_incremental,
         "pagerank_hosts": q_pagerank_hosts,
         "bm25_search": q_bm25_search,
         "kmeans_centroids": q_kmeans_centroids,
@@ -2136,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _Q_JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_components": _components_sql(),
+        "dedup_incremental": _minhash_incr_sql(),
         "pagerank_hosts": _pagerank_sql(),
         "bm25_search": _bm25_sql(),
         "kmeans_centroids": _kmeans_sql(),

@@ -51,6 +51,13 @@ HEADLINE = [
     "kmv_distinct",
     "weighted_sample",
     "audio_features",
+    "pii_scrub",
+    "quality_repetition",
+    "contamination_overlap",
+    "dedup_keep_best",
+    "recrawl_schedule",
+    "html_text_extract",
+    "dedup_incremental",
 ]
 
 

@@ -249,3 +249,57 @@ def first_wins(df: DataFrame, key_cols: list[str], order_cols: list) -> DataFram
     keep the first row per key under a deterministic order."""
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+def minhash_lsh_incremental(batch: DataFrame, corpus: DataFrame,
+                            n_hashes: int = 8, band_size: int = 2,
+                            k: int = 6, max_chars: int = 200, min_est: float = 0.5,
+                            text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Incremental (asymmetric) dedup: flag docs in an incoming ``batch``
+    that near-duplicate the existing ``corpus`` — the production ingest
+    mode, where each crawl round dedups against everything already kept
+    rather than re-pairing the whole corpus with itself.
+
+    Same MinHash/banding semantics as minhash_lsh_pairs, but candidates
+    only cross sides (batch x corpus, never corpus x corpus), so the join
+    is driven by the small batch side. At scale the corpus signatures are
+    computed ONCE at ingest time and persisted (a signature table keyed by
+    band bucket); each round then touches only batch-sized state — this
+    function recomputes them so semantics stay self-contained.
+
+    Returns one row per duplicated batch doc: (doc_id, match_id, est_sim)
+    with the best corpus match (max est_sim, ties to min match_id).
+    """
+    sig_b = minhash_signatures(batch, n_hashes, k, max_chars, text_col, id_col)
+    sig_c = minhash_signatures(corpus, n_hashes, k, max_chars, text_col, id_col)
+
+    def _bands(sig: DataFrame) -> DataFrame:
+        out = None
+        for bi in range(n_hashes // band_size):
+            cols = [F.col(f"mh_{bi * band_size + j}") for j in range(band_size)]
+            part = sig.select("id", F.lit(bi).alias("band"),
+                              F.concat_ws("|", *cols).alias("bucket"))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    cand = (
+        _bands(sig_b).alias("a")
+        .join(_bands(sig_c).alias("b"), ["band", "bucket"])
+        .select(F.col("a.id").alias("bid"), F.col("b.id").alias("cid"))
+        .distinct()
+    )
+    sa = sig_b.select(F.col("id").alias("bid"),
+                      *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)])
+    sb = sig_c.select(F.col("id").alias("cid"),
+                      *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)])
+    matches = sum(F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+                  for i in range(n_hashes))
+    scored = (
+        cand.join(sa, "bid").join(sb, "cid")
+        .withColumn("est_sim", F.round(matches / F.lit(float(n_hashes)), 6))
+        .where(F.col("est_sim") >= min_est)
+    )
+    w = Window.partitionBy("bid").orderBy(F.col("est_sim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+        .select(F.col("bid").alias("doc_id"), F.col("cid").alias("match_id"), "est_sim")
+    )

@@ -134,3 +134,20 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark):
         assert v == exact[k]                      # same exact cosine inside buckets
     plan = lsh_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_minhash_incremental_cross_side_only(spark):
+    docs = _docs(spark)
+    # batch = docs 2 and 3 (a dup and a near-dup of corpus doc 1); corpus = rest
+    batch = docs.where(F.col("doc_id").isin(2, 3))
+    corpus = docs.where(~F.col("doc_id").isin(2, 3))
+    out = {r.doc_id: (r.match_id, r.est_sim)
+           for r in D.minhash_lsh_incremental(batch, corpus, n_hashes=8, band_size=2,
+                                              k=5, max_chars=100, min_est=0.25).collect()}
+    assert out[2] == (1, 1.0)              # exact dup -> best match is doc 1
+    assert out[3][0] == 1 and out[3][1] >= 0.25
+    assert set(out) <= {2, 3}              # only batch ids ever flagged
+    # one row per flagged batch doc (best-match pick, not all candidates)
+    rows = D.minhash_lsh_incremental(batch, corpus, n_hashes=8, band_size=2,
+                                     k=5, max_chars=100, min_est=0.25).collect()
+    assert len(rows) == len(out)
