@@ -2082,6 +2082,77 @@ FROM h
 """
 
 
+def q_crawl_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection: hosts whose URL space explodes out of few URL
+    *templates* (digit runs collapsed to 'N') — the calendar/session-id
+    trap signal a production crawler gates hosts on before they eat the
+    whole politeness budget (the reference caps depth only,
+    BasicCrawler.java:119-124; template fan-out is the scale-honest gate).
+
+    Scale shape: template collapse is a map-side regex; one groupBy(host)
+    shuffle; the global mean is a one-row broadcast join, so the trap
+    threshold is relative (scale-free), not a magic absolute count."""
+    fr = _frontier(spark, sf_dir)
+    t = fr.select("host", "url", F.regexp_replace("url", "[0-9]+", "N").alias("template"))
+    ratios = (
+        t.groupBy("host")
+        .agg(F.countDistinct("url").alias("n_urls"),
+             F.countDistinct("template").alias("n_templates"))
+        .withColumn("urls_per_template",
+                    F.round(F.col("n_urls") / F.col("n_templates"), 6))
+    )
+    mean = ratios.agg(F.avg("urls_per_template").alias("mean_ratio"))
+    return (
+        ratios.crossJoin(F.broadcast(mean))
+        .select("host", "n_urls", "n_templates", "urls_per_template",
+                (F.col("urls_per_template") >= 3.0 * F.col("mean_ratio")).alias("trap"))
+    )
+
+
+_Q_TRAP_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+t AS (SELECT host, url, regexp_replace(url, '[0-9]+', 'N', 'g') AS template FROM frontier),
+r AS (
+  SELECT host, count(DISTINCT url) AS n_urls, count(DISTINCT template) AS n_templates,
+         round(count(DISTINCT url) * 1.0 / count(DISTINCT template), 6) AS urls_per_template
+  FROM t GROUP BY host)
+SELECT host, n_urls, n_templates, urls_per_template,
+       urls_per_template >= 3.0 * (SELECT avg(urls_per_template) FROM r) AS trap
+FROM r
+"""
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mix report: per (lang, source) doc and token counts
+    plus each cell's share of total tokens — the table every LLM data
+    pipeline publishes before sampling weights are chosen. Partial/final
+    hash aggregate on (lang, source); the grand total is a one-row
+    broadcast join (never a global window)."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = (
+        docs.withColumn("tc", X.token_count("text"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("tc").cast("bigint").alias("tokens"))
+    )
+    total = agg.agg(F.sum("tokens").alias("tot"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select("lang", "source", "n_docs", "tokens",
+                F.round(F.col("tokens") / F.col("tot"), 6).alias("token_share"))
+    )
+
+
+_Q_MIX_SQL = """
+WITH m AS (
+  SELECT lang, source, cast(count(*) as bigint) AS n_docs,
+         cast(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) as bigint) AS tokens
+  FROM documents GROUP BY lang, source)
+SELECT lang, source, n_docs, tokens,
+       round(tokens * 1.0 / (SELECT sum(tokens) FROM m), 6) AS token_share
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -2145,6 +2216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "recrawl_schedule": q_recrawl_schedule,
         "html_text_extract": q_html_text_extract,
+        "crawl_trap_hosts": q_crawl_trap_hosts,
+        "corpus_mix": q_corpus_mix,
     }
 
 
@@ -2219,4 +2292,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _keep_best_sql(),
         "recrawl_schedule": _Q_RECRAWL_SQL,
         "html_text_extract": _Q_HTML_SQL,
+        "crawl_trap_hosts": _Q_TRAP_SQL,
+        "corpus_mix": _Q_MIX_SQL,
     }
