@@ -1371,10 +1371,11 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select("cell", "dim", F.round("val", 6).alias("val"))
 
 
-def _kmeans_sql() -> str:
+def _kmeans_cte_parts() -> list[str]:
     # unrolled Lloyd iterations; assignment restates the ANN queries'
     # proven round-6 cosine + smaller-cell tie-break, update is avg
     # rounded to 12, empty cells keep the previous centroid (coalesce).
+    # Shared by the kmeans_centroids and semdedup_pairs oracles.
     parts = [f"""emb AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
 init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {_KM_K}) t),
@@ -1393,10 +1394,61 @@ u{t} AS (SELECT cell, dim, round(avg(val), 12) AS val FROM (
    FROM a{t} a JOIN emb e USING (vec_id)) s GROUP BY cell, dim),
 c{t + 1} AS (SELECT c{t}.cell, c{t}.dim, coalesce(u{t}.val, c{t}.val) AS val
        FROM c{t} LEFT JOIN u{t} ON u{t}.cell = c{t}.cell AND u{t}.dim = c{t}.dim)""")
-    body = ",\n".join(parts)
+    return parts
+
+
+def _kmeans_sql() -> str:
+    body = ",\n".join(_kmeans_cte_parts())
     return (f"WITH {body}\n"
             f"SELECT cast(cell as bigint) AS cell, cast(dim as int) AS dim, "
             f"round(val, 6) AS val FROM c{_KM_ITER}")
+
+
+_SEM_TH = 0.25
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public literature):
+    k-means-cluster the embedding space, then look for semantic duplicates
+    ONLY within each cluster — the O(N^2/k) shape that makes embedding-level
+    dedup feasible on LAION-scale corpora. Pure composition of proven
+    operators: kmeans_fit (spherical Lloyd) trains the cells and
+    ivf_assign_broadcast (broadcast matmul argmax — the corpus never
+    shuffles for assignment) places every vector; in-cell candidate pairs
+    are a cell-equi-join, never a CartesianProduct. Each duplicate pair is
+    annotated with the member SemDeDup drops: the one CLOSER to its cluster
+    centroid (the paper keeps the low-centroid-similarity example to
+    preserve diversity; round-6 ties drop the larger id). k=8 / 2 Lloyd
+    iterations is oracle tractability — production sizes k ~ N/E[|cluster|]
+    (the paper used 50k clusters for LAION-440M)."""
+    from distributed_webcrawler_spark.operators.kmeans import centroids_as_list, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = centroids_as_list(kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER))
+    return S.semdedup_pairs(emb, cents, threshold=_SEM_TH)
+
+
+def _semdedup_sql() -> str:
+    body = ",\n".join(_kmeans_cte_parts())
+    return f"""
+WITH {body},
+cl AS (SELECT cell, list(val ORDER BY dim) AS cv FROM c{_KM_ITER} GROUP BY cell),
+sc AS (SELECT e.vec_id AS id, e.v, c.cell,
+              round(list_cosine_similarity(e.v, c.cv), 6) AS csim
+       FROM emb e CROSS JOIN cl c),
+asg AS (SELECT id, v, cell, csim FROM (
+    SELECT id, v, cell, csim,
+           row_number() OVER (PARTITION BY id ORDER BY csim DESC, cell ASC) AS crk
+    FROM sc) WHERE crk = 1)
+SELECT a.cell, a.id AS id_a, b.id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim,
+       CASE WHEN a.csim > b.csim THEN a.id
+            WHEN b.csim > a.csim THEN b.id
+            ELSE greatest(a.id, b.id) END AS drop_id
+FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_SEM_TH}
+"""
 
 
 _BM25_TERMS = ["spark", "query", "join", "window"]
@@ -2185,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "dedup_incremental": q_dedup_incremental,
+        "semdedup_pairs": q_semdedup,
         "pagerank_hosts": q_pagerank_hosts,
         "bm25_search": q_bm25_search,
         "kmeans_centroids": q_kmeans_centroids,
@@ -2261,6 +2314,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_components": _components_sql(),
         "dedup_incremental": _minhash_incr_sql(),
+        "semdedup_pairs": _semdedup_sql(),
         "pagerank_hosts": _pagerank_sql(),
         "bm25_search": _bm25_sql(),
         "kmeans_centroids": _kmeans_sql(),

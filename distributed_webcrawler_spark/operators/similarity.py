@@ -279,3 +279,44 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.95,
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def semdedup_pairs(df: DataFrame, centroids: list[tuple[int, list[float]]],
+                   threshold: float,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public literature): semantic near-dup
+    pairs searched ONLY within k-means cells — cluster first, then compare,
+    so the pair candidate space is O(N^2/k) instead of O(N^2) and the pair
+    search is a cell-equi-join (never a CartesianProduct).
+
+    `centroids` is the trained cell table (operators/kmeans.kmeans_fit ->
+    centroids_as_list); assignment is the proven broadcast-matmul path
+    (ivf_assign_broadcast — the corpus never shuffles to be assigned, and
+    the assignment recomputes map-side on each use rather than caching a
+    corpus-sized intermediate). Each emitted pair carries `drop_id`: the
+    member SemDeDup removes — the one with the HIGHER round-6 cosine to its
+    cluster centroid (the paper keeps the low-centroid-similarity example
+    to preserve diversity); ties drop the larger id.
+
+    Output: (cell, id_a, id_b, sim, drop_id), id_a < id_b, sim >= threshold.
+    """
+    spark = df.sparkSession
+    assigned = ivf_assign_broadcast(df, centroids, id_col=id_col, vec_col=vec_col)
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cell long, cv array<double>")
+    scored = (assigned.join(F.broadcast(cent_df), "cell")
+              .select("cell", "id", "v",
+                      cosine(F.col("v"), F.col("cv")).alias("cs")))
+    a = scored.select("cell", F.col("id").alias("id_a"),
+                      F.col("v").alias("va"), F.col("cs").alias("cs_a"))
+    b = scored.select("cell", F.col("id").alias("id_b"),
+                      F.col("v").alias("vb"), F.col("cs").alias("cs_b"))
+    return (a.join(b, "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+            .where(F.col("sim") >= threshold)
+            .select("cell", "id_a", "id_b", "sim",
+                    F.when(F.col("cs_a") > F.col("cs_b"), F.col("id_a"))
+                     .when(F.col("cs_b") > F.col("cs_a"), F.col("id_b"))
+                     .otherwise(F.greatest("id_a", "id_b")).alias("drop_id")))

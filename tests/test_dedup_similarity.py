@@ -136,6 +136,27 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_semdedup_pairs_cluster_scoped_drop_rule(spark):
+    """SemDeDup: candidate pairs come only from within a k-means cell, the
+    planted near-identical pair is found, and the drop choice is the member
+    CLOSER to its cluster centroid (the paper keeps the low-centroid-
+    similarity example); the pair search is an equi-join on cell, never a
+    CartesianProduct."""
+    vecs = _vectors(spark)
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in vecs.collect()}
+    # centroid 0 IS vector 100, so cs(100) = 1.0 > cs(101) -> drop 100
+    cents = [(0, [float(x) for x in rows[100]]),
+             (1, [float(x) for x in rows[4]])]
+    out = S.semdedup_pairs(vecs, cents, threshold=0.95)
+    got = {(r.id_a, r.id_b): (r.sim, r.drop_id) for r in out.collect()}
+    assert (100, 101) in got
+    sim, drop = got[(100, 101)]
+    assert sim > 0.99 and drop == 100
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_minhash_incremental_cross_side_only(spark):
     docs = _docs(spark)
     # batch = docs 2 and 3 (a dup and a near-dup of corpus doc 1); corpus = rest
