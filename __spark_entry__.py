@@ -2134,6 +2134,113 @@ FROM h
 """
 
 
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning (Raffel et al. 2020 §2.2, public literature):
+    keep only lines ending in terminal punctuation with >= 5 words and no
+    'javascript' boilerplate; doc-level gate on surviving-line count + code
+    braces. The corpus is single-line synthetic text, so multi-line pages
+    are synthesized deterministically IN the query (same literal
+    construction on both engines — the established pii_scrub /
+    html_text_extract pattern): a kept sentence, a boilerplate/short line,
+    an unterminated fragment, and a kept closing line. Pure in-row
+    filter() over the line array — embedded in the scan at scale, zero
+    shuffle, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    line2 = F.when(d % 4 == 0, F.lit("enable javascript to view the comments here."))\
+             .otherwise(F.lit("menu home"))
+    syn = F.concat(
+        F.substring("text", 1, 60), F.lit("."), F.lit("\n"),
+        line2, F.lit("\n"),
+        F.substring("text", 61, 60), F.lit("\n"),
+        F.lit("read the "), F.col("lang"), F.lit(" docs right now!"))
+    lined = docs.select("doc_id", "text", syn.alias("t")) \
+                .withColumn("lines", SC.line_array("t"))
+    kept = SC.c4_kept_lines("lines")
+    out = lined.select(
+        "doc_id",
+        F.size("lines").cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.col("text").alias("_text"),
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_kept",
+        SC.c4_doc_keep(F.col("n_kept"), "_text").alias("keep"),
+        "clean_text")
+
+
+def _c4_sql() -> str:
+    return f"""
+WITH syn AS (
+  SELECT doc_id, text,
+         substr(text, 1, 60) || '.' || chr(10) ||
+         CASE WHEN doc_id % 4 = 0 THEN 'enable javascript to view the comments here.'
+              ELSE 'menu home' END || chr(10) ||
+         substr(text, 61, 60) || chr(10) ||
+         'read the ' || lang || ' docs right now!' AS t
+  FROM documents),
+l AS (SELECT doc_id, text, string_split(t, chr(10)) AS lines FROM syn),
+k AS (SELECT doc_id, text, lines,
+             list_filter(lines, x ->
+               len(regexp_extract_all(lower(x), '[a-z0-9]+')) >= {SC.C4_MIN_LINE_WORDS}
+               AND regexp_matches(x, '{SC.C4_TERMINAL_RE}')
+               AND NOT contains(lower(x), '{SC.C4_BANNED_WORD}')) AS kept
+      FROM l)
+SELECT doc_id,
+       cast(len(lines) as int) AS n_lines,
+       cast(len(kept) as int) AS n_kept,
+       (len(kept) >= {SC.C4_MIN_KEPT_LINES} AND NOT contains(text, '{{')) AS keep,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM k
+"""
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (Lee et al. 2022 / CCNet,
+    public literature): only the globally FIRST instance (by doc_id, pos)
+    of each distinct paragraph survives; docs are rebuilt from surviving
+    paragraphs. Paragraph structure is synthesized deterministically IN the
+    query: per doc, a mostly-unique lead (own text prefix), a per-source
+    boilerplate line (dupes across every doc of that source), a global
+    footer (dupes across the whole corpus), and a second own-text slice.
+    See operators/dedup.paragraph_dedup for the one-window-shuffle scale
+    shape (dedup identity = portable 60-bit paragraph hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    syn = F.concat(
+        F.substring("text", 1, 100), F.lit("\n"),
+        F.lit("about "), F.col("source"), F.lit(" pages"), F.lit("\n"),
+        F.lit("copyright footer all rights reserved"), F.lit("\n"),
+        F.substring("text", 21, 80))
+    aug = docs.select("doc_id", syn.alias("t"))
+    return D.paragraph_dedup(aug, text_col="t", id_col="doc_id")
+
+
+def _paragraph_dedup_sql() -> str:
+    return f"""
+WITH syn AS (
+  SELECT doc_id,
+         substr(text, 1, 100) || chr(10) ||
+         'about ' || source || ' pages' || chr(10) ||
+         'copyright footer all rights reserved' || chr(10) ||
+         substr(text, 21, 80) AS t
+  FROM documents),
+sp AS (SELECT doc_id, string_split(t, chr(10)) AS paras FROM syn),
+p AS (SELECT doc_id, cast(generate_subscripts(paras, 1) - 1 as int) AS pos,
+             unnest(paras) AS para
+      FROM sp),
+r AS (SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY {h64_sql('para')}
+                                ORDER BY doc_id, pos) AS rn
+      FROM p)
+SELECT doc_id,
+       cast(count(*) as int) AS n_paras,
+       cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) as int) AS n_removed,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos), '') AS clean_text
+FROM r GROUP BY doc_id
+"""
+
+
 def q_crawl_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-trap detection: hosts whose URL space explodes out of few URL
     *templates* (digit runs collapsed to 'N') — the calendar/session-id
@@ -2269,6 +2376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "recrawl_schedule": q_recrawl_schedule,
         "html_text_extract": q_html_text_extract,
+        "c4_line_filter": q_c4_line_filter,
+        "paragraph_dedup": q_paragraph_dedup,
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "corpus_mix": q_corpus_mix,
     }
@@ -2346,6 +2455,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _keep_best_sql(),
         "recrawl_schedule": _Q_RECRAWL_SQL,
         "html_text_extract": _Q_HTML_SQL,
+        "c4_line_filter": _c4_sql(),
+        "paragraph_dedup": _paragraph_dedup_sql(),
         "crawl_trap_hosts": _Q_TRAP_SQL,
         "corpus_mix": _Q_MIX_SQL,
     }

@@ -58,6 +58,9 @@ HEADLINE = [
     "recrawl_schedule",
     "html_text_extract",
     "dedup_incremental",
+    "semdedup_pairs",
+    "c4_line_filter",
+    "paragraph_dedup",
 ]
 
 

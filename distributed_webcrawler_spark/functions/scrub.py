@@ -113,6 +113,45 @@ def repetition_keep(dup_word: Column, top_word: Column, top_bigram: Column) -> C
     )
 
 
+# --- C4-style line cleaning (Raffel et al. 2020, public literature) ---------
+# "Exploring the Limits of Transfer Learning" §2.2: keep only lines that end
+# in a terminal punctuation mark, have >= 5 words, and don't carry the
+# boilerplate "javascript" marker; drop pages containing code braces. The
+# terminal-punctuation set is simplified to [.!?] (no curly quotes) so both
+# regex engines match identical spans.
+
+C4_MIN_LINE_WORDS = 5
+C4_BANNED_WORD = "javascript"
+C4_TERMINAL_RE = "[.!?]$"
+C4_MIN_KEPT_LINES = 2  # doc-level gate (C4 uses >= 3 sentences; lines here)
+
+
+def line_array(text_col: str) -> Column:
+    """Newline-split line array (the unit of C4 filtering)."""
+    return F.split(F.col(text_col), "\n")
+
+
+def c4_line_keep(line: Column) -> Column:
+    """Per-line C4 keep rule as a pure Column predicate (usable as a
+    filter() lambda body — runs in-row, zero shuffle)."""
+    n_words = F.size(F.regexp_extract_all(F.lower(line), F.lit("[a-z0-9]+"), F.lit(0)))
+    return (
+        (n_words >= C4_MIN_LINE_WORDS)
+        & line.rlike(C4_TERMINAL_RE)
+        & ~F.lower(line).contains(C4_BANNED_WORD)
+    )
+
+
+def c4_kept_lines(lines_col: str) -> Column:
+    """filter() the line array by the C4 keep rule (in-row, codegen)."""
+    return F.filter(F.col(lines_col), c4_line_keep)
+
+
+def c4_doc_keep(n_kept_col: Column, text_col: str) -> Column:
+    """Doc-level gate: enough surviving lines and no code braces."""
+    return (n_kept_col >= C4_MIN_KEPT_LINES) & ~F.col(text_col).contains("{")
+
+
 # --- HTML extraction -------------------------------------------------------
 
 _TITLE_RE = "<title>([^<]*)</title>"

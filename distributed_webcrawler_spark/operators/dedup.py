@@ -244,6 +244,50 @@ def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 3,
                                 sig_col="simhash", id_col="id")
 
 
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Paragraph-level exact dedup across the corpus (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", and the
+    CCNet pipeline, Wenzek et al. 2019 — public literature): split each
+    document into paragraphs, keep only the globally FIRST occurrence of
+    each distinct paragraph (order = (doc_id, pos)), and rebuild every
+    document from its surviving paragraphs.
+
+    Scale design (100 TB): identity is the portable 60-bit hash of the
+    paragraph (h64 — dedup state is 8 bytes/paragraph, the standard
+    hash-as-identity concession at corpus scale; collision odds ~n^2/2^60),
+    so the single shuffle is the window exchange on ``ph``. Paragraph text
+    rides that exchange only because the rebuild needs it back; a
+    count-only variant would shuffle hashes alone. The per-doc regroup is
+    the second exchange, on doc_id. No self-join, no explode blowup beyond
+    the paragraph count itself.
+
+    Returns (doc_id, n_paras, n_removed, clean_text) — clean_text is the
+    sep-joined surviving paragraphs in original order ('' if none survive).
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("ph", h64("para"))
+    w = Window.partitionBy("ph").orderBy("doc_id", "pos")
+    flagged = (
+        paras.withColumn("rn", F.row_number().over(w))
+        # null for removed instances -> collect_list drops them
+        .withColumn("__kept", F.when(F.col("rn") == 1, F.struct("pos", "para")))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_paras"),
+            F.sum((F.col("rn") > 1).cast("int")).cast("int").alias("n_removed"),
+            F.concat_ws(sep, F.expr(
+                "transform(array_sort(collect_list(__kept)), x -> x.para)"
+            )).alias("clean_text"),
+        )
+        .select("doc_id", "n_paras", "n_removed", "clean_text")
+    )
+
+
 def first_wins(df: DataFrame, key_cols: list[str], order_cols: list) -> DataFrame:
     """Generic first-wins dedup (J1 semantics, URLFrontier.java:67-74):
     keep the first row per key under a deterministic order."""

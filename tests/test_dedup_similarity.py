@@ -172,3 +172,24 @@ def test_minhash_incremental_cross_side_only(spark):
     rows = D.minhash_lsh_incremental(batch, corpus, n_hashes=8, band_size=2,
                                      k=5, max_chars=100, min_est=0.25).collect()
     assert len(rows) == len(out)
+
+
+def test_paragraph_dedup_global_first_wins(spark):
+    """Lee et al. 2022 / CCNet paragraph dedup: only the globally first
+    (doc_id, pos) instance of a paragraph survives; docs rebuild from
+    surviving paragraphs in original order; all-dup docs rebuild to ''."""
+    docs = spark.createDataFrame([
+        (1, "alpha unique lead\nshared footer line\nbeta tail"),
+        (2, "gamma unique lead\nshared footer line"),
+        (3, "shared footer line"),
+        (4, "alpha unique lead\ndelta tail"),  # lead dups doc 1 pos 0
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in D.paragraph_dedup(docs).collect()}
+    assert (out[1].n_paras, out[1].n_removed) == (3, 0)
+    assert out[1].clean_text == "alpha unique lead\nshared footer line\nbeta tail"
+    assert (out[2].n_paras, out[2].n_removed) == (2, 1)
+    assert out[2].clean_text == "gamma unique lead"
+    assert (out[3].n_paras, out[3].n_removed) == (1, 1)
+    assert out[3].clean_text == ""
+    assert (out[4].n_paras, out[4].n_removed) == (2, 1)
+    assert out[4].clean_text == "delta tail"

@@ -116,3 +116,42 @@ class TestComponentRepresentatives:
         assert out[1].keep_id == 2          # 0.9 tie -> smaller id
         assert out[1].n_members == 3 and out[1].best_score == 0.9
         assert out[10].keep_id == 11 and out[10].n_members == 2
+
+
+class TestC4LineFilter:
+    """C4 line rules (Raffel et al. 2020 §2.2): terminal punctuation,
+    >= 5 words, no 'javascript'; doc gate on kept count + code braces."""
+
+    def test_line_rules(self, spark):
+        lines = [
+            ("this line has five good words.", True),
+            ("too short.", False),                       # < 5 words
+            ("this line has no terminal punctuation", False),
+            ("enable javascript to see the comments.", False),
+            ("does this question line survive here?", True),
+            ("", False),
+        ]
+        df = spark.createDataFrame([(t,) for t, _ in lines], "t string")
+        got = [r.v for r in df.select(SC.c4_line_keep(F.col("t")).alias("v")).collect()]
+        assert got == [want for _, want in lines]
+
+    def test_kept_lines_and_doc_gate(self, spark):
+        text = "\n".join([
+            "the first sentence is long enough.",
+            "menu",
+            "another complete sentence makes the cut!",
+        ])
+        df = (spark.createDataFrame([(1, text), (2, "menu\nhome")],
+                                    "doc_id long, text string")
+              .withColumn("lines", SC.line_array("text"))
+              .withColumn("kept", SC.c4_kept_lines("lines")))
+        out = {r.doc_id: r for r in
+               df.select("doc_id", "kept",
+                         SC.c4_doc_keep(F.size("kept"), "text").alias("keep"))
+                 .collect()}
+        assert len(out[1].kept) == 2 and out[1].keep
+        assert out[2].kept == [] and not out[2].keep
+
+    def test_brace_drops_doc(self, spark):
+        df = spark.createDataFrame([("code { return; }",)], "text string")
+        assert not df.select(SC.c4_doc_keep(F.lit(5), "text").alias("v")).head().v
