@@ -2312,6 +2312,97 @@ FROM m
 """
 
 
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-structure quality rules (Rae et al. 2021 §A1.1,
+    public literature) — the companion gate to quality_repetition: word-count
+    band, mean-word-length band, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, distinct-stopword minimum. The
+    corpus is single-line word soup, so page structure (bullets, ellipsis
+    endings, symbol runs, digit runs) is synthesized deterministically IN
+    the query — the established c4_line_filter pattern, identical literal
+    construction on both engines. Pure in-row Column exprs over one token
+    array materialized once: at 100 TB this is embedded in the scan stage,
+    zero shuffle, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    syn = F.concat(
+        F.when(d % 3 == 0, F.lit("- ")).otherwise(F.lit("")),
+        F.col("text"), F.lit("."), F.lit("\n"),
+        F.substring("text", 1, 40),
+        F.when(d % 5 == 0, F.lit("...")).otherwise(F.lit(".")), F.lit("\n"),
+        F.when(d % 7 == 0, F.lit("license # ## ### ####"))
+         .otherwise(F.lit("read more pages here now.")), F.lit("\n"),
+        F.when(d % 11 == 0, F.lit("12 345 6789 01 23 456 78 90"))
+         .otherwise(F.lit("crawl data quality gates.")))
+    t = (docs.select("doc_id", syn.alias("t"))
+             .withColumn("tok", SC.word_tokens("t"))
+             .withColumn("lines", SC.line_array("t")))
+    n_words = F.size("tok").cast("int")
+    mean_len = SC.mean_word_len("tok")
+    sym = SC.symbol_ratio("t", n_words)
+    bullet = SC.line_frac("lines", prefix="- ")
+    ellipsis = SC.line_frac("lines", suffix="...")
+    alpha = SC.alpha_word_frac("t")
+    stops = SC.stopword_hits("tok")
+    return t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        bullet.alias("bullet_frac"),
+        ellipsis.alias("ellipsis_frac"),
+        alpha.alias("alpha_word_frac"),
+        stops.alias("stop_hits"),
+        SC.gopher_keep(n_words, mean_len, sym, bullet, ellipsis, alpha,
+                       stops).alias("keep"),
+    )
+
+
+def _gopher_sql() -> str:
+    stop_lits = ", ".join(f"'{w}'" for w in SC.GOPHER_STOPWORDS)
+    return f"""
+WITH syn AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '- ' ELSE '' END || text || '.' || chr(10) ||
+         substr(text, 1, 40) || CASE WHEN doc_id % 5 = 0 THEN '...' ELSE '.' END || chr(10) ||
+         CASE WHEN doc_id % 7 = 0 THEN 'license # ## ### ####'
+              ELSE 'read more pages here now.' END || chr(10) ||
+         CASE WHEN doc_id % 11 = 0 THEN '12 345 6789 01 23 456 78 90'
+              ELSE 'crawl data quality gates.' END AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, t,
+         regexp_extract_all(lower(t), '[a-z0-9]+') AS tok,
+         string_split(t, chr(10)) AS lines,
+         list_filter(regexp_split_to_array(t, '[ \n]+'), w -> w != '') AS ws
+  FROM syn),
+m AS (
+  SELECT doc_id,
+         cast(len(tok) as int) AS n_words,
+         CASE WHEN len(tok) < 1 THEN cast(0.0 as double)
+              ELSE cast(round(list_sum(list_transform(tok, w -> length(w))) * 1.0 / len(tok), 6) as double) END AS mean_word_len,
+         cast(round((len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.'))) * 1.0 / greatest(len(tok), 1), 6) as double) AS symbol_ratio,
+         CASE WHEN len(lines) < 1 THEN cast(0.0 as double)
+              ELSE cast(round(len(list_filter(lines, l -> starts_with(l, '- '))) * 1.0 / len(lines), 6) as double) END AS bullet_frac,
+         CASE WHEN len(lines) < 1 THEN cast(0.0 as double)
+              ELSE cast(round(len(list_filter(lines, l -> ends_with(l, '...'))) * 1.0 / len(lines), 6) as double) END AS ellipsis_frac,
+         CASE WHEN len(ws) < 1 THEN cast(0.0 as double)
+              ELSE cast(round(len(list_filter(ws, w -> regexp_matches(lower(w), '[a-z]'))) * 1.0 / len(ws), 6) as double) END AS alpha_word_frac,
+         cast(len(list_intersect(list_distinct(tok), [{stop_lits}])) as int) AS stop_hits
+  FROM base)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_word_frac, stop_hits,
+       (n_words BETWEEN {SC.GOPHER_MIN_WORDS} AND {SC.GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {SC.GOPHER_MIN_MEAN_WORD_LEN} AND {SC.GOPHER_MAX_MEAN_WORD_LEN}
+        AND symbol_ratio <= {SC.GOPHER_MAX_SYMBOL_RATIO}
+        AND bullet_frac <= {SC.GOPHER_MAX_BULLET_FRAC}
+        AND ellipsis_frac <= {SC.GOPHER_MAX_ELLIPSIS_FRAC}
+        AND alpha_word_frac >= {SC.GOPHER_MIN_ALPHA_WORD_FRAC}
+        AND stop_hits >= {SC.GOPHER_MIN_STOPWORDS}) AS keep
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -2380,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "corpus_mix": q_corpus_mix,
+        "gopher_quality_filter": q_gopher_quality_filter,
     }
 
 
@@ -2459,4 +2551,5 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _paragraph_dedup_sql(),
         "crawl_trap_hosts": _Q_TRAP_SQL,
         "corpus_mix": _Q_MIX_SQL,
+        "gopher_quality_filter": _gopher_sql(),
     }

@@ -113,6 +113,93 @@ def repetition_keep(dup_word: Column, top_word: Column, top_bigram: Column) -> C
     )
 
 
+# --- Gopher document-structure rules (Rae et al. 2021, public literature) ---
+# "Scaling Language Models: ... Gopher" §A1.1 quality heuristics: word-count
+# band, mean-word-length band, symbol-to-word ratio, bullet-line and
+# ellipsis-line fractions, alphabetic-word fraction, and a minimum count of
+# distinct stop words. Thresholds are the published shape re-banded so the
+# synthetic word-soup corpus actually splits (production values noted inline);
+# the oracle restates them verbatim. All pure Column exprs — at 100 TB these
+# run embedded in the scan stage, zero shuffle, no UDF.
+
+GOPHER_MIN_WORDS = 30          # production: 50
+GOPHER_MAX_WORDS = 110         # production: 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.05  # production: 0.1 ('#' or '...' per word)
+GOPHER_MAX_BULLET_FRAC = 0.20   # production: 0.90 (of lines)
+GOPHER_MAX_ELLIPSIS_FRAC = 0.20  # production: 0.30
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.90  # production: 0.80
+GOPHER_MIN_STOPWORDS = 2        # distinct hits from GOPHER_STOPWORDS
+GOPHER_STOPWORDS = ["the", "a", "of", "to", "and", "that", "have", "with"]
+
+
+def mean_word_len(tokens_col: str) -> Column:
+    """Mean alphanumeric-token length, 0.0 for empty docs (round 6 so both
+    engines' float formatting agrees)."""
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) < 1 THEN cast(0.0 as double)"
+        f" ELSE cast(round(aggregate({tokens_col}, 0, (s, w) -> s + length(w))"
+        f"   / size({tokens_col}), 6) as double) END"
+    )
+
+
+def alpha_word_frac(text_col: str) -> Column:
+    """Fraction of whitespace-split words containing at least one letter
+    (Gopher's 'words with an alphabetic character' rule)."""
+    ws = f"filter(split({text_col}, '[ \\\\n]+'), w -> w != '')"
+    return F.expr(
+        f"CASE WHEN size({ws}) < 1 THEN cast(0.0 as double)"
+        f" ELSE cast(round(size(filter({ws}, w -> lower(w) rlike '[a-z]'))"
+        f"   / size({ws}), 6) as double) END"
+    )
+
+
+def stopword_hits(tokens_col: str) -> Column:
+    """#distinct GOPHER_STOPWORDS present in the token array."""
+    lits = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return F.expr(
+        f"size(array_intersect(array_distinct({tokens_col}), array({lits})))"
+    ).cast("int")
+
+
+def symbol_ratio(text_col: str, n_words: Column) -> Column:
+    """('#' hits + '...' hits) / word count (Gopher symbol-to-word ratio)."""
+    n_sym = (F.regexp_count(F.col(text_col), F.lit("#"))
+             + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.")))
+    return F.round(n_sym / F.greatest(n_words, F.lit(1)), 6).cast("double")
+
+
+def line_frac(lines_col: str, prefix: str | None = None,
+              suffix: str | None = None) -> Column:
+    """Fraction of lines with a given prefix ('- ' bullets) or suffix
+    ('...' ellipsis endings); 0.0 when the doc has no lines."""
+    if prefix is not None:
+        pred = f"startswith(l, '{prefix}')"
+    else:
+        pred = f"endswith(l, '{suffix}')"
+    return F.expr(
+        f"CASE WHEN size({lines_col}) < 1 THEN cast(0.0 as double)"
+        f" ELSE cast(round(size(filter({lines_col}, l -> {pred}))"
+        f"   / size({lines_col}), 6) as double) END"
+    )
+
+
+def gopher_keep(n_words: Column, mean_len: Column, sym: Column,
+                bullet: Column, ellipsis: Column, alpha: Column,
+                stops: Column) -> Column:
+    """The conjunctive Gopher gate over the seven structure metrics."""
+    return (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (sym <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (stops >= GOPHER_MIN_STOPWORDS)
+    )
+
+
 # --- C4-style line cleaning (Raffel et al. 2020, public literature) ---------
 # "Exploring the Limits of Transfer Learning" §2.2: keep only lines that end
 # in a terminal punctuation mark, have >= 5 words, and don't carry the

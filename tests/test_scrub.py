@@ -155,3 +155,49 @@ class TestC4LineFilter:
     def test_brace_drops_doc(self, spark):
         df = spark.createDataFrame([("code { return; }",)], "text string")
         assert not df.select(SC.c4_doc_keep(F.lit(5), "text").alias("v")).head().v
+
+
+class TestGopherStructure:
+    """Gopher structure rules (Rae et al. 2021 §A1.1): metric builders and
+    the conjunctive gate over a hand-computable doc."""
+
+    def test_metrics(self, spark):
+        text = "- the quick fox.\nwent to a # pond...\n12 34"
+        df = (spark.createDataFrame([(text,)], "t string")
+              .withColumn("tok", SC.word_tokens("t"))
+              .withColumn("lines", SC.line_array("t")))
+        r = df.select(
+            F.size("tok").cast("int").alias("n"),
+            SC.mean_word_len("tok").alias("ml"),
+            SC.alpha_word_frac("t").alias("af"),
+            SC.stopword_hits("tok").alias("sh"),
+            SC.symbol_ratio("t", F.size("tok").cast("int")).alias("sr"),
+            SC.line_frac("lines", prefix="- ").alias("bf"),
+            SC.line_frac("lines", suffix="...").alias("ef"),
+        ).head()
+        # tokens: the quick fox went to a pond 12 34 -> 9
+        assert r.n == 9
+        assert r.ml == round((3 + 5 + 3 + 4 + 2 + 1 + 4 + 2 + 2) / 9, 6)
+        # whitespace words: -, the, quick, fox., went, to, a, #, pond..., 12, 34
+        assert r.af == round(7 / 11, 6)
+        assert r.sh == 3           # the, to, a
+        assert r.sr == round(2 / 9, 6)   # one '#', one '...'
+        assert r.bf == round(1 / 3, 6) and r.ef == round(1 / 3, 6)
+
+    def test_gate_conjunction(self, spark):
+        good = " ".join(["the quick brown fox jumps over a lazy dog"] * 5)
+        df = (spark.createDataFrame([(1, good), (2, "tiny doc.")],
+                                    "doc_id long, t string")
+              .withColumn("tok", SC.word_tokens("t"))
+              .withColumn("lines", SC.line_array("t")))
+        n = F.size("tok").cast("int")
+        out = {r.doc_id: r.keep for r in df.select(
+            "doc_id",
+            SC.gopher_keep(
+                n, SC.mean_word_len("tok"), SC.symbol_ratio("t", n),
+                SC.line_frac("lines", prefix="- "),
+                SC.line_frac("lines", suffix="..."),
+                SC.alpha_word_frac("t"), SC.stopword_hits("tok"),
+            ).alias("keep")).collect()}
+        assert out[1] is True      # 45 words, clean structure
+        assert out[2] is False     # below GOPHER_MIN_WORDS
