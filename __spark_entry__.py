@@ -2403,6 +2403,35 @@ FROM m
 """
 
 
+_PACK_BUDGET = 2000  # tokens per training shard (tiny so the fixture cuts many)
+
+
+def q_token_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: assign every doc to a fixed-token-budget
+    training shard in deterministic doc_id order (the sharding step between
+    filtering and tokenizer output in an LLM data pipeline). Exact global
+    running sum via operators/pack.pack_shards — range-repartition +
+    per-partition partial sums + driver cumsum over one number PER
+    PARTITION, never the sum()-OVER-(ORDER BY) single-task trap."""
+    from distributed_webcrawler_spark.operators.pack import pack_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", X.token_count("text").cast("bigint").alias("n_tokens"))
+    out = pack_shards(sized, [F.col("doc_id")], "n_tokens", _PACK_BUDGET)
+    return out.select("doc_id", "n_tokens", "cum_before", "shard_id")
+
+
+_Q_PACK_SQL = f"""
+SELECT doc_id,
+       cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) as bigint) AS n_tokens,
+       cast(coalesce(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+              OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS cum_before,
+       cast(floor(coalesce(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+              OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {_PACK_BUDGET}) as int) AS shard_id
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -2472,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "corpus_mix": q_corpus_mix,
         "gopher_quality_filter": q_gopher_quality_filter,
+        "token_shard_pack": q_token_shard_pack,
     }
 
 
@@ -2552,4 +2582,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_trap_hosts": _Q_TRAP_SQL,
         "corpus_mix": _Q_MIX_SQL,
         "gopher_quality_filter": _gopher_sql(),
+        "token_shard_pack": _Q_PACK_SQL,
     }
