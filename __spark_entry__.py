@@ -2432,6 +2432,71 @@ FROM documents
 """
 
 
+# Blocklist: suffix rules (a full host is just a suffix that happens to be
+# the whole chain) — UT1/adult-list style crawl hygiene.
+_BLOCK_SUFFIXES = ["site3.example.com", "site7.example.com", "tracker.example.com"]
+_BLOCK_KEYWORD = "/ads/"
+
+
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist + URL-keyword crawl filter (UT1-style hygiene before
+    the frontier): block exact hosts AND whole domain subtrees AND URLs with
+    a banned path keyword. Scale shape: suffix rules can't equi-join on raw
+    host, so each URL's bounded host-suffix chain (functions/urls.py
+    host_suffixes) is exploded and broadcast-hash-joined against the
+    blocklist — map-side; the only shuffle is the group-back on doc_id.
+    URLs are synthesized deterministically from documents (established
+    pattern) with tracker subdomains and /ads/ paths in the mix."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.when(d % 11 == 0,
+                  F.concat(F.lit("cdn"), (d % 5).cast("string"),
+                           F.lit(".tracker.example.com")))\
+           .otherwise(F.concat(F.lit("site"), (d % 20).cast("string"),
+                               F.lit(".example.com")))
+    path = F.when(d % 7 == 0, F.lit(_BLOCK_KEYWORD)).otherwise(F.lit("/p/"))
+    urls = docs.select(
+        "doc_id", host.alias("host"),
+        F.concat(F.lit("https://"), host, path, d.cast("string")).alias("url"))
+    bl = spark.createDataFrame([(s,) for s in _BLOCK_SUFFIXES], "suffix string")
+    ex = urls.select("doc_id", "url", "host",
+                     F.explode(U.host_suffixes("host")).alias("suffix"))
+    marked = (
+        ex.join(F.broadcast(bl.withColumn("__hit", F.lit(True))), "suffix", "left")
+        .groupBy("doc_id", "url", "host")
+        .agg(F.coalesce(F.max("__hit"), F.lit(False)).alias("blocked_host"))
+    )
+    return marked.select(
+        "doc_id", "url", "host", "blocked_host",
+        F.col("url").contains(_BLOCK_KEYWORD).alias("blocked_kw"),
+        (~F.col("blocked_host") & ~F.col("url").contains(_BLOCK_KEYWORD)).alias("keep"),
+    )
+
+
+def _blocklist_sql() -> str:
+    suf_lits = ", ".join(f"'{s}'" for s in _BLOCK_SUFFIXES)
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'cdn' || cast(doc_id % 5 as varchar) || '.tracker.example.com'
+              ELSE 'site' || cast(doc_id % 20 as varchar) || '.example.com' END AS host,
+         CASE WHEN doc_id % 7 = 0 THEN '{_BLOCK_KEYWORD}' ELSE '/p/' END AS path
+  FROM documents),
+m AS (
+  SELECT doc_id, host,
+         'https://' || host || path || cast(doc_id as varchar) AS url,
+         list_transform(generate_series(1, len(string_split(host, '.'))),
+                        i -> array_to_string(string_split(host, '.')[i:], '.')) AS sufx
+  FROM u)
+SELECT doc_id, url, host,
+       len(list_intersect(sufx, [{suf_lits}])) > 0 AS blocked_host,
+       contains(url, '{_BLOCK_KEYWORD}') AS blocked_kw,
+       (len(list_intersect(sufx, [{suf_lits}])) = 0
+        AND NOT contains(url, '{_BLOCK_KEYWORD}')) AS keep
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -2502,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "gopher_quality_filter": q_gopher_quality_filter,
         "token_shard_pack": q_token_shard_pack,
+        "url_blocklist_filter": q_url_blocklist_filter,
     }
 
 
@@ -2583,4 +2649,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": _Q_MIX_SQL,
         "gopher_quality_filter": _gopher_sql(),
         "token_shard_pack": _Q_PACK_SQL,
+        "url_blocklist_filter": _blocklist_sql(),
     }

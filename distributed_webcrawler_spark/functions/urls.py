@@ -57,6 +57,20 @@ def host_bucket(host_col: Column, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(host_col), F.lit(n_buckets)).cast("int")
 
 
+def host_suffixes(host_col: str) -> Column:
+    """Domain-suffix chain of a host ('a.b.example.com' ->
+    ['a.b.example.com', 'b.example.com', 'example.com', 'com']) — the
+    equi-join key set for blocklist / public-suffix matching. Suffix rules
+    can't equi-join on the raw host; exploding this bounded chain (≤ label
+    count, ~4-6) and broadcast-joining the blocklist turns an un-joinable
+    LIKE '%suffix' scan into one map-side hash join. Pure Column expr."""
+    return F.expr(
+        f"transform(sequence(1, size(split({host_col}, '[.]'))),"
+        f" i -> array_join(slice(split({host_col}, '[.]'), i,"
+        f"      size(split({host_col}, '[.]')) - i + 1), '.'))"
+    )
+
+
 def child_priority(parent_depth: Column) -> Column:
     """C5 — max(0.1, 1.0 - parent_depth*0.1), CrawlerManager.java:215."""
     return F.greatest(F.lit(0.1), F.lit(1.0) - parent_depth.cast("double") * F.lit(0.1))

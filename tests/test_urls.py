@@ -118,3 +118,14 @@ def test_resolve_fast_path_matches_exact_slow_path():
         f = fast.iloc[i]
         f = None if f is None or (isinstance(f, float)) or f is pd.NA else f
         assert f == s, (base.iloc[i], href.iloc[i], f, s)
+
+
+def test_host_suffixes(spark):
+    from distributed_webcrawler_spark.functions.urls import host_suffixes
+
+    df = spark.createDataFrame(
+        [("a.b.example.com",), ("example.com",), ("localhost",)], "h string")
+    got = [r.s for r in df.select(host_suffixes("h").alias("s")).collect()]
+    assert got[0] == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    assert got[1] == ["example.com", "com"]
+    assert got[2] == ["localhost"]
