@@ -2497,6 +2497,59 @@ FROM m
 """
 
 
+def _img_dup_rows() -> list:
+    """The exact-dedup batch: every spec image plus byte-identical copies
+    under different image_ids (idx%4 'mirror' re-host, idx%10 'cdn' copy) —
+    the re-hosted-image situation exact dedup exists for. Pure Python +
+    the deterministic codec, so Spark and the oracle rebuild it identically."""
+    from distributed_webcrawler_spark.sources import codec
+
+    rows = []
+    for idx, (iid, w, h, fmt) in enumerate(_mm_specs()):
+        data = codec.encode_image(codec.synth_pixels(iid, w, h), fmt)
+        rows.append((iid, data))
+        if idx % 4 == 0:
+            rows.append((iid + "~mirror", data))
+        if idx % 10 == 0:
+            rows.append((iid + "~cdn", data))
+    return rows
+
+
+def q_image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact image dedup by content hash over the crawl's binary payloads:
+    md5(bytes) JVM-side (codegen, bytes never leave the scan's executor),
+    one partial/final hash aggregate on the 16-byte digest — first-wins
+    canonical id + copy count per distinct content. At 10^10 images the
+    shuffle carries (digest, id) pairs, never pixels. The oracle holds
+    hashlib-computed digests for the same deterministic batch, so this
+    gates that binary payloads survive Arrow/createDataFrame byte-exact
+    AND that the dedup agg is right."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(_img_dup_rows(), columns=["image_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    return (
+        payloads.select("image_id", F.md5("bytes").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min("image_id").alias("canonical_id"),
+             F.count("*").cast("int").alias("n_copies"))
+    )
+
+
+def _img_dedup_sql() -> str:
+    import hashlib
+
+    vals = ",\n".join(f"('{iid}', '{hashlib.md5(data).hexdigest()}')"
+                      for iid, data in _img_dup_rows())
+    return f"""
+SELECT content_md5, min(image_id) AS canonical_id, cast(count(*) as int) AS n_copies
+FROM (VALUES
+{vals}
+) AS t(image_id, content_md5)
+GROUP BY content_md5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -2568,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_filter": q_gopher_quality_filter,
         "token_shard_pack": q_token_shard_pack,
         "url_blocklist_filter": q_url_blocklist_filter,
+        "image_exact_dedup": q_image_exact_dedup,
     }
 
 
@@ -2650,4 +2704,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_filter": _gopher_sql(),
         "token_shard_pack": _Q_PACK_SQL,
         "url_blocklist_filter": _blocklist_sql(),
+        "image_exact_dedup": _img_dedup_sql(),
     }
