@@ -2550,6 +2550,58 @@ GROUP BY content_md5
 """
 
 
+# CCNet-style perplexity buckets: fixed thresholds sit at the fixture
+# corpus's NLL terciles (production re-fits them per corpus snapshot).
+_PPL_T_HEAD = 3.3997
+_PPL_T_MIDDLE = 3.4040
+
+
+def q_ccnet_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al. 2020,
+    public literature): score each doc by mean unigram negative log
+    likelihood under the corpus's own unigram distribution (the stand-in
+    for the KenLM perplexity CCNet uses — the Spark-side shape is
+    identical), then cut head/middle/tail buckets on fixed thresholds.
+
+    Two-pass scale shape: pass 1 builds the unigram table (one shuffle on
+    token, output is vocab-sized — millions of rows at web scale, always
+    broadcastable); pass 2 re-scans docs, broadcast-joins token->nll and
+    partial-aggregates the per-doc mean. The corpus never self-joins and
+    the only full-data shuffle is the per-doc agg. Per-token nll is rounded
+    to 9 before averaging (the bm25 ulp rule: JVM and libm ln() may differ
+    in the last ulp)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(SC.word_tokens("text")).alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    unib = (uni.crossJoin(F.broadcast(tot))
+            .select("w", F.round(-F.log(F.col("c") / F.col("n")), 9).alias("nll")))
+    scored = (tok.join(F.broadcast(unib), "w")
+              .groupBy("doc_id")
+              .agg(F.round(F.avg("nll"), 6).alias("nll_mean")))
+    return scored.select(
+        "doc_id", "nll_mean",
+        F.when(F.col("nll_mean") <= _PPL_T_HEAD, F.lit("head"))
+         .when(F.col("nll_mean") <= _PPL_T_MIDDLE, F.lit("middle"))
+         .otherwise(F.lit("tail")).alias("bucket"),
+    )
+
+
+_Q_PPL_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c) AS n FROM uni),
+nll AS (SELECT doc_id, round(-ln(c * 1.0 / (SELECT n FROM tot)), 9) AS v
+        FROM tok JOIN uni USING (w)),
+s AS (SELECT doc_id, cast(round(avg(v), 6) as double) AS nll_mean FROM nll GROUP BY doc_id)
+SELECT doc_id, nll_mean,
+       CASE WHEN nll_mean <= {_PPL_T_HEAD} THEN 'head'
+            WHEN nll_mean <= {_PPL_T_MIDDLE} THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -2622,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shard_pack": q_token_shard_pack,
         "url_blocklist_filter": q_url_blocklist_filter,
         "image_exact_dedup": q_image_exact_dedup,
+        "ccnet_perplexity_bucket": q_ccnet_perplexity_bucket,
     }
 
 
@@ -2705,4 +2758,5 @@ def oracle_sql() -> dict[str, str]:
         "token_shard_pack": _Q_PACK_SQL,
         "url_blocklist_filter": _blocklist_sql(),
         "image_exact_dedup": _img_dedup_sql(),
+        "ccnet_perplexity_bucket": _Q_PPL_SQL,
     }
