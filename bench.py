@@ -61,6 +61,11 @@ HEADLINE = [
     "semdedup_pairs",
     "c4_line_filter",
     "paragraph_dedup",
+    "gopher_quality_filter",
+    "token_shard_pack",
+    "url_blocklist_filter",
+    "image_exact_dedup",
+    "ccnet_perplexity_bucket",
 ]
 
 
