@@ -2602,6 +2602,106 @@ FROM s
 """
 
 
+# Corpus-mix sampling rates per language (percent of docs kept); the
+# knob an LLM data pipeline turns after reading the corpus_mix report.
+_STRAT_RATES = {"en": 60, "zh": 30, "es": 30, "de": 20, "fr": 20}
+_STRAT_DEFAULT = 10
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: keep a fixed per-lang
+    percentage using a portable 60-bit hash bucket of doc_id (pmod 100) —
+    reproducible across runs/engines/cluster sizes, unlike rand()-based
+    sample(). Pure Column math, map-side only: the sample decision is
+    embedded in the scan, no shuffle at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(h64(F.col("doc_id").cast("string")), F.lit(100)).cast("int")
+    rate = F.lit(_STRAT_DEFAULT)
+    for lang, pct in _STRAT_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (docs.select("doc_id", "lang", bucket.alias("bucket"),
+                        rate.cast("int").alias("rate_pct"))
+            .where(F.col("bucket") < F.col("rate_pct")))
+
+
+def _strat_sql() -> str:
+    cases = " ".join(f"WHEN lang = '{lg}' THEN {pct}"
+                     for lg, pct in _STRAT_RATES.items())
+    bucket = f"{h64_sql('cast(doc_id as varchar)')} % 100"
+    return f"""
+SELECT doc_id, lang, cast({bucket} as int) AS bucket,
+       cast(CASE {cases} ELSE {_STRAT_DEFAULT} END as int) AS rate_pct
+FROM documents
+WHERE {bucket} < CASE {cases} ELSE {_STRAT_DEFAULT} END
+"""
+
+
+_CD_ROUND_WINDOW_S = 60   # politeness window a round represents
+_CD_MAX_BUDGET = 12       # engine-wide per-host cap
+_CD_DEFAULT_DELAY = 2.0   # seconds, when robots has no Crawl-delay
+
+
+def q_crawl_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Crawl-delay-aware scheduling: per-host fetch budget =
+    min(engine cap, floor(round_window / crawl_delay)) with the delay
+    parsed from the host's robots.txt (Crawl-delay is a de-facto public
+    extension; the reference hard-codes 500 ms politeness instead,
+    BasicCrawler.java:31-32,72-74). Robots texts are synthesized per host
+    IN the query (established pattern); the delay extraction is one
+    regexp on the tiny per-host robots table, the budget cap is the same
+    salted-window politeness shape as `politeness_budget` — one shuffle
+    on host for the rank, robots side broadcast."""
+    fr = _frontier(spark, sf_dir)
+    hosts = fr.select("host").distinct()
+    hid = F.regexp_extract("host", "([0-9]+)", 1).cast("int")
+    txt = (F.when(hid % 3 == 0,
+                  F.lit("User-agent: *\nCrawl-delay: 10\nDisallow: /tmp"))
+           .when(hid % 3 == 1,
+                 F.lit("User-agent: *\nDisallow: /private"))
+           .otherwise(F.lit("User-agent: *\ncrawl-delay: 0.5")))
+    delay_s = F.regexp_extract(F.lower(txt), r"crawl-delay: *([0-9.]+)", 1)
+    delay = F.when(delay_s == "", F.lit(_CD_DEFAULT_DELAY)) \
+             .otherwise(delay_s.cast("double"))
+    budgets = hosts.select(
+        "host",
+        F.least(F.lit(_CD_MAX_BUDGET),
+                F.floor(F.lit(_CD_ROUND_WINDOW_S) / delay)).cast("int").alias("budget"))
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("url"))
+    ranked = fr.withColumn("rk", F.row_number().over(w))
+    return (ranked.join(F.broadcast(budgets), "host")
+            .where(F.col("rk") <= F.col("budget"))
+            .select("host", "url", "priority", "rk", "budget"))
+
+
+def _crawl_delay_sql() -> str:
+    return f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+hosts AS (SELECT DISTINCT host FROM frontier),
+rb AS (
+  SELECT host,
+         CASE WHEN cast(regexp_extract(host, '([0-9]+)', 1) as int) % 3 = 0
+              THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 10' || chr(10) || 'Disallow: /tmp'
+              WHEN cast(regexp_extract(host, '([0-9]+)', 1) as int) % 3 = 1
+              THEN 'User-agent: *' || chr(10) || 'Disallow: /private'
+              ELSE 'User-agent: *' || chr(10) || 'crawl-delay: 0.5' END AS txt
+  FROM hosts),
+b AS (
+  SELECT host,
+         cast(least({_CD_MAX_BUDGET}, floor({_CD_ROUND_WINDOW_S} /
+           CASE WHEN regexp_extract(lower(txt), 'crawl-delay: *([0-9.]+)', 1) = ''
+                THEN {_CD_DEFAULT_DELAY}
+                ELSE cast(regexp_extract(lower(txt), 'crawl-delay: *([0-9.]+)', 1) as double) END)) as int) AS budget
+  FROM rb),
+r AS (
+  SELECT host, url, priority,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rk
+  FROM frontier)
+SELECT r.host, r.url, r.priority, cast(r.rk as int) AS rk, b.budget
+FROM r JOIN b USING (host)
+WHERE r.rk <= b.budget
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -2675,6 +2775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_filter": q_url_blocklist_filter,
         "image_exact_dedup": q_image_exact_dedup,
         "ccnet_perplexity_bucket": q_ccnet_perplexity_bucket,
+        "stratified_sample": q_stratified_sample,
+        "crawl_delay_budget": q_crawl_delay_budget,
     }
 
 
@@ -2759,4 +2861,6 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist_filter": _blocklist_sql(),
         "image_exact_dedup": _img_dedup_sql(),
         "ccnet_perplexity_bucket": _Q_PPL_SQL,
+        "stratified_sample": _strat_sql(),
+        "crawl_delay_budget": _crawl_delay_sql(),
     }
