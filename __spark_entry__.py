@@ -2702,6 +2702,121 @@ WHERE r.rk <= b.budget
 """
 
 
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap.xml URL extraction (sitemaps.org protocol, the frontier's
+    second seed source next to link discovery): per-host sitemap documents
+    are assembled from the corpus (deterministic order), then parsed back
+    to (host, url, lastmod, pos) with regexp extraction + positional
+    explode. Scale shape: sitemaps are per-host documents fetched like any
+    page — the parse is in-row regexp_extract_all (no UDF); the only
+    shuffle is the per-host assembly groupBy, which production skips
+    because sitemaps arrive already one-per-host from the fetcher."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("host"), (F.col("doc_id") % 40).cast("string"),
+                    F.lit(".example.com"))
+    entry = F.concat(
+        F.lit("<url><loc>https://"), host, F.lit("/d/"),
+        F.col("doc_id").cast("string"), F.lit("</loc><lastmod>2024-01-"),
+        F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0"),
+        F.lit("</lastmod></url>"))
+    sm = (docs.select(host.alias("host"), F.struct(F.col("doc_id"), entry.alias("e")).alias("s"))
+          .groupBy("host")
+          .agg(F.concat(F.lit("<urlset>"),
+                        F.array_join(F.transform(F.array_sort(F.collect_list("s")),
+                                                 lambda s: s["e"]), ""),
+                        F.lit("</urlset>")).alias("xml")))
+    locs = F.expr("regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)")
+    mods = F.expr("regexp_extract_all(xml, '<lastmod>([^<]+)</lastmod>', 1)")
+    z = sm.select("host", F.posexplode(F.arrays_zip(locs.alias("u"), mods.alias("m"))))
+    return z.select("host", F.col("pos").cast("int").alias("pos"),
+                    F.col("col.u").alias("url"), F.col("col.m").alias("lastmod"))
+
+
+_Q_SITEMAP_SQL = """
+WITH e AS (
+  SELECT 'host' || cast(doc_id % 40 as varchar) || '.example.com' AS host,
+         doc_id,
+         '<url><loc>https://host' || cast(doc_id % 40 as varchar) ||
+         '.example.com/d/' || cast(doc_id as varchar) ||
+         '</loc><lastmod>2024-01-' || lpad(cast(1 + doc_id % 28 as varchar), 2, '0') ||
+         '</lastmod></url>' AS entry
+  FROM documents),
+sm AS (
+  SELECT host, '<urlset>' || string_agg(entry, '' ORDER BY doc_id) || '</urlset>' AS xml
+  FROM e GROUP BY host),
+p AS (
+  SELECT host,
+         regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1) AS us,
+         regexp_extract_all(xml, '<lastmod>([^<]+)</lastmod>', 1) AS ms
+  FROM sm)
+SELECT host, cast(generate_subscripts(us, 1) - 1 as int) AS pos,
+       unnest(us) AS url, ms[generate_subscripts(us, 1)] AS lastmod
+FROM p
+"""
+
+
+# fastText-style linear quality classifier: hashed bag-of-words features,
+# md5-derived fixed weights (a real pipeline loads trained weights; the
+# inference math — the Spark-side shape — is identical).
+_QLS_DIMS = 8
+_QLS_BIAS = -0.25
+
+
+def _qls_weights() -> list:
+    import hashlib
+
+    ws = []
+    for j in range(_QLS_DIMS):
+        h = int(hashlib.md5(f"qlsw:{j}".encode()).hexdigest()[:8], 16)
+        ws.append(round(h / 0xFFFFFFFF * 2.0 - 1.0, 6))  # [-1, 1]
+    return ws
+
+
+def q_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, fastText-classifier-shaped (Joulin et
+    al. 2017 / CCNet's quality head, public literature): L1-normalized
+    hashed bag-of-words (portable 60-bit token hash mod K dims) through a
+    fixed linear head + sigmoid. Pure in-row Column math — model inference
+    as columnar expressions, no UDF, embedded in the scan at 100 TB. The
+    per-dim dot-product terms are rounded before summation (bm25 ulp
+    rule); swap the md5-derived weights for trained ones in production."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", SC.word_tokens("text").alias("tok"))
+    n = F.greatest(F.size("tok"), F.lit(1)).cast("bigint")
+    ws = _qls_weights()
+    h = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+    # exact-integer dot product (weights scaled by 1e6), ONE float division:
+    # every intermediate is an int64 on both engines, the division is IEEE
+    # correctly-rounded, so the logit is bit-identical cross-engine (the
+    # rounded-term sum still flipped a 6th decimal on boundary docs).
+    s = sum(
+        (F.lit(int(round(ws[j] * 1_000_000)))
+         * F.expr(f"size(filter(tok, t -> pmod({h}, {_QLS_DIMS}) = {j}))").cast("bigint")
+         for j in range(_QLS_DIMS)),
+        F.lit(0).cast("bigint"))
+    z = F.round(F.lit(_QLS_BIAS) + s / (n * F.lit(1_000_000.0)), 6)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return t.select(
+        "doc_id", z.alias("logit"), score.alias("score"),
+        (score >= 0.5).alias("keep"))
+
+
+def _qls_sql() -> str:
+    ws = _qls_weights()
+    h = "cast(concat('0x', substr(md5(t), 1, 15)) as bigint)"
+    terms = " + ".join(
+        f"{int(round(ws[j] * 1_000_000))} * len(list_filter(tok, t -> {h} % {_QLS_DIMS} = {j}))"
+        for j in range(_QLS_DIMS))
+    return f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
+s AS (SELECT doc_id, round({_QLS_BIAS} + ({terms}) * 1.0 / (greatest(len(tok), 1) * 1000000.0), 6) AS logit FROM t)
+SELECT doc_id, logit,
+       cast(round(1.0 / (1.0 + exp(-logit)), 6) as double) AS score,
+       round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -2777,6 +2892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_bucket": q_ccnet_perplexity_bucket,
         "stratified_sample": q_stratified_sample,
         "crawl_delay_budget": q_crawl_delay_budget,
+        "sitemap_extract": q_sitemap_extract,
+        "quality_linear_score": q_quality_linear_score,
     }
 
 
@@ -2863,4 +2980,6 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_perplexity_bucket": _Q_PPL_SQL,
         "stratified_sample": _strat_sql(),
         "crawl_delay_budget": _crawl_delay_sql(),
+        "sitemap_extract": _Q_SITEMAP_SQL,
+        "quality_linear_score": _qls_sql(),
     }
