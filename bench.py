@@ -66,6 +66,10 @@ HEADLINE = [
     "url_blocklist_filter",
     "image_exact_dedup",
     "ccnet_perplexity_bucket",
+    "stratified_sample",
+    "crawl_delay_budget",
+    "sitemap_extract",
+    "quality_linear_score",
 ]
 
 
