@@ -2817,6 +2817,202 @@ FROM s
 """
 
 
+def q_meta_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level <meta name="robots"> gate (public robots-meta protocol):
+    noindex drops the page from the index/corpus, nofollow stops link
+    expansion from it — the page-granular complement to the host-level
+    robots.txt gate (F4). Pure regexp Column ops over markup synthesized
+    deterministically in-query (html_text_extract pattern); in the live
+    engine the same extraction runs on fetched bytes before expand."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    meta = (F.when(d % 5 == 0, F.lit('<meta name="robots" content="noindex">'))
+            .when(d % 5 == 1, F.lit('<meta name="robots" content="nofollow">'))
+            .when(d % 5 == 2, F.lit('<meta name="robots" content="noindex,nofollow">'))
+            .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), meta,
+                    F.lit("<title>t</title></head><body>"),
+                    F.substring("text", 1, 40), F.lit("</body></html>"))
+    h = docs.select("doc_id", html.alias("html"))
+    content = F.regexp_extract(
+        "html", '<meta name="robots" content="([^"]*)"', 1)
+    return h.select(
+        "doc_id", content.alias("robots_meta"),
+        content.contains("noindex").alias("noindex"),
+        content.contains("nofollow").alias("nofollow"),
+        (~content.contains("noindex")).alias("index_ok"),
+        (~content.contains("nofollow")).alias("follow_ok"),
+    )
+
+
+_Q_METAROBOTS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head>' ||
+         CASE WHEN doc_id % 5 = 0 THEN '<meta name="robots" content="noindex">'
+              WHEN doc_id % 5 = 1 THEN '<meta name="robots" content="nofollow">'
+              WHEN doc_id % 5 = 2 THEN '<meta name="robots" content="noindex,nofollow">'
+              ELSE '' END ||
+         '<title>t</title></head><body>' || substr(text, 1, 40) || '</body></html>' AS html
+  FROM documents),
+m AS (SELECT doc_id,
+             regexp_extract(html, '<meta name="robots" content="([^"]*)"', 1) AS robots_meta
+      FROM h)
+SELECT doc_id, robots_meta,
+       contains(robots_meta, 'noindex') AS noindex,
+       contains(robots_meta, 'nofollow') AS nofollow,
+       NOT contains(robots_meta, 'noindex') AS index_ok,
+       NOT contains(robots_meta, 'nofollow') AS follow_ok
+FROM m
+"""
+
+
+_CB_MIN_ATTEMPTS = 10
+_CB_MAX_FAIL_RATE = 0.4
+
+
+def q_host_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host error-rate circuit breaker: hosts whose recent fetch
+    failure rate exceeds a threshold (with a minimum-attempts floor so one
+    unlucky fetch can't trip it) get backed off for the next rounds —
+    standard crawler ops hygiene the reference lacks (it retries nothing,
+    BasicCrawler has no host health state). One groupBy(host) over the
+    attempts log; thresholds are engine constants. Attempt outcomes are
+    synthesized deterministically (hosts h%5==0 are 'flaky', failing every
+    2nd fetch; others fail 1-in-7)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 25).cast("string"), F.lit(".example.com"))
+    flaky = (d % 25) % 5 == 0
+    ok = F.when(flaky, d % 2 == 0).otherwise(d % 7 != 0)
+    att = docs.select(host.alias("host"), ok.alias("ok"))
+    g = att.groupBy("host").agg(
+        F.count("*").cast("int").alias("attempts"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).cast("int").alias("failures"))
+    rate = F.round(F.col("failures") / F.col("attempts"), 6)
+    return g.select(
+        "host", "attempts", "failures", rate.alias("fail_rate"),
+        ((F.col("attempts") >= _CB_MIN_ATTEMPTS)
+         & (rate > _CB_MAX_FAIL_RATE)).alias("tripped"),
+    )
+
+
+_Q_CIRCUIT_SQL = f"""
+WITH att AS (
+  SELECT 'h' || cast(doc_id % 25 as varchar) || '.example.com' AS host,
+         CASE WHEN (doc_id % 25) % 5 = 0 THEN doc_id % 2 = 0
+              ELSE doc_id % 7 <> 0 END AS ok
+  FROM documents),
+g AS (
+  SELECT host, cast(count(*) as int) AS attempts,
+         cast(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) as int) AS failures
+  FROM att GROUP BY host)
+SELECT host, attempts, failures,
+       round(failures * 1.0 / attempts, 6) AS fail_rate,
+       (attempts >= {_CB_MIN_ATTEMPTS}
+        AND round(failures * 1.0 / attempts, 6) > {_CB_MAX_FAIL_RATE}) AS tripped
+FROM g
+"""
+
+
+def q_warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-style record parsing (ISO 28500 / Common Crawl layout, public):
+    each synthesized 'file' concatenates many records; split on the
+    'WARC/1.0' magic, positional-explode, extract WARC-Type /
+    WARC-Target-URI / Content-Length per record with in-row regexps — the
+    ingest shape for reading crawl archives into the engine (one file per
+    task, record parse embedded in the scan, no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    body = F.substring("text", 1, 40)
+    rec = F.concat(
+        F.lit("WARC/1.0\nWARC-Type: response\nWARC-Target-URI: https://site"),
+        (d % 20).cast("string"), F.lit(".example.com/d/"), d.cast("string"),
+        F.lit("\nContent-Length: "), F.length(body).cast("string"),
+        F.lit("\n\n"), body, F.lit("\n"))
+    files = (docs.select((d % 10).cast("int").alias("file_id"),
+                         F.struct(d.alias("doc_id"), rec.alias("r")).alias("s"))
+             .groupBy("file_id")
+             .agg(F.array_join(F.transform(F.array_sort(F.collect_list("s")),
+                                           lambda s: s["r"]), "").alias("warc")))
+    recs = files.select(
+        "file_id",
+        F.posexplode(F.expr("filter(split(warc, 'WARC/1[.]0\\n'), x -> x != '')")))
+    return recs.select(
+        "file_id", F.col("pos").cast("int").alias("rec_pos"),
+        F.regexp_extract("col", "WARC-Type: ([^\n]+)", 1).alias("warc_type"),
+        F.regexp_extract("col", "WARC-Target-URI: ([^\n]+)", 1).alias("target_uri"),
+        F.regexp_extract("col", "Content-Length: ([0-9]+)", 1).cast("int").alias("content_length"),
+    )
+
+
+_Q_WARC_SQL = """
+WITH e AS (
+  SELECT cast(doc_id % 10 as int) AS file_id, doc_id,
+         'WARC/1.0' || chr(10) || 'WARC-Type: response' || chr(10) ||
+         'WARC-Target-URI: https://site' || cast(doc_id % 20 as varchar) ||
+         '.example.com/d/' || cast(doc_id as varchar) || chr(10) ||
+         'Content-Length: ' || cast(length(substr(text, 1, 40)) as varchar) ||
+         chr(10) || chr(10) || substr(text, 1, 40) || chr(10) AS rec
+  FROM documents),
+f AS (SELECT file_id, string_agg(rec, '' ORDER BY doc_id) AS warc FROM e GROUP BY file_id),
+sp AS (SELECT file_id,
+              list_filter(string_split_regex(warc, 'WARC/1\\.0\\n'), x -> x != '') AS recs
+       FROM f)
+SELECT file_id,
+       cast(generate_subscripts(recs, 1) - 1 as int) AS rec_pos,
+       regexp_extract(unnest(recs), 'WARC-Type: ([^\\n]+)', 1) AS warc_type,
+       regexp_extract(unnest(recs), 'WARC-Target-URI: ([^\\n]+)', 1) AS target_uri,
+       cast(regexp_extract(unnest(recs), 'Content-Length: ([0-9]+)', 1) as int) AS content_length
+FROM sp
+"""
+
+
+def q_image_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format image dimension rollup over the crawl's decoded payloads
+    (the corpus-report twin of corpus_mix for the image side): count,
+    dimension extrema, mean megapixels, and how many fall under the
+    training-pair minimum edge. Spark runs the REAL Arrow-batched decode
+    then a stats-width aggregate; the oracle aggregates the precomputed
+    expected-decode table — so both the decode and the rollup are gated."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import decode_stats
+    from distributed_webcrawler_spark.sources import codec
+
+    pdf = pd.DataFrame(
+        [(iid, codec.encode_image(codec.synth_pixels(iid, w, h), fmt))
+         for iid, w, h, fmt in _mm_specs()],
+        columns=["image_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    st = decode_stats(payloads).where(F.col("ok"))
+    return (st.groupBy("fmt").agg(
+        F.count("*").cast("int").alias("n"),
+        F.min("w").cast("int").alias("min_w"),
+        F.max("w").cast("int").alias("max_w"),
+        F.min("h").cast("int").alias("min_h"),
+        F.max("h").cast("int").alias("max_h"),
+        F.round(F.avg(F.col("w") * F.col("h") / F.lit(1_000_000.0)), 9).alias("avg_mpix"),
+        F.sum(F.when(F.least("w", "h") < 24, 1).otherwise(0)).cast("int").alias("n_small"),
+    ))
+
+
+def _img_stats_sql() -> str:
+    vals = ",\n".join(f"('{iid}', '{fmt}', {w}, {h})"
+                      for iid, fmt, w, h, *_ in _mm_expected_rows())
+    return f"""
+SELECT fmt, cast(count(*) as int) AS n,
+       cast(min(w) as int) AS min_w, cast(max(w) as int) AS max_w,
+       cast(min(h) as int) AS min_h, cast(max(h) as int) AS max_h,
+       round(avg(w * h / 1000000.0), 9) AS avg_mpix,
+       cast(sum(CASE WHEN least(w, h) < 24 THEN 1 ELSE 0 END) as int) AS n_small
+FROM (VALUES
+{vals}
+) AS t(image_id, fmt, w, h)
+GROUP BY fmt
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -2894,6 +3090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delay_budget": q_crawl_delay_budget,
         "sitemap_extract": q_sitemap_extract,
         "quality_linear_score": q_quality_linear_score,
+        "meta_robots_gate": q_meta_robots_gate,
+        "host_circuit_breaker": q_host_circuit_breaker,
+        "warc_record_parse": q_warc_record_parse,
+        "image_size_stats": q_image_size_stats,
     }
 
 
@@ -2982,4 +3182,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delay_budget": _crawl_delay_sql(),
         "sitemap_extract": _Q_SITEMAP_SQL,
         "quality_linear_score": _qls_sql(),
+        "meta_robots_gate": _Q_METAROBOTS_SQL,
+        "host_circuit_breaker": _Q_CIRCUIT_SQL,
+        "warc_record_parse": _Q_WARC_SQL,
+        "image_size_stats": _img_stats_sql(),
     }
