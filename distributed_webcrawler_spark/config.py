@@ -27,6 +27,11 @@ class CrawlConfig:
     # per-host fetches allowed per round; clean-mode politeness
     # (= floor(round_seconds*1000 / politeness_delay_ms) on a wall-clock deploy)
     budget_per_host_per_round: int = 4
+    # honor robots.txt Crawl-delay (de-facto extension): per-host budget =
+    # min(budget_per_host_per_round, floor(round_window_s / crawl_delay));
+    # hosts without a robots row keep budget_per_host_per_round.
+    crawl_delay_budgets: bool = False
+    round_window_s: int = 60
     respect_robots: bool = True
     user_agent: str = "dws-crawler"
     max_pages: int | None = None    # enforced in clean mode; reference stores-but-ignores

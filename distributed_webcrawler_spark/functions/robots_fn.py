@@ -95,6 +95,24 @@ def parse_robots_table(robots_df: DataFrame) -> DataFrame:
                          F.col("rules.disallow").alias("disallow"))
 
 
+def crawl_delay_budgets(robots_df: DataFrame, round_window_s: int,
+                        max_budget: int, default_delay_s: float = 1.0) -> DataFrame:
+    """(host, robots_txt) -> (host, budget:int) from the de-facto
+    Crawl-delay extension: budget = min(max_budget, floor(window / delay)).
+    Hosts whose robots carries no Crawl-delay get the default delay; hosts
+    with NO robots row get no budgets row (the scheduler's join falls back
+    to the engine-wide cap — mirroring the reference's unfetchable-robots =>
+    default-behavior rule). Pure Column regexp over the tiny per-host
+    table — no UDF, broadcastable at any corpus size (one row per host)."""
+    delay_s = F.regexp_extract(F.lower("robots_txt"), r"crawl-delay: *([0-9.]+)", 1)
+    delay = F.when(delay_s == "", F.lit(default_delay_s)).otherwise(delay_s.cast("double"))
+    return robots_df.select(
+        "host",
+        F.least(F.lit(max_budget),
+                F.greatest(F.floor(F.lit(round_window_s) / delay), F.lit(0)))
+         .cast("int").alias("budget"))
+
+
 def gate_by_robots(scheduled: DataFrame, robots_rules: DataFrame, path_col: Column) -> DataFrame:
     """Broadcast-join the (small) parsed rules table, evaluate the gate, and
     tag each row with robots_allowed:boolean. Hosts with no robots row are

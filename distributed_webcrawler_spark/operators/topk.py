@@ -113,3 +113,28 @@ def topk_per_group_salted(df: DataFrame, group_cols: list[str], order_cols: list
         .drop("__rk1", "__salt")
     )
     return topk_per_group(survivors, group_cols, order_cols, k, rank_col)
+
+
+def topk_per_group_budget_salted(df: DataFrame, group_cols: list[str],
+                                 order_cols: list[Column], budgets: DataFrame,
+                                 key_col: str, k_default: int, n_salts: int,
+                                 salt_source: str = "url",
+                                 rank_col: str = "rk") -> DataFrame:
+    """Variable-cap variant of :func:`topk_per_group_salted`: each group's
+    k comes from the tiny ``budgets`` table (``key_col`` -> ``budget``),
+    falling back to ``k_default`` for keys with no row (e.g. hosts with no
+    robots.txt). Budgets are one row per key, so the join BROADCASTS at any
+    corpus size; exactness argument is unchanged (per-shard top-b of a
+    group contains its global top-b for that group's own b)."""
+    joined = df.join(F.broadcast(budgets), key_col, "left").withColumn(
+        "__b", F.coalesce(F.col("budget"), F.lit(k_default))).drop("budget")
+    salted = joined.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts)))
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("__rk1", F.row_number().over(w1))
+        .where(F.col("__rk1") <= F.col("__b"))
+        .drop("__rk1", "__salt")
+    )
+    return topk_per_group(survivors, group_cols, order_cols,
+                          F.col("__b"), rank_col).drop("__b")

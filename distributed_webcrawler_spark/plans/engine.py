@@ -186,6 +186,15 @@ class CrawlEngine:
         self.robots_rules = (
             parse_robots_table(robots).cache() if (robots is not None and config.respect_robots) else None
         )
+        # robots Crawl-delay -> per-host budget caps (tiny per-host table,
+        # cached once; the scheduler broadcast-joins it every round)
+        self.host_budgets = None
+        if robots is not None and config.crawl_delay_budgets:
+            from distributed_webcrawler_spark.functions.robots_fn import crawl_delay_budgets
+
+            self.host_budgets = crawl_delay_budgets(
+                robots, config.round_window_s,
+                config.budget_per_host_per_round).cache()
         self.bloom: BloomFilter | None = None
         self.bloom_shards = None            # ShardedBloomStore (cfg.bloom_shards > 1)
         self._robots_http_cache: dict = {}  # host -> (allow, disallow); http mode
@@ -401,7 +410,14 @@ class CrawlEngine:
             # count, so budget >= that bound means the rank filter keeps
             # every row — skip BOTH window shuffles (drain/backfill regime)
             frontier_rows = self._t("frontier").total_rows()
-            if frontier_rows is not None and cfg.budget_per_host_per_round >= frontier_rows:
+            if self.host_budgets is not None:
+                # per-host Crawl-delay caps: variable k, no constant-fold
+                # shortcut (a host's budget may be below any row bound)
+                sched = topk.topk_per_group_budget_salted(
+                    pending, ["session_id", "host"], order, self.host_budgets,
+                    "host", cfg.budget_per_host_per_round,
+                    n_salts=cfg.hot_host_salts, salt_source="url").drop("rk")
+            elif frontier_rows is not None and cfg.budget_per_host_per_round >= frontier_rows:
                 sched = pending
             else:
                 sched = topk.topk_per_group_salted(

@@ -237,3 +237,39 @@ def test_sharded_bloom_engine_equivalence(spark, fixture_dir, tmp_path):
 
     assert rows(st_exact, "frontier") == rows(st_shard, "frontier")
     assert rows(st_exact, "pages") == rows(st_shard, "pages")
+
+
+def test_crawl_delay_budgets_cap_per_host(spark, fixture_dir, warehouse):
+    """cfg.crawl_delay_budgets: hosts whose robots.txt declares Crawl-delay
+    get budget = min(engine cap, floor(round_window / delay)); hosts without
+    a robots row keep the engine cap. Scheduled (= attempted) rows per
+    (host, round) must respect each host's own cap."""
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    hosts = sorted(r.host for r in wg.select(
+        F.parse_url("url", F.lit("HOST")).alias("host")).distinct().collect())
+    slow, fast = hosts[0], hosts[1]
+    robots = spark.createDataFrame(
+        [(slow, "User-agent: *\nCrawl-delay: 30"),     # floor(60/30) = 2
+         (fast, "User-agent: *\ncrawl-delay: 0.5")],   # min(cap, 120) = cap
+        "host string, robots_txt string")
+    cfg = CrawlConfig(max_depth=0, budget_per_host_per_round=5,
+                      crawl_delay_budgets=True, round_window_s=60,
+                      max_rounds=4, use_bloom=False, respect_robots=False)
+    store = SnapshotStore(warehouse)
+    eng = CrawlEngine(spark, store, cfg, wg, pay, robots)
+    seeds = wg.select("url", F.monotonically_increasing_id().cast("int").alias("seq"))
+    eng.start_session(seeds)
+    eng.run()
+
+    pages = store.table("pages").read(spark)
+    per = {(r.host, r.round): r.n for r in
+           pages.groupBy("host", "round").agg(F.count("*").alias("n")).collect()}
+    assert per, "no pages crawled"
+    for (h, _), n in per.items():
+        cap = 2 if h == slow else 5
+        assert n <= cap, f"{h} scheduled {n} > cap {cap}"
+    # the slow host was actually throttled below the engine-wide cap in at
+    # least one round (it has >2 pending urls at depth 0)
+    slow_rounds = [n for (h, _), n in per.items() if h == slow]
+    assert slow_rounds and max(slow_rounds) == 2
