@@ -2417,8 +2417,17 @@ def q_token_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sized = docs.select("doc_id", X.token_count("text").cast("bigint").alias("n_tokens"))
-    out = pack_shards(sized, [F.col("doc_id")], "n_tokens", _PACK_BUDGET)
-    return out.select("doc_id", "n_tokens", "cum_before", "shard_id")
+    reg: list = []
+    out = pack_shards(sized, [F.col("doc_id")], "n_tokens", _PACK_BUDGET,
+                      cache_registry=reg)
+    out = out.select("doc_id", "n_tokens", "cum_before", "shard_id")
+    # freeze the result (lineage truncation) so the operator's internal
+    # range-partitioned cache can be released NOW instead of pinning
+    # executor storage for the rest of the session
+    out = out.localCheckpoint(eager=True)
+    for c in reg:
+        c.unpersist()
+    return out
 
 
 _Q_PACK_SQL = f"""

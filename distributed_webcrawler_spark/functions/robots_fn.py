@@ -52,6 +52,34 @@ def parse_robots(text: str | None) -> tuple[list[str], list[str]]:
     return allowed, disallowed
 
 
+def parse_crawl_delay(text: str | None) -> float | None:
+    """Group-aware Crawl-delay extraction (de-facto public extension):
+    same UA-group relevance and comment skipping as :func:`parse_robots`
+    (a 'Crawl-delay: 600' under 'User-agent: Googlebot' must NOT throttle
+    this crawler, and '# crawl-delay: ...' comments never count). First
+    valid value in a relevant group wins; malformed values are ignored.
+    Returns None when no relevant group declares one."""
+    if not text or not text.strip():
+        return None
+    relevant = False
+    for raw in text.split("\n"):
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        low = line.lower()
+        if low.startswith("user-agent:"):
+            agent = line[11:].strip()
+            al = agent.lower()
+            relevant = agent == "*" or "crawler" in al or "bot" in al
+        elif relevant and low.startswith("crawl-delay:"):
+            v = line[12:].strip()
+            try:
+                return float(v)
+            except ValueError:
+                continue
+    return None
+
+
 def robots_is_allowed(path: str | None, allowed: list[str], disallowed: list[str]) -> bool:
     if path is None:
         path = "/"
@@ -95,22 +123,38 @@ def parse_robots_table(robots_df: DataFrame) -> DataFrame:
                          F.col("rules.disallow").alias("disallow"))
 
 
+@pandas_udf(T.DoubleType())
+def parse_crawl_delay_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series([parse_crawl_delay(t) for t in texts], dtype="float64")
+
+
 def crawl_delay_budgets(robots_df: DataFrame, round_window_s: int,
-                        max_budget: int, default_delay_s: float = 1.0) -> DataFrame:
+                        max_budget: int) -> DataFrame:
     """(host, robots_txt) -> (host, budget:int) from the de-facto
     Crawl-delay extension: budget = min(max_budget, floor(window / delay)).
-    Hosts whose robots carries no Crawl-delay get the default delay; hosts
-    with NO robots row get no budgets row (the scheduler's join falls back
-    to the engine-wide cap — mirroring the reference's unfetchable-robots =>
-    default-behavior rule). Pure Column regexp over the tiny per-host
-    table — no UDF, broadcastable at any corpus size (one row per host)."""
-    delay_s = F.regexp_extract(F.lower("robots_txt"), r"crawl-delay: *([0-9.]+)", 1)
-    delay = F.when(delay_s == "", F.lit(default_delay_s)).otherwise(delay_s.cast("double"))
-    return robots_df.select(
-        "host",
-        F.least(F.lit(max_budget),
-                F.greatest(F.floor(F.lit(round_window_s) / delay), F.lit(0)))
-         .cast("int").alias("budget"))
+
+    Semantics (each one deliberate):
+    - delay comes from the GROUP-AWARE parse (:func:`parse_crawl_delay`) —
+      another crawler's group or a comment never throttles this one;
+    - no declared delay, a malformed value, or delay <= 0 ("unthrottled")
+      all mean NO throttle: the host keeps the engine-wide cap;
+    - a huge delay can floor to budget 0 — that IS the host politely
+      saying "at most one fetch per <delay>s", i.e. less than one per
+      round window, so 0 this round is correct;
+    - budgets are aggregated min-per-host so a robots feed carrying
+      duplicate/re-fetched rows for one host can't emit two budget rows
+      (a dup row would DUPLICATE frontier rows through the scheduler's
+      join and double-fetch the host's URLs).
+    The table is one row per host — broadcastable at any corpus size."""
+    delay = parse_crawl_delay_udf(F.col("robots_txt"))
+    budget = (
+        F.when(delay.isNull() | (delay <= 0), F.lit(max_budget))
+        .otherwise(
+            F.least(F.lit(max_budget),
+                    F.greatest(F.floor(F.lit(round_window_s) / delay), F.lit(0))))
+        .cast("int"))
+    per_row = robots_df.select("host", budget.alias("budget"))
+    return per_row.groupBy("host").agg(F.min("budget").alias("budget"))
 
 
 def gate_by_robots(scheduled: DataFrame, robots_rules: DataFrame, path_col: Column) -> DataFrame:

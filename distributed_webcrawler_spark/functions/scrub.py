@@ -174,10 +174,11 @@ def line_frac(lines_col: str, prefix: str | None = None,
               suffix: str | None = None) -> Column:
     """Fraction of lines with a given prefix ('- ' bullets) or suffix
     ('...' ellipsis endings); 0.0 when the doc has no lines."""
+    # escape quotes: the needle is interpolated into a SQL expr string
     if prefix is not None:
-        pred = f"startswith(l, '{prefix}')"
+        pred = "startswith(l, '{}')".format(prefix.replace("'", "\\'"))
     else:
-        pred = f"endswith(l, '{suffix}')"
+        pred = "endswith(l, '{}')".format(suffix.replace("'", "\\'"))
     return F.expr(
         f"CASE WHEN size({lines_col}) < 1 THEN cast(0.0 as double)"
         f" ELSE cast(round(size(filter({lines_col}, l -> {pred}))"

@@ -123,9 +123,12 @@ def topk_per_group_budget_salted(df: DataFrame, group_cols: list[str],
     """Variable-cap variant of :func:`topk_per_group_salted`: each group's
     k comes from the tiny ``budgets`` table (``key_col`` -> ``budget``),
     falling back to ``k_default`` for keys with no row (e.g. hosts with no
-    robots.txt). Budgets are one row per key, so the join BROADCASTS at any
-    corpus size; exactness argument is unchanged (per-shard top-b of a
-    group contains its global top-b for that group's own b)."""
+    robots.txt). Budgets MUST be unique per key — a duplicate budget row
+    would duplicate every joined frontier row straight through the rank
+    filter (robots_fn.crawl_delay_budgets enforces this with a min-per-host
+    aggregate). One row per key means the join BROADCASTS at any corpus
+    size; exactness argument is unchanged (per-shard top-b of a group
+    contains its global top-b for that group's own b)."""
     joined = df.join(F.broadcast(budgets), key_col, "left").withColumn(
         "__b", F.coalesce(F.col("budget"), F.lit(k_default))).drop("budget")
     salted = joined.withColumn(

@@ -409,7 +409,6 @@ class CrawlEngine:
             # count (metadata, no job) upper-bounds every per-host pending
             # count, so budget >= that bound means the rank filter keeps
             # every row — skip BOTH window shuffles (drain/backfill regime)
-            frontier_rows = self._t("frontier").total_rows()
             if self.host_budgets is not None:
                 # per-host Crawl-delay caps: variable k, no constant-fold
                 # shortcut (a host's budget may be below any row bound)
@@ -417,7 +416,8 @@ class CrawlEngine:
                     pending, ["session_id", "host"], order, self.host_budgets,
                     "host", cfg.budget_per_host_per_round,
                     n_salts=cfg.hot_host_salts, salt_source="url").drop("rk")
-            elif frontier_rows is not None and cfg.budget_per_host_per_round >= frontier_rows:
+            elif ((frontier_rows := self._t("frontier").total_rows()) is not None
+                  and cfg.budget_per_host_per_round >= frontier_rows):
                 sched = pending
             else:
                 sched = topk.topk_per_group_salted(

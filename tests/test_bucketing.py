@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 @pytest.fixture()
 def warehouse(spark):
     d = tempfile.mkdtemp(prefix="dws-bucket-wh-")
-    old = spark.conf.get("spark.sql.warehouse.dir", None)
     yield d
     for t in ("b_frontier", "b_done"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")

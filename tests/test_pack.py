@@ -28,8 +28,12 @@ def test_pack_matches_serial_cumsum(spark):
 def test_pack_no_single_partition_window(spark):
     df = spark.createDataFrame([(i, 1) for i in range(100)],
                                "doc_id long, w long")
-    out = pack_shards(df, [F.col("doc_id")], "w", budget=10, partitions=5)
+    reg = []
+    out = pack_shards(df, [F.col("doc_id")], "w", budget=10, partitions=5,
+                      cache_registry=reg)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the window must be keyed by __pid (parallel), not empty-key global
     assert "Window" in plan
     assert "SinglePartition" not in plan
+    for c in reg:
+        c.unpersist()

@@ -72,3 +72,43 @@ def test_gate_by_robots_broadcast(spark):
         "https://b.test/no/1": True,   # empty robots -> allow all
         "https://c.test/no": True,     # missing robots -> allow all
     }
+
+
+class TestCrawlDelay:
+    """Group-aware Crawl-delay extraction + budget semantics."""
+
+    def test_group_awareness_and_comments(self):
+        from distributed_webcrawler_spark.functions.robots_fn import parse_crawl_delay
+
+        # an irrelevant agent's group must not throttle us (note the
+        # reference's relevance rule: '*' or agent containing crawler/bot —
+        # so 'Googlebot' WOULD apply to us, faithfully to BasicCrawler)
+        assert parse_crawl_delay(
+            "User-agent: SpecialScraper\nCrawl-delay: 600\n\nUser-agent: *\nDisallow:") is None
+        # comments never count
+        assert parse_crawl_delay("# crawl-delay: 600\nUser-agent: *\nDisallow:") is None
+        # relevant group wins, case-insensitive directive
+        assert parse_crawl_delay("User-agent: *\ncrawl-delay: 2.5") == 2.5
+        assert parse_crawl_delay("User-agent: SomeBot\nCrawl-delay: 7") == 7.0
+        # malformed values ignored
+        assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon") is None
+        assert parse_crawl_delay(None) is None
+
+    def test_budget_semantics(self, spark):
+        from distributed_webcrawler_spark.functions.robots_fn import crawl_delay_budgets
+
+        robots = spark.createDataFrame(
+            [("slow", "User-agent: *\nCrawl-delay: 30"),
+             ("zero", "User-agent: *\nCrawl-delay: 0"),      # unthrottled
+             ("bad", "User-agent: *\nCrawl-delay: soon"),    # malformed
+             ("other", "User-agent: SpecialScraper\nCrawl-delay: 600"),
+             ("huge", "User-agent: *\nCrawl-delay: 600"),    # < 1 per window
+             ("dup", "User-agent: *\nCrawl-delay: 12"),
+             ("dup", "User-agent: *\nCrawl-delay: 6")],      # re-fetched row
+            "host string, robots_txt string")
+        got = {r.host: r.budget for r in
+               crawl_delay_budgets(robots, 60, 5).collect()}
+        assert got == {"slow": 2, "zero": 5, "bad": 5, "other": 5,
+                       "huge": 0, "dup": 5}
+        # one row per host even with duplicate robots rows
+        assert crawl_delay_budgets(robots, 60, 5).count() == 6
