@@ -32,6 +32,16 @@ class CrawlConfig:
     # hosts without a robots row keep budget_per_host_per_round.
     crawl_delay_budgets: bool = False
     round_window_s: int = 60
+    # per-host error circuit breaker: hosts whose fetch failure rate over
+    # the last cb_window_rounds exceeds cb_max_fail_rate (with at least
+    # cb_min_attempts attempts in the window) are excluded from scheduling
+    # until the window slides past the bad rounds. Failure = connection
+    # error (status 0) or HTTP error; robots 403 rows never count (they are
+    # never fetched).
+    circuit_breaker: bool = False
+    cb_window_rounds: int = 3
+    cb_min_attempts: int = 8
+    cb_max_fail_rate: float = 0.5
     respect_robots: bool = True
     user_agent: str = "dws-crawler"
     max_pages: int | None = None    # enforced in clean mode; reference stores-but-ignores

@@ -394,9 +394,39 @@ class CrawlEngine:
         return {sid for sid, (_, st) in latest.items() if st in ("PAUSED", "STOPPED")}
 
     # ------------------------------------------------------------- rounds
+    def _tripped_hosts(self, rnd: int) -> DataFrame | None:
+        """Hosts whose failure rate over the last cb_window_rounds trips the
+        circuit breaker — excluded from this round's scheduling; they
+        re-enter automatically once the window slides past the bad rounds.
+        The host_stats table is one row per (round, host): tiny (host
+        cardinality × window), so the agg and the anti-join's broadcast are
+        both bounded regardless of corpus size."""
+        cfg = self.cfg
+        hs = self._t("host_stats").read(self.spark)
+        if hs is None:
+            return None
+        w = hs.where(F.col("round") >= rnd - cfg.cb_window_rounds)
+        agg = w.groupBy("host").agg(F.sum("attempts").alias("a"),
+                                    F.sum("failures").alias("f"))
+        return (agg.where((F.col("a") >= cfg.cb_min_attempts)
+                          & (F.col("f") / F.col("a") > cfg.cb_max_fail_rate))
+                .select("host"))
+
     def _schedule(self, pending: DataFrame, rnd: int) -> tuple[DataFrame, int]:
         cfg = self.cfg
         order = topk.tie_break_cols()
+        self._last_tripped = []
+        if cfg.circuit_breaker:
+            tripped = self._tripped_hosts(rnd)
+            if tripped is not None:
+                # host cardinality is bounded, so the tripped set collects
+                # to a small driver list: run() needs to KNOW whether a host
+                # was excluded (an all-tripped empty round must not end the
+                # crawl — the window slides and the host re-enters), and the
+                # isin filter keeps the plan free of an extra join
+                self._last_tripped = sorted(r.host for r in tripped.collect())
+                if self._last_tripped:
+                    pending = pending.where(~F.col("host").isin(self._last_tripped))
         if cfg.reference_compat:
             # W2 round-robin across sessions: quota = batchSize / numSessions
             # per session queue (URLFrontier.java:92-110; floor division like
@@ -850,6 +880,16 @@ class CrawlEngine:
                 "session_id", "url", F.col("round"),
                 F.lit("FAILED").alias("status"), F.lit(False).alias("retryable"),
                 F.lit("driver").alias("assigned_to")))
+            if cfg.circuit_breaker:
+                # one row per (round, host) off the cached slim fetch —
+                # feeds _tripped_hosts next round; robots-blocked rows never
+                # reach fetched so they can't trip a host
+                hstats = (fetched.groupBy("host").agg(
+                    F.count("*").cast("int").alias("attempts"),
+                    F.sum(F.when(F.coalesce(F.col("web_status"), F.lit(0)) != 200, 1)
+                           .otherwise(0)).cast("int").alias("failures"))
+                    .withColumn("round", F.lit(rnd).cast("int")))
+                self._t("host_stats").append(hstats)
             psnap = self._t("progress").append(progress)
             self._finalize_round(psnap)
             mark_at("progress_done")
@@ -897,15 +937,20 @@ class CrawlEngine:
         for rnd in range(start_round, self.cfg.max_rounds + 1):
             stats = self.run_round(rnd)
             if stats.get("scheduled", 0) == 0:
-                break
-            history.append(stats)
+                # an empty round ends the crawl UNLESS the circuit breaker
+                # excluded hosts this round: their URLs are still pending and
+                # re-enter once the window slides past the bad rounds
+                if not getattr(self, "_last_tripped", []):
+                    break
+            else:
+                history.append(stats)
         return history
 
     # --------------------------------------------------------- checkpoints
     def _checkpoint(self, rnd: int) -> None:
         tables = {n: self._t(n).snapshot_id()
                   for n in ("frontier", "progress", "pages", "metrics",
-                            "done", "retry_log", "sessions")}
+                            "done", "retry_log", "sessions", "host_stats")}
         bloom_file = None
         if self.bloom is not None:
             bloom_file = f"bloom-r{rnd:05d}.bin"

@@ -273,3 +273,43 @@ def test_crawl_delay_budgets_cap_per_host(spark, fixture_dir, warehouse):
     # least one round (it has >2 pending urls at depth 0)
     slow_rounds = [n for (h, _), n in per.items() if h == slow]
     assert slow_rounds and max(slow_rounds) == 2
+
+
+def test_circuit_breaker_trips_and_recovers(spark, warehouse):
+    """circuit_breaker: a host failing every fetch trips after round 1
+    (excluded from round 2), re-enters once the window slides past its bad
+    rounds, and ALL its URLs are still eventually attempted — an all-tripped
+    empty round must not end the crawl."""
+    from distributed_webcrawler_spark.sources import codec
+
+    img = codec.encode_image(codec.synth_pixels("cbimg", 16, 16), "png")
+    pay = spark.createDataFrame(
+        [("cbimg", bytearray(img), 16, 16, "png", "cap", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long")
+    rows = []
+    for i in range(12):
+        rows.append((f"https://bad.example.com/{i}", "bad.example.com", [], None, 500))
+        rows.append((f"https://good.example.com/{i}", "good.example.com", [], "cbimg", 200))
+    wg = spark.createDataFrame(
+        rows, "url string, host string, out_links array<string>, image_id string, status_code int")
+    cfg = CrawlConfig(max_depth=0, budget_per_host_per_round=6, max_rounds=8,
+                      use_bloom=False, respect_robots=False,
+                      circuit_breaker=True, cb_window_rounds=2,
+                      cb_min_attempts=5, cb_max_fail_rate=0.5)
+    store = SnapshotStore(warehouse)
+    eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+    seeds = wg.select("url", F.monotonically_increasing_id().cast("int").alias("seq"))
+    eng.start_session(seeds)
+    eng.run()
+
+    pages = store.table("pages").read(spark)
+    per = {(r.host, r.round): r.n for r in
+           pages.groupBy("host", "round").agg(F.count("*").alias("n")).collect()}
+    bad = {rnd: n for (h, rnd), n in per.items() if h == "bad.example.com"}
+    # round 1 attempts trip the breaker -> excluded in round 2
+    assert bad.get(1) == 6 and 2 not in bad
+    # re-entry after the window slides; every bad URL eventually attempted
+    assert sum(bad.values()) == 12 and max(bad) > 2
+    # the healthy host was never held back
+    good = {rnd: n for (h, rnd), n in per.items() if h == "good.example.com"}
+    assert sum(good.values()) == 12 and set(good) == {1, 2}
