@@ -3022,6 +3022,198 @@ GROUP BY fmt
 """
 
 
+# ---------------------------------------------------------------------------
+# Context-window chunking, URL tracking-param canonicalization, aspect-ratio
+# batch bucketing — the remaining pre-training data-prep steps between
+# cleaning and shard output.
+# ---------------------------------------------------------------------------
+CHUNK_SIZE = 64       # tokens per training chunk (sandbox-scaled; 2048 in prod)
+CHUNK_OVERLAP = 8     # tokens carried between consecutive chunks
+CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-document chunking: fixed token windows with overlap carried
+    between consecutive chunks — the context-window packing step between
+    cleaning and shard output. Chunk count is pure integer math (no float
+    ceil divergence across engines) and every chunk is identified by a
+    portable hash of its joined tokens, so the oracle gates chunk CONTENT
+    and boundaries, not just counts. Pure Column exprs (regexp tokenizer +
+    sequence/explode + slice): zero UDF, and the explode is in-partition —
+    no shuffle at any corpus size; downstream shard assignment is
+    operators/pack.pack_shards."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    d = (docs.select("doc_id", toks.alias("toks"))
+         .withColumn("n", F.size("toks"))
+         .where(F.col("n") > 0)
+         .withColumn("n_chunks",
+                     ((F.greatest(F.col("n") - CHUNK_OVERLAP, F.lit(1))
+                       + F.lit(CHUNK_STRIDE - 1)) / CHUNK_STRIDE).cast("bigint")))
+    c = d.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias("ci"))
+    chunk = F.slice(F.col("toks"), F.col("ci") * CHUNK_STRIDE + 1, F.lit(CHUNK_SIZE))
+    return c.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_tok"),
+        h64(F.array_join(chunk, " ")).alias("chunk_h"))
+
+
+_Q_DOC_CHUNK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range((greatest(n - {CHUNK_OVERLAP}, 1) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})) AS ci
+  FROM n),
+s AS (
+  SELECT doc_id, ci,
+         list_slice(toks, ci * {CHUNK_STRIDE} + 1, ci * {CHUNK_STRIDE} + {CHUNK_SIZE}) AS chunk
+  FROM c)
+SELECT doc_id, cast(ci as int) AS chunk_idx,
+       cast(len(chunk) as int) AS n_tok,
+       {h64_sql("array_to_string(chunk, ' ')")} AS chunk_h
+FROM s
+"""
+
+
+_TRACKING_PARAM_RE = "^(utm_[a-z]*|gclid|fbclid|msclkid|mc_eid|igshid|ref)="
+
+
+def q_url_param_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization extra the crawl dedup needs beyond RFC-3986
+    (functions/urls.py): strip tracking query params (utm_*/gclid/fbclid/...)
+    and SORT the surviving params, so the same landing page reached through
+    different campaigns collapses to one frontier key. URLs are synthesized
+    deterministically from lineitem (same pattern as the frontier fixture)
+    with a mix of no-query / mixed / tracking-only shapes; the op itself does
+    the real string surgery — split at '?', lambda-filter the param list
+    against the blocklist regex, array_sort, rejoin. Pure Column exprs
+    (filter/array_sort are codegen'd HOFs): map-side, zero shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = F.concat(F.lit("https://host"),
+                    (F.col("l_suppkey") % 50).cast("string"),
+                    F.lit(".example.test/p/"), F.col("l_orderkey").cast("string"))
+    m = F.col("l_linenumber") % 4
+    url = (F.when(m == 0, base)
+           .when(m == 1, F.concat(base, F.lit("?utm_source=mail&b=2&a=1")))
+           .when(m == 2, F.concat(base, F.lit("?gclid=g"),
+                                  (F.col("l_orderkey") % 7).cast("string"),
+                                  F.lit("&z=9&utm_campaign=x")))
+           .otherwise(F.concat(base, F.lit("?fbclid=f1&utm_medium=cpc"))))
+    u = li.select(F.col("l_orderkey").alias("k1"),
+                  F.col("l_linenumber").cast("int").alias("k2"),
+                  url.alias("url"))
+    parts = F.split(F.col("url"), "\\?", 2)
+    base_c = F.get(parts, 0)
+    qs = F.get(parts, 1)
+    kept = F.array_sort(F.filter(F.split(qs, "&"),
+                                 lambda p: ~p.rlike(_TRACKING_PARAM_RE)))
+    canon = F.when(qs.isNull() | (F.size(kept) == 0), base_c).otherwise(
+        F.concat(base_c, F.lit("?"), F.array_join(kept, "&")))
+    n_stripped = F.when(qs.isNull(), F.lit(0)).otherwise(
+        F.size(F.split(qs, "&")) - F.size(kept))
+    return u.select("k1", "k2", "url",
+                    canon.alias("canon_url"),
+                    n_stripped.cast("int").alias("n_stripped"))
+
+
+_Q_PARAM_STRIP_SQL = f"""
+WITH u AS (
+  SELECT l_orderkey AS k1, cast(l_linenumber as int) AS k2,
+         concat('https://host', cast(l_suppkey % 50 as varchar),
+                '.example.test/p/', cast(l_orderkey as varchar)) ||
+         CASE cast(l_linenumber % 4 as int)
+           WHEN 0 THEN ''
+           WHEN 1 THEN '?utm_source=mail&b=2&a=1'
+           WHEN 2 THEN concat('?gclid=g', cast(l_orderkey % 7 as varchar), '&z=9&utm_campaign=x')
+           ELSE '?fbclid=f1&utm_medium=cpc' END AS url
+  FROM lineitem),
+p AS (
+  SELECT k1, k2, url,
+         string_split(url, '?')[1] AS base,
+         string_split(url, '?')[2] AS qs
+  FROM u),
+f AS (
+  SELECT k1, k2, url, base, qs,
+         list_sort(list_filter(string_split(qs, '&'),
+             x -> NOT regexp_matches(x, '{_TRACKING_PARAM_RE}'))) AS kept
+  FROM p)
+SELECT k1, k2, url,
+       CASE WHEN qs IS NULL OR len(kept) = 0 THEN base
+            ELSE concat(base, '?', array_to_string(kept, '&')) END AS canon_url,
+       cast(CASE WHEN qs IS NULL THEN 0
+                 ELSE len(string_split(qs, '&')) - len(kept) END as int) AS n_stripped
+FROM f
+"""
+
+
+ASPECT_BATCH = 32  # images per training batch within a bucket
+
+
+def q_aspect_bucket_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL/LAION-style aspect-ratio bucketing + per-bucket batch packing:
+    every image goes to the nearest aspect bucket on a fixed ladder
+    (nearest in log-ratio, so the CASE thresholds are the geometric
+    midpoints), then batches of ASPECT_BATCH are cut inside each bucket in
+    a deterministic order. The per-bucket sequence uses
+    operators/topk.grouped_row_number — NOT Window.partitionBy(bucket),
+    which would collapse 10^10 images into 5 tasks; dims are synthesized
+    deterministically from part (w,h are table columns in the real payload
+    schema, so this is pure Column math either way)."""
+    from distributed_webcrawler_spark.operators.topk import grouped_row_number
+
+    part = _t(spark, sf_dir, "part")
+    imgs = part.select(
+        F.col("p_partkey").alias("image_key"),
+        (F.lit(64) + (F.col("p_partkey") % 97) * 8).cast("int").alias("w"),
+        (F.lit(64) + (F.col("p_partkey") % 53) * 8).cast("int").alias("h"))
+    r = F.col("w") / F.col("h")
+    # ladder 0.5, 0.75, 1.0, 4/3, 2.0; thresholds = geometric midpoints
+    bucket = (F.when(r < 0.6123724356957945, "0.50")
+               .when(r < 0.8660254037844386, "0.75")
+               .when(r < 1.1547005383792515, "1.00")
+               .when(r < 1.6329931618554518, "1.33")
+               .otherwise("2.00"))
+    b = imgs.withColumn("bucket", bucket)
+    cache_reg: list = []
+    seq = grouped_row_number(b, ["bucket"], [F.col("image_key")],
+                             seq_col="__seq", cache_registry=cache_reg)
+    out = (seq.select(
+        "image_key", "w", "h", "bucket",
+        ((F.col("__seq") - 1) / ASPECT_BATCH).cast("int").alias("batch_idx"))
+        .localCheckpoint())  # materialize before releasing the range cache
+    for c in cache_reg:
+        c.unpersist()
+    return out
+
+
+_Q_ASPECT_SQL = f"""
+WITH imgs AS (
+  SELECT p_partkey AS image_key,
+         cast(64 + (p_partkey % 97) * 8 as int) AS w,
+         cast(64 + (p_partkey % 53) * 8 as int) AS h
+  FROM part),
+b AS (
+  SELECT image_key, w, h,
+         CASE WHEN w * 1.0 / h < 0.6123724356957945 THEN '0.50'
+              WHEN w * 1.0 / h < 0.8660254037844386 THEN '0.75'
+              WHEN w * 1.0 / h < 1.1547005383792515 THEN '1.00'
+              WHEN w * 1.0 / h < 1.6329931618554518 THEN '1.33'
+              ELSE '2.00' END AS bucket
+  FROM imgs)
+SELECT image_key, w, h, bucket,
+       cast((row_number() OVER (PARTITION BY bucket ORDER BY image_key) - 1)
+            // {ASPECT_BATCH} as int) AS batch_idx
+FROM b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -3103,6 +3295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_circuit_breaker": q_host_circuit_breaker,
         "warc_record_parse": q_warc_record_parse,
         "image_size_stats": q_image_size_stats,
+        "doc_chunk": q_doc_chunk,
+        "url_param_strip": q_url_param_strip,
+        "aspect_bucket_pack": q_aspect_bucket_pack,
     }
 
 
@@ -3195,4 +3390,7 @@ def oracle_sql() -> dict[str, str]:
         "host_circuit_breaker": _Q_CIRCUIT_SQL,
         "warc_record_parse": _Q_WARC_SQL,
         "image_size_stats": _img_stats_sql(),
+        "doc_chunk": _Q_DOC_CHUNK_SQL,
+        "url_param_strip": _Q_PARAM_STRIP_SQL,
+        "aspect_bucket_pack": _Q_ASPECT_SQL,
     }

@@ -37,3 +37,27 @@ def test_pack_no_single_partition_window(spark):
     assert "SinglePartition" not in plan
     for c in reg:
         c.unpersist()
+
+
+def test_grouped_row_number_matches_window(spark):
+    """grouped_row_number == Window.partitionBy(group).orderBy(key) exactly,
+    including groups that span many range partitions and groups smaller
+    than one partition."""
+    from distributed_webcrawler_spark.operators.topk import grouped_row_number
+
+    rows = [(i, ["a", "b", "c"][i % 3] if i < 300 else "big") for i in range(900)]
+    df = spark.createDataFrame(rows, "k long, g string").repartition(11)
+    reg = []
+    out = grouped_row_number(df, ["g"], [F.col("k")], seq_col="seq",
+                             partitions=7, cache_registry=reg)
+    got = {(r.g, r.k): r.seq for r in out.collect()}
+    expect: dict = {}
+    counts: dict = {}
+    for k, g in sorted(rows, key=lambda t: (t[1], t[0])):
+        counts[g] = counts.get(g, 0) + 1
+        expect[(g, k)] = counts[g]
+    assert got == expect
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    for c in reg:
+        c.unpersist()
