@@ -3214,6 +3214,67 @@ FROM b
 """
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP redirect-chain resolution (operators/redirects.py): every
+    redirecting URL mapped to its final target + exact hop count via
+    pointer doubling (O(log d) equi-joins, saturating hop composition);
+    redirect LOOPS flagged instead of followed forever. Chains are
+    synthesized from lineitem's (orderkey, linenumber) PK — linenumber runs
+    1..7 consecutively within an order, giving natural chains up to 6 hops —
+    and orders with orderkey % 997 == 0 get a 1<->2 back-edge, planting
+    cycles the loop flag must catch. Oracle = DuckDB recursive CTE walking
+    the same edges hop by hop."""
+    from distributed_webcrawler_spark.operators.redirects import resolve_redirects
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def node(e):
+        return F.concat(F.lit("https://r.example.test/"), e.cast("string"))
+
+    o, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    chain = (li.where(ln >= 2)
+             .select(node(o * 8 + ln).alias("src"),
+                     node(o * 8 + ln - 1).alias("dst")))
+    cyc = (li.where((o % 997 == 0) & (ln == 1))
+           .select(node(o * 8 + 1).alias("src"),
+                   node(o * 8 + 2).alias("dst")))
+    # the driver's synthetic lineitem is NOT keyed by (orderkey, linenumber)
+    # — dedup so each src has exactly one outgoing edge (the operator's
+    # contract; HTTP gives one Location per URL)
+    return resolve_redirects(chain.unionByName(cyc).distinct(), max_hops=8)
+
+
+_Q_REDIRECT_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT * FROM (
+    SELECT concat('https://r.example.test/', cast(l_orderkey*8 + l_linenumber as varchar)) AS src,
+           concat('https://r.example.test/', cast(l_orderkey*8 + l_linenumber - 1 as varchar)) AS dst
+    FROM lineitem WHERE l_linenumber >= 2
+    UNION ALL
+    SELECT concat('https://r.example.test/', cast(l_orderkey*8 + 1 as varchar)),
+           concat('https://r.example.test/', cast(l_orderkey*8 + 2 as varchar))
+    FROM lineitem WHERE l_orderkey % 997 = 0 AND l_linenumber = 1
+  )
+),
+walk AS (
+  SELECT src, dst AS cur, 1 AS hops FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON w.cur = e.src
+  WHERE w.hops < 9
+),
+last AS (
+  SELECT src, arg_max(cur, hops) AS final, max(hops) AS hops
+  FROM walk GROUP BY src
+)
+SELECT l.src,
+       CASE WHEN t.src IS NULL AND l.hops <= 8 THEN l.final END AS final_url,
+       CASE WHEN t.src IS NULL AND l.hops <= 8 THEN cast(l.hops as int) END AS hops,
+       (t.src IS NOT NULL OR l.hops > 8) AS looped
+FROM last l LEFT JOIN (SELECT DISTINCT src FROM edges) t ON l.final = t.src
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -3298,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": q_doc_chunk,
         "url_param_strip": q_url_param_strip,
         "aspect_bucket_pack": q_aspect_bucket_pack,
+        "redirect_resolve": q_redirect_resolve,
     }
 
 
@@ -3393,4 +3455,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunk": _Q_DOC_CHUNK_SQL,
         "url_param_strip": _Q_PARAM_STRIP_SQL,
         "aspect_bucket_pack": _Q_ASPECT_SQL,
+        "redirect_resolve": _Q_REDIRECT_SQL,
     }
