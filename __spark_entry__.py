@@ -3275,6 +3275,77 @@ FROM last l LEFT JOIN (SELECT DISTINCT src FROM edges) t ON l.final = t.src
 """
 
 
+def q_rel_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical collapse — the page-declared duplicate signal crawlers
+    must honor BEFORE content dedup: extract <link rel="canonical"> from the
+    page head, resolve relative hrefs against the page's own host, fall back
+    to self when absent. Pages are synthesized deterministically from
+    documents (absent / absolute / host-relative / cross-host variants, ~5
+    pages per canonical group) so the oracle gates extraction + resolution +
+    self-fallback per row. Pure regexp + CASE Column ops: map-side, zero
+    shuffle; downstream grouping by canonical_url is the dedup_first_wins
+    shape."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.test"))
+    page_url = F.concat(F.lit("https://"), host, F.lit("/d/"), ds)
+    tgt = (d - d % 5).cast("string")
+    m = d % 4
+    link = (F.when(m == 0, F.lit(""))
+            .when(m == 1, F.concat(F.lit('<link rel="canonical" href="https://'),
+                                   host, F.lit('/d/'), tgt, F.lit('">')))
+            .when(m == 2, F.concat(F.lit('<link rel="canonical" href="/d/'),
+                                   tgt, F.lit('">')))
+            .otherwise(F.concat(
+                F.lit('<link rel="canonical" href="https://cdn.example.test/d/'),
+                tgt, F.lit('">'))))
+    html = F.concat(F.lit("<html><head>"), link,
+                    F.lit("</head><body><p>"), F.substring("text", 1, 80),
+                    F.lit("</p></body></html>"))
+    p = docs.select(d.alias("doc_id"), page_url.alias("page_url"),
+                    host.alias("host"), html.alias("html"))
+    href = F.regexp_extract("html", '<link rel="canonical" href="([^"]*)"', 1)
+    canon = (F.when(href == "", F.col("page_url"))
+             .when(href.startswith("/"),
+                   F.concat(F.lit("https://"), F.col("host"), href))
+             .otherwise(href))
+    return p.select("doc_id", "page_url", canon.alias("canonical_url"),
+                    (canon == F.col("page_url")).alias("is_self"))
+
+
+_Q_REL_CANONICAL_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         concat('https://', source, '.example.test/d/', cast(doc_id as varchar)) AS page_url,
+         concat(source, '.example.test') AS host,
+         concat('<html><head>',
+           CASE cast(doc_id % 4 as int)
+             WHEN 0 THEN ''
+             WHEN 1 THEN concat('<link rel="canonical" href="https://', source,
+                                '.example.test/d/', cast(doc_id - doc_id % 5 as varchar), '">')
+             WHEN 2 THEN concat('<link rel="canonical" href="/d/',
+                                cast(doc_id - doc_id % 5 as varchar), '">')
+             ELSE concat('<link rel="canonical" href="https://cdn.example.test/d/',
+                         cast(doc_id - doc_id % 5 as varchar), '">')
+           END,
+           '</head><body><p>', substr(text, 1, 80), '</p></body></html>') AS html
+  FROM documents),
+e AS (
+  SELECT doc_id, page_url, host,
+         regexp_extract(html, '<link rel="canonical" href="([^"]*)"', 1) AS href
+  FROM p)
+SELECT doc_id, page_url,
+       CASE WHEN href = '' THEN page_url
+            WHEN href LIKE '/%' THEN concat('https://', host, href)
+            ELSE href END AS canonical_url,
+       (CASE WHEN href = '' THEN page_url
+             WHEN href LIKE '/%' THEN concat('https://', host, href)
+             ELSE href END) = page_url AS is_self
+FROM e
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -3360,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_param_strip": q_url_param_strip,
         "aspect_bucket_pack": q_aspect_bucket_pack,
         "redirect_resolve": q_redirect_resolve,
+        "rel_canonical": q_rel_canonical,
     }
 
 
@@ -3456,4 +3528,5 @@ def oracle_sql() -> dict[str, str]:
         "url_param_strip": _Q_PARAM_STRIP_SQL,
         "aspect_bucket_pack": _Q_ASPECT_SQL,
         "redirect_resolve": _Q_REDIRECT_SQL,
+        "rel_canonical": _Q_REL_CANONICAL_SQL,
     }

@@ -70,6 +70,9 @@ HEADLINE = [
     "crawl_delay_budget",
     "sitemap_extract",
     "quality_linear_score",
+    "doc_chunk",
+    "aspect_bucket_pack",
+    "redirect_resolve",
 ]
 
 

@@ -49,6 +49,11 @@ class CrawlConfig:
     # declares retryCount but never increments it (CrawlUrl.java:23) and drops
     # failures forever (URLFrontier.java:198-202); 0 reproduces that.
     max_retries: int = 0
+    # exponential retry backoff (only meaningful with max_retries > 0): a
+    # URL whose attempt k failed in round r becomes schedulable again at
+    # round r + 2^(k-1) instead of immediately next round — transient
+    # failures (status 0) usually need TIME, not a faster retry.
+    retry_backoff: bool = False
     allowed_domains: list[str] = field(default_factory=list)
     disallowed_url_prefixes: list[str] = field(default_factory=list)
 

@@ -311,7 +311,7 @@ class CrawlEngine:
         # auto-broadcast would eventually stall the driver
         return fr.join(done.hint("shuffle_hash"), ["session_id", "url"], "left_anti")
 
-    def _finalize_round(self, progress_snap: int) -> None:
+    def _finalize_round(self, progress_snap: int, rnd: int = 0) -> None:
         """Fold this round's finished (session_id, url) keys into the
         compacted `done` table, reading back the progress snapshot the
         round JUST wrote (a pruned parquet scan — never recomputes the
@@ -340,7 +340,9 @@ class CrawlEngine:
                          .select("session_id", "url"))
             self._t("retry_log").append_counted(
                 retry.where(F.col("attempts") <= cfg.max_retries)
-                     .select("session_id", "url", "attempts"), skip_empty=True)
+                     .select("session_id", "url", "attempts",
+                             F.lit(rnd).cast("int").alias("fail_round")),
+                skip_empty=True)
             done_new = final_now.unionByName(exhausted)
         self._t("done").append_counted(done_new, skip_empty=True)
 
@@ -427,6 +429,29 @@ class CrawlEngine:
                 self._last_tripped = sorted(r.host for r in tripped.collect())
                 if self._last_tripped:
                     pending = pending.where(~F.col("host").isin(self._last_tripped))
+        self._backoff_waiting = False
+        if cfg.max_retries > 0 and cfg.retry_backoff:
+            rl = self._t("retry_log").read(self.spark)
+            if rl is not None:
+                # eligible-again round for attempt k failed in round r is
+                # r + 2^(k-1); the latest attempt row per key carries the max
+                # fail_round too (both are monotone per key). The retry_log
+                # only holds still-retryable keys, so `waiting` is small —
+                # but it grows with failure volume, so the anti-join gets the
+                # same shuffle_hash pin as the `done` anti-join (no driver
+                # collect, no auto-broadcast stall).
+                latest = (rl.groupBy("session_id", "url")
+                          .agg(F.max("attempts").alias("attempts"),
+                               F.max("fail_round").alias("fail_round")))
+                waiting = (latest.where(
+                    F.expr("fail_round + shiftleft(1, attempts - 1)") > rnd)
+                    .select("session_id", "url"))
+                # run() must know an empty round is a backoff hold, not
+                # completion; existence probe, never a full count
+                self._backoff_waiting = waiting.limit(1).count() > 0
+                if self._backoff_waiting:
+                    pending = pending.join(waiting.hint("shuffle_hash"),
+                                           ["session_id", "url"], "left_anti")
         if cfg.reference_compat:
             # W2 round-robin across sessions: quota = batchSize / numSessions
             # per session queue (URLFrontier.java:92-110; floor division like
@@ -891,7 +916,7 @@ class CrawlEngine:
                     .withColumn("round", F.lit(rnd).cast("int")))
                 self._t("host_stats").append(hstats)
             psnap = self._t("progress").append(progress)
-            self._finalize_round(psnap)
+            self._finalize_round(psnap, rnd)
             mark_at("progress_done")
 
         def mark_at(name: str) -> None:
@@ -938,9 +963,11 @@ class CrawlEngine:
             stats = self.run_round(rnd)
             if stats.get("scheduled", 0) == 0:
                 # an empty round ends the crawl UNLESS the circuit breaker
-                # excluded hosts this round: their URLs are still pending and
-                # re-enter once the window slides past the bad rounds
-                if not getattr(self, "_last_tripped", []):
+                # excluded hosts this round (their URLs re-enter once the
+                # window slides) or retries are in a backoff hold (they
+                # re-enter when their round arrives)
+                if (not getattr(self, "_last_tripped", [])
+                        and not getattr(self, "_backoff_waiting", False)):
                     break
             else:
                 history.append(stats)

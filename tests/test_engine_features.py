@@ -313,3 +313,37 @@ def test_circuit_breaker_trips_and_recovers(spark, warehouse):
     # the healthy host was never held back
     good = {rnd: n for (h, rnd), n in per.items() if h == "good.example.com"}
     assert sum(good.values()) == 12 and set(good) == {1, 2}
+
+
+def test_retry_backoff_schedule(spark, warehouse):
+    """retry_backoff: attempt k failing in round r re-enters at r + 2^(k-1)
+    (rounds 1,2,4,8 for a permanently-transient URL with max_retries=3);
+    backoff-hold rounds schedule nothing but must NOT end the crawl."""
+    from distributed_webcrawler_spark.sources import codec
+
+    img = codec.encode_image(codec.synth_pixels("bkimg", 16, 16), "png")
+    pay = spark.createDataFrame(
+        [("bkimg", bytearray(img), 16, 16, "png", "cap", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long")
+    rows = [("https://t.example.com/x", "t.example.com", [], None, 0),
+            ("https://t.example.com/ok", "t.example.com", [], "bkimg", 200)]
+    wg = spark.createDataFrame(
+        rows, "url string, host string, out_links array<string>, image_id string, status_code int")
+    cfg = CrawlConfig(max_depth=0, budget_per_host_per_round=100, max_rounds=10,
+                      use_bloom=False, respect_robots=False,
+                      max_retries=3, retry_backoff=True)
+    store = SnapshotStore(warehouse)
+    eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+    seeds = wg.select("url", F.monotonically_increasing_id().cast("int").alias("seq"))
+    eng.start_session(seeds)
+    eng.run()
+
+    pages = store.table("pages").read(spark)
+    x_rounds = sorted(r.round for r in
+                      pages.where(F.col("url").endswith("/x")).select("round").collect())
+    # attempt 1 fails r1 -> +1 -> r2; attempt 2 fails r2 -> +2 -> r4;
+    # attempt 3 fails r4 -> +4 -> r8; attempt 4 (r8) exhausts max_retries=3
+    assert x_rounds == [1, 2, 4, 8]
+    ok_rounds = [r.round for r in
+                 pages.where(F.col("url").endswith("/ok")).select("round").collect()]
+    assert ok_rounds == [1]
