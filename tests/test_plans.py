@@ -111,3 +111,24 @@ def test_fetch_join_broadcasts_scheduled_side(spark, fixture_dir, warehouse):
     assert "RightOuter" not in plan and "LeftOuter" not in plan
     for c in eng._round_caches:
         c.unpersist()
+
+
+def test_new_map_side_queries_have_no_exchange(spark):
+    """doc_chunk / url_param_strip / rel_canonical claim 'map-side, zero
+    shuffle' — assert no Exchange in the physical plan (the explode and all
+    string surgery stay in the scan's partition)."""
+    import __spark_entry__ as E
+
+    for name in ("doc_chunk", "url_param_strip", "rel_canonical"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_redirect_resolve_no_cartesian(spark):
+    """redirect_resolve is pointer doubling over keyed equi-joins — no
+    CartesianProduct / BroadcastNestedLoopJoin may appear."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["redirect_resolve"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
