@@ -132,3 +132,33 @@ def run_to_completion(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -
         .start()
     )
     q.awaitTermination()
+
+
+def host_breaker_stream(fetches: DataFrame, *, window: str = "10 minutes",
+                        slide: str = "5 minutes", watermark: str = "10 minutes",
+                        min_attempts: int = 8,
+                        max_fail_rate: float = 0.5) -> DataFrame:
+    """Streaming twin of the engine's per-host error circuit breaker
+    (plans/engine.py `_tripped_hosts`): sliding event-time windows over the
+    fetch-result stream emit one TRIP row per (window, host) whose failure
+    rate crosses the threshold with at least ``min_attempts`` attempts —
+    exactly the signal a live scheduler subscribes to in order to pause a
+    host. Input needs (host, ts, status_code); failure = status != 200.
+
+    Shape notes: sliding window + watermark bounds state to
+    windows/slide buckets per active host; the agg is map-side partial like
+    any keyed count — no custom state needed, so it survives scale-out by
+    plain shuffle-on-(window,host)."""
+    fetches = fetches.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    agg = (
+        fetches.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("host"))
+        .agg(F.count("*").alias("attempts"),
+             F.sum(F.when(F.coalesce(F.col("status_code"), F.lit(0)) != 200, 1)
+                    .otherwise(0)).alias("failures"))
+    )
+    return (agg.where((F.col("attempts") >= min_attempts)
+                      & (F.col("failures") / F.col("attempts") > max_fail_rate))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "host", "attempts", "failures"))

@@ -85,3 +85,32 @@ def test_politeness_gate_stream(spark, tmpdir):
     out = spark.read.parquet(f"{tmpdir}/gated")
     per_host = {r.host: r.n for r in out.groupBy("host").agg(F.count("*").alias("n")).collect()}
     assert per_host == {"a.test": 3, "b.test": 3}
+
+
+def test_host_breaker_stream(spark, tmpdir):
+    """Sliding-window streaming breaker: the failing host trips in the
+    windows covering its bad patch; the healthy host never appears."""
+    rows = []
+    # bad host: 10 fetches in minute 0-2, 8 failures (80%)
+    for i in range(10):
+        rows.append(("bad.example.test", f"2026-01-01T00:0{i % 3}:1{i % 6}Z",
+                     500 if i < 8 else 200))
+    # good host: 12 fetches, all 200
+    for i in range(12):
+        rows.append(("good.example.test", f"2026-01-01T00:0{i % 5}:2{i % 6}Z", 200))
+    src = spark.createDataFrame(rows, "host string, ts string, status_code int") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    src.write.parquet(f"{tmpdir}/fetches")
+    stream = spark.readStream.schema(src.schema).parquet(f"{tmpdir}/fetches")
+    out = I.host_breaker_stream(stream, window="10 minutes", slide="5 minutes",
+                                min_attempts=8, max_fail_rate=0.5)
+    # aggregations in append mode only emit on watermark close; use
+    # complete-unsupported -> drain via update into memory sink
+    q = (out.writeStream.format("memory").queryName("breaker")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM breaker").collect()
+    hosts = {r.host for r in got}
+    assert hosts == {"bad.example.test"}
+    for r in got:
+        assert r.attempts >= 8 and r.failures / r.attempts > 0.5
