@@ -3346,6 +3346,52 @@ FROM e
 """
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top-5 terms per doc) — the
+    corpus-level twin of BM25 search: document frequency via ONE term-keyed
+    shuffle off the (doc, term) tf table, corpus size as a one-row broadcast
+    cross join (never a global window), top-k per doc via the same rank
+    window the frontier scheduler uses (operators/topk.py). Float parity
+    follows operators/relevance.py: idf rounded to 9 right after ln on both
+    engines, score to 9."""
+    from distributed_webcrawler_spark.operators import topk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]{3,}', 0)")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.round(F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), 9)
+    scored = (tf.join(dfs, "term").crossJoin(F.broadcast(n))
+              .withColumn("score", F.round(F.col("tf") * idf, 9)))
+    top = topk.topk_per_group(
+        scored, ["doc_id"], [F.col("score").desc(), F.col("term").asc()], 5)
+    return top.select("doc_id", "term", F.col("tf").cast("int").alias("tf"),
+                      "score", F.col("rk").cast("int").alias("rk"))
+
+
+_Q_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * round(ln((n.n_docs + 1.0) / (dfs.df + 1.0)), 9), 9) AS score
+  FROM tf JOIN dfs USING (term) CROSS JOIN n),
+rk AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM sc)
+SELECT doc_id, term, cast(tf as int) AS tf, score, cast(rk as int) AS rk
+FROM rk WHERE rk <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -3432,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_bucket_pack": q_aspect_bucket_pack,
         "redirect_resolve": q_redirect_resolve,
         "rel_canonical": q_rel_canonical,
+        "tfidf_keywords": q_tfidf_keywords,
     }
 
 
@@ -3529,4 +3576,5 @@ def oracle_sql() -> dict[str, str]:
         "aspect_bucket_pack": _Q_ASPECT_SQL,
         "redirect_resolve": _Q_REDIRECT_SQL,
         "rel_canonical": _Q_REL_CANONICAL_SQL,
+        "tfidf_keywords": _Q_TFIDF_SQL,
     }
