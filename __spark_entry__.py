@@ -1104,6 +1104,59 @@ def _mm_caption(i: int) -> str:
     return " ".join(vocab[(h + j) % len(vocab)] for j in range(n))
 
 
+_HDR_CORRUPT = [
+    ("zz-junk-0", b"JUNKJUNKJUNKJUNK"),          # wrong magic
+    ("zz-junk-1", b"DWS1\x07\x10\x00\x10\x00xx"),  # magic ok, fmt code 7 invalid
+    ("zz-short", b"DWS1\x01"),                    # truncated header
+]
+
+
+def q_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only metadata scan over binary image payloads: parse the DWS1
+    container header (magic, fmt code, LE-u16 w/h) with pure Column
+    expressions — operators/multimodal.header_meta. Zero Python workers,
+    zero zlib: the metadata fast path for "dimensions/format/compression
+    over 100 TB of blobs" queries that must never pay the decode (real
+    PNG/JPEG/WebP headers are the same fixed-offset parse). Corrupt inputs
+    (bad magic / bad fmt code / truncated) classify as ok=false rows, not
+    task failures. Oracle: driver-side ground truth for the parsed fields +
+    the same payload/pixel/ratio arithmetic in SQL."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import header_meta
+    from distributed_webcrawler_spark.sources import codec
+
+    pdf = pd.DataFrame(
+        [(iid, codec.encode_image(codec.synth_pixels(iid, w, h), fmt))
+         for iid, w, h, fmt in _mm_specs()] + _HDR_CORRUPT,
+        columns=["image_id", "bytes"])
+    return header_meta(spark.createDataFrame(pdf).repartition(8))
+
+
+def _hdr_sql() -> str:
+    from distributed_webcrawler_spark.sources import codec
+
+    rows = [(iid, True, fmt, w, h,
+             len(codec.encode_image(codec.synth_pixels(iid, w, h), fmt)))
+            for iid, w, h, fmt in _mm_specs()]
+    rows += [(iid, False, None, None, None, len(b)) for iid, b in _HDR_CORRUPT]
+    vals = ",\n".join(
+        "('%s', %s, %s, %s, %s, %d)"
+        % (iid, ok, f"'{fmt}'" if fmt else "NULL", w or "NULL", h or "NULL", n)
+        for iid, ok, fmt, w, h, n in rows)
+    return f"""
+SELECT image_id, ok, fmt, cast(w as int) AS w, cast(h as int) AS h,
+       cast(container_bytes as bigint) AS container_bytes,
+       cast(CASE WHEN ok THEN container_bytes - 9 END as bigint) AS payload_bytes,
+       cast(CASE WHEN ok THEN w * h * 3 END as bigint) AS pixel_bytes,
+       CASE WHEN ok THEN round((container_bytes - 9) / (w * h * 3.0), 9) END
+         AS compression_ratio
+FROM (VALUES
+{vals}
+) AS t(image_id, ok, fmt, w, h, container_bytes)
+"""
+
+
 def q_image_caption_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAION/CLIP-style training-pair filter over the crawl's image+caption
     payloads (the input_hint table shape): Arrow-batched decode -> keep
@@ -3444,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "image_header_meta": q_image_header_meta,
         "image_caption_pair_filter": q_image_caption_pair_filter,
         "caption_image_alignment": q_caption_image_alignment,
         "video_frame_sample": q_video_frame_sample,
@@ -3542,6 +3596,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": _Q_TOKENS_SQL,
         "text_fingerprint": _Q_FP_SQL,
         "multimodal_decode": _mm_sql(),
+        "image_header_meta": _hdr_sql(),
         "image_caption_pair_filter": _pairfilter_sql(),
         "caption_image_alignment": _alignment_sql(),
         "video_frame_sample": _vid_sql(),

@@ -226,3 +226,49 @@ def frame_sample(payloads: DataFrame, every_n: int = 1, max_frames: int | None =
             yield pd.DataFrame(data_cols)
 
     return payloads.select(id_col, bytes_col).mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def header_meta(payloads: DataFrame, id_col: str = "image_id",
+                bytes_col: str = "bytes") -> DataFrame:
+    """Header-only metadata scan: parse the DWS1 container header (magic,
+    fmt code, little-endian u16 w/h — sources/codec.py wire format) with
+    pure Column expressions. No Python worker, no zlib decompress, no pixel
+    materialization — the plan stays inside WholeStageCodegen.
+
+    This is the metadata fast path for blob stores at the 10^10 tier: a
+    "width/height/format/compression-ratio over 100 TB of images" query
+    reads only the first 9 bytes' worth of parsed values per row and never
+    pays the decode. (Real formats expose the same shape: PNG IHDR/JPEG
+    SOF0/WebP VP8X headers are fixed-offset parses; swapping the offsets is
+    the only change.) decode_stats remains the full-fidelity path; the two
+    agree on (fmt, w, h) for every valid container — pinned by
+    tests/test_multimodal.py.
+    """
+    b = F.col(bytes_col)
+
+    def _u8(pos: int):
+        return F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("int")
+
+    def _u16le(pos: int):  # little-endian: high byte second
+        return F.conv(F.concat(F.hex(F.substring(b, pos + 1, 1)),
+                               F.hex(F.substring(b, pos, 1))), 16, 10).cast("int")
+
+    fmt_code = _u8(5)
+    ok = ((F.length(b) >= F.lit(10))  # magic+header+>=1 payload byte
+          & (F.hex(F.substring(b, 1, 4)) == F.lit("44575331"))  # b"DWS1"
+          & fmt_code.isin(0, 1, 2))
+    w, h = _u16le(6), _u16le(8)
+    container = F.length(b).cast("bigint")
+    payload = F.when(ok, container - F.lit(9)).cast("bigint")
+    pixels = F.when(ok, (w.cast("bigint") * h * F.lit(3)))
+    return payloads.select(
+        F.col(id_col).alias("image_id"),
+        ok.alias("ok"),
+        F.when(ok, F.element_at(F.lit(["png", "jpeg", "webp"]), fmt_code + 1)).alias("fmt"),
+        F.when(ok, w).alias("w"),
+        F.when(ok, h).alias("h"),
+        container.alias("container_bytes"),
+        payload.alias("payload_bytes"),
+        pixels.alias("pixel_bytes"),
+        F.when(ok, F.round(payload / pixels, 9)).alias("compression_ratio"),
+    )

@@ -205,3 +205,37 @@ def test_audio_near_dup_pairs(spark):
              for r in M.audio_near_dup_pairs(spark.createDataFrame(pdf)).collect()}
     assert ("d-aac", "d-wav") in pairs
     assert all({a, b} == {"d-aac", "d-wav"} for a, b in pairs)
+
+
+def test_header_meta_agrees_with_full_decode(spark):
+    """The JVM-side header parse and the Arrow-batched full decode must
+    report identical (fmt, w, h) for every valid container; corrupt bytes
+    classify as ok=false rows instead of failing the task."""
+    pl = gen_payloads(spark, 24).select("image_id", "bytes")
+    corrupt = spark.createDataFrame(
+        [("bad-magic", bytearray(b"JUNKJUNKJUNK")),
+         ("bad-fmt", bytearray(b"DWS1\x07\x10\x00\x10\x00xx")),
+         ("trunc", bytearray(b"DWS1\x01"))],
+        "image_id string, bytes binary")
+    hdr = {r["image_id"]: r for r in M.header_meta(pl.union(corrupt)).collect()}
+    full = {r["image_id"]: r for r in M.decode_stats(pl).collect()}
+    assert len(hdr) == 27
+    for iid, f in full.items():
+        h = hdr[iid]
+        assert (h["ok"], h["fmt"], h["w"], h["h"]) == (f["ok"], f["fmt"], f["w"], f["h"])
+        assert h["payload_bytes"] == h["container_bytes"] - 9
+        assert h["pixel_bytes"] == f["w"] * f["h"] * 3
+    for iid in ("bad-magic", "bad-fmt", "trunc"):
+        h = hdr[iid]
+        assert not h["ok"] and h["fmt"] is None and h["w"] is None
+        assert h["payload_bytes"] is None and h["compression_ratio"] is None
+
+
+def test_header_meta_plan_is_jvm_only(spark):
+    """No Python evaluation and no shuffle: the metadata fast path must be
+    one codegen'd Project over the scan."""
+    pl = spark.createDataFrame(
+        gen_payloads(spark, 8).select("image_id", "bytes").toPandas())
+    plan = M.header_meta(pl)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
+        assert bad not in plan, plan
