@@ -601,6 +601,37 @@ SELECT min(doc_id) AS keep_id, cast(count(*) as bigint) AS dup_count
 FROM documents GROUP BY md5(text)
 """
 
+_SUB_K = 8
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022): per-doc count
+    and fraction of k-token windows whose 60-bit fingerprint occurs >= 2
+    times in the corpus (cross-doc or within-doc). operators/dedup.py
+    substring_dup_spans — hash-before-shuffle, one count agg + one
+    equi-join, no document self-join."""
+    return D.substring_dup_spans(_t(spark, sf_dir, "documents"), k=_SUB_K)
+
+
+def _substring_dedup_sql() -> str:
+    sh = " || ' ' || ".join(f"t[i + {j}]" for j in range(_SUB_K))
+    return f"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_SUB_K - 1})) AS i
+        FROM tok WHERE len(t) >= {_SUB_K}),
+h AS (SELECT doc_id, {h64_sql(sh)} AS h FROM pos),
+occ AS (SELECT h, count(*) AS n_occ FROM h GROUP BY 1),
+per AS (SELECT doc_id, count(*) AS n_windows FROM h GROUP BY 1),
+hits AS (SELECT doc_id, count(*) AS dup_windows, max(n_occ) AS max_occ
+         FROM h JOIN occ USING (h) WHERE n_occ >= 2 GROUP BY 1)
+SELECT per.doc_id, per.n_windows,
+       coalesce(hits.dup_windows, 0) AS dup_windows,
+       round(coalesce(hits.dup_windows, 0) / per.n_windows, 6) AS dup_frac,
+       coalesce(hits.max_occ, 1) AS max_occ
+FROM per LEFT JOIN hits ON per.doc_id = hits.doc_id
+"""
+
+
 _JACCARD_K, _JACCARD_CHARS, _JACCARD_TH, _JACCARD_MAXDF = 8, 128, 0.2, 50
 
 
@@ -3473,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "quantile_stats": q_quantile_stats,
         "dedup_exact": q_dedup_exact,
+        "substring_dedup": q_substring_dedup,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
@@ -3572,6 +3604,7 @@ def oracle_sql() -> dict[str, str]:
         "count_distinct": _Q_COUNTD_SQL,
         "quantile_stats": _Q_QUANTILE_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
+        "substring_dedup": _substring_dedup_sql(),
         "dedup_ngram_jaccard": _Q_JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_components": _components_sql(),

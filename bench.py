@@ -73,6 +73,9 @@ HEADLINE = [
     "doc_chunk",
     "aspect_bucket_pack",
     "redirect_resolve",
+    "tfidf_keywords",
+    "image_header_meta",
+    "substring_dedup",
 ]
 
 

@@ -347,3 +347,44 @@ def minhash_lsh_incremental(batch: DataFrame, corpus: DataFrame,
         scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
         .select(F.col("bid").alias("doc_id"), F.col("cid").alias("match_id"), "est_sim")
     )
+
+
+def substring_dup_spans(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), window-hash restatement:
+    every k-token window of every document, hashed; a window whose hash
+    occurs >= 2 times anywhere in the corpus (cross-doc OR within-doc) is a
+    duplicated span. Emits per-doc duplication stats — the signal used to
+    drop or trim boilerplate-heavy documents.
+
+    The paper's suffix array is a single-machine structure; the standard
+    distributed restatement is this window fingerprint pass:
+    - windows are hashed to 60 bits BEFORE the shuffle, so the occurrence
+      count shuffles 8-byte keys, not k-token strings,
+    - one explode + one partial/final count on the hash + one equi-join
+      back — sub-quadratic everywhere, no self-join on documents,
+    - k >= 8 words makes accidental 60-bit collisions (~n^2/2^61)
+      irrelevant below ~10^9 distinct windows per the birthday bound;
+      the oracle applies the identical hash so the gate is exact.
+    """
+    from ..functions.scrub import word_shingles
+
+    toks = docs.select(
+        id_col,
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias("t"))
+    sh = (toks.where(F.size("t") >= k)
+          .select(id_col, F.explode(word_shingles("t", k)).alias("sh"))
+          .select(id_col, h64(F.col("sh")).alias("h")))
+    occ = sh.groupBy("h").agg(F.count("*").alias("n_occ"))
+    per = sh.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    hits = (sh.join(occ.where(F.col("n_occ") >= 2), "h")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("dup_windows"), F.max("n_occ").alias("max_occ")))
+    return (per.join(hits, id_col, "left")
+            .select(id_col,
+                    "n_windows",
+                    F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+                    F.round(F.coalesce("dup_windows", F.lit(0))
+                            / F.col("n_windows"), 6).alias("dup_frac"),
+                    F.coalesce("max_occ", F.lit(1)).alias("max_occ")))

@@ -193,3 +193,28 @@ def test_paragraph_dedup_global_first_wins(spark):
     assert out[3].clean_text == ""
     assert (out[4].n_paras, out[4].n_removed) == (2, 1)
     assert out[4].clean_text == "delta tail"
+
+
+def test_substring_dup_spans_window_profile(spark):
+    """Lee et al. 2022 exact-substring profile: a k-token window repeated
+    anywhere in the corpus (cross-doc or within-doc) counts as duplicated
+    for every document that holds it; unique-window docs report dup_frac 0;
+    short docs (< k tokens) emit no row."""
+    k = 4
+    shared = "one two three four"                     # the duplicated window
+    docs = spark.createDataFrame([
+        (1, f"{shared} aaa bbb ccc"),                 # 1 dup window of 4
+        (2, f"xxx yyy {shared}"),                     # 1 dup window of 3
+        (3, f"{shared} zzz {shared}"),                # within-doc repeat too
+        (4, "pp qq rr ss tt uu"),                     # all unique windows
+        (5, "too short"),                             # < k tokens: no row
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in D.substring_dup_spans(docs, k=k).collect()}
+    assert 5 not in out and set(out) == {1, 2, 3, 4}
+    assert (out[1].n_windows, out[1].dup_windows) == (4, 1)
+    assert (out[2].n_windows, out[2].dup_windows) == (3, 1)
+    # doc 3: 9 tokens -> 6 windows; the two 'one two three four' copies both dup
+    assert out[3].n_windows == 6 and out[3].dup_windows == 2
+    assert out[3].max_occ == 4                        # window occurs 4x corpus-wide
+    assert (out[4].dup_windows, out[4].max_occ) == (0, 1)
+    assert abs(out[4].dup_frac) < 1e-9
