@@ -1441,6 +1441,29 @@ def _weighted_sample_sql() -> str:
     return weighted_sample_sql("doc_id", "length(text)", "documents", k=_WS_K)
 
 
+_CMS_D, _CMS_W, _CMS_K = 3, 512, 20
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over events.user_id (hot-host /
+    hot-user detection shape): d x w mergeable counter sketch via partial
+    aggregation (shuffle bounded at d*w counters per task), min-over-d
+    estimate per candidate, top-k as TakeOrderedAndProject; exact counts
+    ride along so the oracle gates est >= exact AND the exact overcount
+    (operators/sketch.py cms_heavy_hitters)."""
+    from distributed_webcrawler_spark.operators.sketch import cms_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "user_id", d=_CMS_D, w=_CMS_W, k=_CMS_K)
+
+
+def _cms_sql() -> str:
+    from distributed_webcrawler_spark.operators.sketch import cms_heavy_hitters_sql
+
+    return cms_heavy_hitters_sql("user_id", "events", d=_CMS_D, w=_CMS_W,
+                                 k=_CMS_K)
+
+
 _KM_K, _KM_ITER = 8, 2
 
 
@@ -3514,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "kmeans_centroids": q_kmeans_centroids,
         "kmv_distinct": q_kmv_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -3614,6 +3638,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_sql(),
         "kmeans_centroids": _kmeans_sql(),
         "kmv_distinct": _kmv_sql(),
+        "cms_heavy_hitters": _cms_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -49,6 +49,7 @@ HEADLINE = [
     "bm25_search",
     "kmeans_centroids",
     "kmv_distinct",
+    "cms_heavy_hitters",
     "weighted_sample",
     "audio_features",
     "pii_scrub",

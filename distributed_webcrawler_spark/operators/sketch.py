@@ -118,3 +118,86 @@ FROM {source}
 ORDER BY key DESC, id ASC
 LIMIT {k}
 """
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str, d: int = 3, w: int = 64,
+                      k: int = 20) -> DataFrame:
+    """Count-min-sketch heavy hitters — Cormode & Muthukrishnan, "An improved
+    data stream summary: the count-min sketch and its applications"
+    (J. Algorithms 2005). The sketch is a d x w counter matrix; row j counts
+    events in bucket h_j(key) % w; the estimate for a key is the MIN over
+    its d buckets. Estimates never undercount (est >= exact); the expected
+    overcount is N/w per row, and min-over-d makes all d rows collide the
+    same way before an estimate inflates.
+
+    Spark restatement with the right scale shape:
+    - the sketch build is ONE projection (d (j, bucket) structs per row,
+      in-row explode) + a groupBy(j, bucket) count. Partial aggregation
+      caps what each task emits at d*w rows, so the shuffle carries
+      O(d * w * n_partitions) counters regardless of input rows —
+      the mergeability that makes CMS a 100 TB operator.
+    - candidate keys come from a distinct over the key column (fine for
+      bounded key domains like hosts/event types; a true streaming top-k
+      pairs the sketch with a per-partition candidate heap instead).
+    - each candidate joins the d x w sketch (broadcast — it is tiny by
+      construction) and takes min(counter) as its estimate.
+    - final top-k is orderBy+limit = TakeOrderedAndProject, never a
+      global sort.
+
+    Buckets use the portable md5-derived h64 ("<j>:<key>"), so the DuckDB
+    oracle rebuilds the identical sketch. Returns top-k
+    (key, est_count, exact_count, overcount) by est DESC, key ASC;
+    overcount >= 0 by the CMS guarantee — the oracle gate would catch an
+    undercounting bucket hash on either engine.
+    """
+    def jb(key):  # d (j, bucket) structs for one key Column, exploded
+        return F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(h64(F.concat(F.lit(f"{j}:"), key)), F.lit(w))
+                 .cast("int").alias("b"))
+            for j in range(d)
+        ])).alias("jb")
+
+    key = F.col(key_col).cast("string")
+    sketch = (df.select(jb(key)).select("jb.j", "jb.b")
+                .groupBy("j", "b").agg(F.count("*").alias("c")))
+
+    exact = df.groupBy(key.alias("key")).agg(F.count("*").alias("exact_count"))
+    cand = exact.select("key", "exact_count", jb(F.col("key"))).select(
+        "key", "exact_count", "jb.j", "jb.b")
+    est = (cand.join(F.broadcast(sketch), ["j", "b"])
+               .groupBy("key", "exact_count")
+               .agg(F.min("c").alias("est_count")))
+    return (est.select("key", "est_count", "exact_count",
+                       (F.col("est_count") - F.col("exact_count")).alias("overcount"))
+               .orderBy(F.col("est_count").desc(), F.col("key").asc())
+               .limit(k))
+
+
+def cms_heavy_hitters_sql(key_expr: str, source: str, d: int = 3, w: int = 64,
+                          k: int = 20) -> str:
+    """DuckDB restatement: identical hash, buckets, min-over-d, ordering."""
+    js = ", ".join(f"({j})" for j in range(d))
+    kx = f"cast({key_expr} as varchar)"
+    row_bucket = h64_sql(f"concat(j, ':', {kx})")
+    b = f"{row_bucket} % {w}"
+    return f"""
+WITH sketch AS (
+  SELECT j, {b} AS b, count(*) AS c
+  FROM {source} CROSS JOIN (VALUES {js}) AS depths(j)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT {kx} AS key, count(*) AS exact_count FROM {source} GROUP BY 1
+),
+est AS (
+  SELECT e.key, e.exact_count, min(s.c) AS est_count
+  FROM exact e CROSS JOIN (VALUES {js}) AS depths(j)
+  JOIN sketch s ON s.j = depths.j
+    AND s.b = {h64_sql("concat(depths.j, ':', e.key)")} % {w}
+  GROUP BY 1, 2
+)
+SELECT key, est_count, exact_count, est_count - exact_count AS overcount
+FROM est ORDER BY est_count DESC, key ASC LIMIT {k}
+"""

@@ -57,3 +57,34 @@ def test_weighted_sample_prefers_heavy_items(spark):
     df = spark.createDataFrame(rows, "doc_id long, w int")
     ids = {r["id"] for r in weighted_sample(df, "w", k=5, id_col="doc_id").collect()}
     assert 999 in ids
+
+
+def test_cms_never_undercounts_and_finds_hot_keys(spark):
+    from distributed_webcrawler_spark.operators.sketch import cms_heavy_hitters
+
+    # one hot key (x400), a warm key (x50), 200 singleton keys
+    rows = [("hot",)] * 400 + [("warm",)] * 50 + [(f"cold-{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    out = cms_heavy_hitters(df, "k", d=3, w=128, k=5).collect()
+    by_key = {r.key: r for r in out}
+    # CMS guarantee: est >= exact for every reported key
+    assert all(r.overcount >= 0 for r in out)
+    # the hot key tops the list with its exact count recovered exactly
+    # (min-over-d strips collisions unless a key collides in ALL d rows)
+    assert out[0].key == "hot" and out[0].exact_count == 400
+    assert "warm" in by_key and by_key["warm"].exact_count == 50
+    # ordering is deterministic: est DESC, key ASC
+    ests = [(r.est_count, r.key) for r in out]
+    assert ests == sorted(ests, key=lambda t: (-t[0], t[1]))
+
+
+def test_cms_tiny_width_overcounts_but_never_under(spark):
+    from distributed_webcrawler_spark.operators.sketch import cms_heavy_hitters
+
+    rows = [(f"k{i % 60}",) for i in range(600)]
+    df = spark.createDataFrame(rows, "k string")
+    out = cms_heavy_hitters(df, "k", d=2, w=8, k=60).collect()
+    assert len(out) == 60
+    assert all(r.exact_count == 10 for r in out)
+    assert all(r.est_count >= 10 for r in out)          # never undercounts
+    assert any(r.overcount > 0 for r in out)            # w=8 must collide
