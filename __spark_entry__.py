@@ -1464,6 +1464,25 @@ def _cms_sql() -> str:
                                  k=_CMS_K)
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding table (4x
+    storage cut for the ANN index): pure Column transform/aggregate, zero
+    shuffle, engine-independent floor(x/s+0.5) rounding; the oracle gates
+    every quantized coordinate (csv form), the l1 mass, and the max
+    dequantize error (operators/similarity.py embedding_quantize_int8)."""
+    from distributed_webcrawler_spark.operators.similarity import (
+        embedding_quantize_int8)
+
+    return embedding_quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+def _embedding_quantize_sql() -> str:
+    from distributed_webcrawler_spark.operators.similarity import (
+        embedding_quantize_int8_sql)
+
+    return embedding_quantize_int8_sql("embeddings")
+
+
 _KM_K, _KM_ITER = 8, 2
 
 
@@ -3538,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "kmv_distinct": q_kmv_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "embedding_quantize_int8": q_embedding_quantize,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -3639,6 +3659,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": _kmeans_sql(),
         "kmv_distinct": _kmv_sql(),
         "cms_heavy_hitters": _cms_sql(),
+        "embedding_quantize_int8": _embedding_quantize_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

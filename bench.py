@@ -50,6 +50,7 @@ HEADLINE = [
     "kmeans_centroids",
     "kmv_distinct",
     "cms_heavy_hitters",
+    "embedding_quantize_int8",
     "weighted_sample",
     "audio_features",
     "pii_scrub",

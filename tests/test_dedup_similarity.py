@@ -218,3 +218,25 @@ def test_substring_dup_spans_window_profile(spark):
     assert out[3].max_occ == 4                        # window occurs 4x corpus-wide
     assert (out[4].dup_windows, out[4].max_occ) == (0, 1)
     assert abs(out[4].dup_frac) < 1e-9
+
+
+def test_embedding_quantize_int8_roundtrip(spark):
+    df = spark.createDataFrame([
+        (1, [0.5, -1.0, 0.25, 0.0]),          # maxabs 1.0 -> scale 1/127
+        (2, [0.0, 0.0, 0.0, 0.0]),            # all-zero -> scale 0, q all 0
+        (3, [127.0, -127.0, 63.5, -0.1]),     # big dynamic range
+    ], "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in S.embedding_quantize_int8(df).collect()}
+    # clamp bounds + dim preserved
+    for r in out.values():
+        qs = [int(x) for x in r.q_csv.split(",")]
+        assert len(qs) == 4 and all(-127 <= q <= 127 for q in qs)
+        assert r.q_l1 == sum(abs(q) for q in qs)
+    # symmetric quantization maps maxabs -> +/-127 exactly
+    assert [int(x) for x in out[1].q_csv.split(",")][1] == -127
+    assert [int(x) for x in out[3].q_csv.split(",")][:2] == [127, -127]
+    # dequantize error bounded by half a step
+    for r in (out[1], out[3]):
+        assert r.recon_err <= r.scale / 2 + 1e-9
+    assert out[2].scale == 0.0 and out[2].q_csv == "0,0,0,0"
+    assert out[2].q_l1 == 0 and out[2].recon_err == 0.0
