@@ -1809,6 +1809,86 @@ WHERE bit_count(xor(pa, pb)) <= 3
 """
 
 
+def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image near-dup CLUSTERING — the full 100 TB image dedup
+    pipeline in one plan: decode ONCE (Arrow batches; pixels never leave
+    the decode stage) -> 64-bit phash + resolution -> banded Hamming pairs
+    (4x16-bit slices, Hamming <= 3) -> connected components (pointer
+    doubling, O(log d) rounds) -> keep-best representative per cluster
+    (max pixel count, ties to min id). Shuffles carry (id, phash) and
+    (id, component) rows only. Returns (component, keep_id, best_score,
+    n_members) for every multi-member cluster. The payload batch is
+    deterministic, so the oracle re-derives banding + bit_count verify +
+    a recursive-CTE closure + the same keep-best window in pure SQL over
+    the expected (phash, w, h) table."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.components import (
+        component_representatives, connected_components)
+    from distributed_webcrawler_spark.operators.dedup import hamming_banded_pairs
+    from distributed_webcrawler_spark.operators.multimodal import decode_stats
+    from distributed_webcrawler_spark.sources import codec
+
+    pdf = pd.DataFrame(
+        [(iid, codec.encode_image(px, "png")) for iid, px in _pn_payloads()],
+        columns=["image_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    st = decode_stats(payloads).where("ok").select(
+        F.col("image_id").alias("id"), F.col("phash").alias("sig"),
+        (F.col("w").cast("bigint") * F.col("h")).alias("score")).cache()
+    pairs = hamming_banded_pairs(st.select("id", "sig"), max_hamming=3,
+                                 n_bits=64, n_bands=4)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return component_representatives(cc, st.select("id", "score"))
+
+
+def _image_clusters_sql() -> str:
+    from distributed_webcrawler_spark.sources import codec
+
+    vals = ",\n".join(
+        f"('{iid}', {codec.phash64(px)}, {px.shape[0] * px.shape[1]})"
+        for iid, px in _pn_payloads())
+    return f"""
+WITH RECURSIVE sig AS (
+  SELECT image_id, cast(phash as bigint) AS phash, cast(npx as bigint) AS npx
+  FROM (VALUES
+{vals}
+  ) AS t(image_id, phash, npx)
+),
+bands AS (
+  SELECT image_id, phash, b.band, ((phash >> (b.band * 16)) & 65535) AS slice
+  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+),
+pairs AS (
+  SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.slice = b.slice
+  WHERE a.image_id < b.image_id
+    AND bit_count(xor(a.phash, b.phash)) <= 3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+scored AS (
+  SELECT cc.component, cc.id, sig.npx AS score,
+         row_number() OVER (PARTITION BY cc.component
+                            ORDER BY sig.npx DESC, cc.id ASC) AS rn,
+         count(*) OVER (PARTITION BY cc.component) AS n_members
+  FROM cc JOIN sig ON sig.image_id = cc.id
+)
+SELECT component, id AS keep_id, score AS best_score,
+       cast(n_members as bigint) AS n_members
+FROM scored WHERE rn = 1
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split — the reproducible-split primitive
     every training pipeline needs: split = portable h64('split:'||doc_id) %
@@ -3558,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "embedding_quantize_int8": q_embedding_quantize,
+        "image_dup_clusters": q_image_dup_clusters,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -3660,6 +3741,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _kmv_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "embedding_quantize_int8": _embedding_quantize_sql(),
+        "image_dup_clusters": _image_clusters_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

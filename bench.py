@@ -43,6 +43,7 @@ HEADLINE = [
     "multimodal_decode",
     "video_frame_sample",
     "image_phash_near_dup",
+    "image_dup_clusters",
     "dataset_split",
     "dedup_components",
     "pagerank_hosts",
