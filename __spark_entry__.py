@@ -1889,6 +1889,85 @@ FROM scored WHERE rn = 1
 """
 
 
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target — the classic web-index
+    signal built on the reference's link extraction (BasicCrawler.java
+    anchors): every <a href>'s text is credited to its TARGET page, giving
+    each target a backlink count, distinct-source count, and its most
+    common anchor phrase. Markup is synthesized deterministically from
+    documents IN the query (both engines build identical literals), the
+    anchor parse is in-row regexp_extract_all + positional zip (no UDF),
+    and the aggregation is two keyed shuffles: (target, anchor) counts,
+    then a per-target rank window for the top anchor (cnt DESC, anchor ASC
+    — deterministic). At 10^10 pages the shuffle carries (target, anchor)
+    pairs, never page bytes; skewed mega-targets are exactly the hot-host
+    salting case the frontier windows already handle."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    first_tok = F.regexp_extract(F.lower(F.col("text")), "[a-z0-9]+", 0)
+    html = F.concat(
+        F.lit('<p>'), F.substring(F.col("text"), 1, 40),
+        F.lit('</p><a href="/t/'), (F.col("doc_id") % 37).cast("string"),
+        F.lit('">'), first_tok,
+        F.lit('</a> <a href="/t/'), ((F.col("doc_id") + 13) % 37).cast("string"),
+        F.lit('">'), F.col("lang"), F.lit("</a>"))
+    h = docs.select("doc_id", html.alias("html"))
+    hrefs = F.expr("regexp_extract_all(html, '<a href=\"([^\"]+)\">', 1)")
+    texts = F.expr("regexp_extract_all(html, '<a href=\"[^\"]+\">([^<]*)</a>', 1)")
+    links = (h.select("doc_id", F.explode(F.arrays_zip(
+                hrefs.alias("t"), texts.alias("a"))).alias("l"))
+              .select("doc_id", F.col("l.t").alias("target"),
+                      F.col("l.a").alias("anchor")))
+    per_anchor = (links.groupBy("target", "anchor")
+                  .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("target").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc())
+    top = (per_anchor.withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") == 1)
+           .select("target", F.col("anchor").alias("top_anchor"),
+                   F.col("cnt").alias("top_anchor_cnt")))
+    stats = links.groupBy("target").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("doc_id").alias("n_sources"))
+    return stats.join(top, "target")
+
+
+_Q_ANCHOR_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         concat('<p>', substr(text, 1, 40), '</p><a href="/t/',
+                cast(doc_id % 37 as varchar), '">',
+                regexp_extract(lower(text), '[a-z0-9]+'),
+                '</a> <a href="/t/', cast((doc_id + 13) % 37 as varchar),
+                '">', lang, '</a>') AS html
+  FROM documents
+),
+links AS (
+  SELECT doc_id, u[1] AS target, u[2] AS anchor
+  FROM h, unnest(list_zip(
+         regexp_extract_all(html, '<a href="([^"]+)">', 1),
+         regexp_extract_all(html, '<a href="[^"]+">([^<]*)</a>', 1))) AS z(u)
+),
+per_anchor AS (
+  SELECT target, anchor, count(*) AS cnt FROM links GROUP BY 1, 2
+),
+top AS (
+  SELECT target, anchor AS top_anchor, cnt AS top_anchor_cnt,
+         row_number() OVER (PARTITION BY target
+                            ORDER BY cnt DESC, anchor ASC) AS rn
+  FROM per_anchor
+),
+stats AS (
+  SELECT target, count(*) AS n_links,
+         cast(count(DISTINCT doc_id) as bigint) AS n_sources
+  FROM links GROUP BY 1
+)
+SELECT stats.target, stats.n_links, stats.n_sources,
+       top.top_anchor, top.top_anchor_cnt
+FROM stats JOIN top ON top.target = stats.target AND top.rn = 1
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split — the reproducible-split primitive
     every training pipeline needs: split = portable h64('split:'||doc_id) %
@@ -3639,6 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "embedding_quantize_int8": q_embedding_quantize,
         "image_dup_clusters": q_image_dup_clusters,
+        "anchor_text_agg": q_anchor_text_agg,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -3742,6 +3822,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _cms_sql(),
         "embedding_quantize_int8": _embedding_quantize_sql(),
         "image_dup_clusters": _image_clusters_sql(),
+        "anchor_text_agg": _Q_ANCHOR_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
