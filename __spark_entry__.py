@@ -1651,6 +1651,63 @@ r{t + 1} AS (
     return f"WITH {body}\nSELECT id AS host, round(rank, 6) AS rank FROM r{_PR_ITER}"
 
 
+_HITS_ITER = 4
+
+
+def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the SAME host graph PageRank ranks
+    (lineitem supplier-host -> part-host): the two classic link-authority
+    signals side by side, so a frontier can prioritize authorities to
+    KEEP and hubs to EXPAND (Kleinberg 1999). Fixed iteration count, L1
+    normalization, per-iteration round-to-12 on both engines (see
+    operators/pagerank.py:hits); report rounds to 6."""
+    from distributed_webcrawler_spark.operators.pagerank import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("host"), (F.col("l_suppkey") % N_FRONTIER_HOSTS).cast("string")).alias("src"),
+        F.concat(F.lit("host"), (F.col("l_partkey") % N_FRONTIER_HOSTS).cast("string")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return (hits(edges, n_iter=_HITS_ITER)
+            .select(F.col("id").alias("host"),
+                    F.round("a", 6).alias("authority"),
+                    F.round("h", 6).alias("hub")))
+
+
+def _hits_sql() -> str:
+    # unrolled mutual-reinforcement iterations, float-exact parity with the
+    # Spark side: L1 normalizers are scalar sums over identical 12-decimal
+    # inputs, every normalized score re-rounds to 12 on both engines.
+    # a{t}/h{t} are AS MATERIALIZED: the alternating chain is twice as deep
+    # as pagerank's and each level is referenced 2-3x, so DuckDB's default
+    # CTE inlining makes planning exponential (measured: EXPLAIN alone
+    # >300s inlined vs ~1s materialized at 4 iterations).
+    parts = [f"""e AS MATERIALIZED (
+  SELECT DISTINCT concat('host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar)) AS src,
+                  concat('host', cast(l_partkey % {N_FRONTIER_HOSTS} as varchar)) AS dst
+  FROM lineitem
+  WHERE l_suppkey % {N_FRONTIER_HOSTS} <> l_partkey % {N_FRONTIER_HOSTS}),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT cast(count(*) as double) AS n FROM nodes),
+h0 AS (SELECT id, cast(1 as double) / (SELECT n FROM nn) AS h FROM nodes)"""]
+    for t in range(_HITS_ITER):
+        parts.append(f"""araw{t} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(h.h) AS s FROM e JOIN h{t} h ON h.id = e.src GROUP BY e.dst),
+a{t + 1} AS MATERIALIZED (
+  SELECT n.id, round(coalesce(ar.s, cast(0 as double))
+                     / (SELECT sum(s) FROM araw{t}), 12) AS a
+  FROM nodes n LEFT JOIN araw{t} ar ON ar.id = n.id),
+hraw{t} AS MATERIALIZED (
+  SELECT e.src AS id, sum(a.a) AS s FROM e JOIN a{t + 1} a ON a.id = e.dst GROUP BY e.src),
+h{t + 1} AS MATERIALIZED (
+  SELECT n.id, round(coalesce(hr.s, cast(0 as double))
+                     / (SELECT sum(s) FROM hraw{t}), 12) AS h
+  FROM nodes n LEFT JOIN hraw{t} hr ON hr.id = n.id)""")
+    body = ",\n".join(parts)
+    return (f"WITH {body}\nSELECT a.id AS host, round(a.a, 6) AS authority, "
+            f"round(h.h, 6) AS hub FROM a{_HITS_ITER} a JOIN h{_HITS_ITER} h ON h.id = a.id")
+
+
 _AU_N = 128
 
 
@@ -3677,6 +3734,61 @@ FROM rk WHERE rk <= 5
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build — the web-index artifact a crawler exists to
+    feed: one row per term with document frequency, total term frequency,
+    and the head of its posting list ('doc_id:tf' pairs, doc_id ASC,
+    capped at 10 — real posting lists are df-sized by definition; the cap
+    keeps the oracle row bounded). Plan: tokenize in-row (regexp, no UDF),
+    ONE (term, doc_id) count agg, then df/tf_total stats and the capped
+    head as two term-keyed aggs joined on term. The head pick reuses the
+    frontier's rank-window top-k (operators/topk.py); stopword-grade hot
+    terms are the salted-variant case the scheduler already handles
+    (topk_per_group_salted), and posting assembly collect_lists at most
+    the capped 10 rows per term — never the full df."""
+    from distributed_webcrawler_spark.operators import topk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]{3,}', 0)")).alias("term"))
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("tf_total"))
+    head = topk.topk_per_group(tf, ["term"], [F.col("doc_id").asc()], 10)
+    postings = (head.groupBy("term")
+                .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                        lambda x: F.concat(x["doc_id"].cast("string"), F.lit(":"),
+                                           x["tf"].cast("string"))),
+                    ",").alias("postings_head")))
+    return (stats.join(postings, "term")
+            .select("term", "df", "tf_total", "postings_head"))
+
+
+_Q_INVIDX_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+  FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+stats AS (
+  SELECT term, count(*) AS df, cast(sum(tf) as bigint) AS tf_total
+  FROM tf GROUP BY 1),
+head AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tf),
+post AS (
+  SELECT term,
+         string_agg(cast(doc_id as varchar) || ':' || cast(tf as varchar),
+                    ',' ORDER BY doc_id) AS postings_head
+  FROM head WHERE rn <= 10 GROUP BY 1)
+SELECT stats.term, stats.df, stats.tf_total, post.postings_head
+FROM stats JOIN post ON post.term = stats.term
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -3719,6 +3831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": q_embedding_quantize,
         "image_dup_clusters": q_image_dup_clusters,
         "anchor_text_agg": q_anchor_text_agg,
+        "inverted_index": q_inverted_index,
+        "hits_hosts": q_hits_hosts,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -3823,6 +3937,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize_int8": _embedding_quantize_sql(),
         "image_dup_clusters": _image_clusters_sql(),
         "anchor_text_agg": _Q_ANCHOR_SQL,
+        "inverted_index": _Q_INVIDX_SQL,
+        "hits_hosts": _hits_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -72,3 +72,58 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
         nodes.unpersist()
         deg.unpersist()
     return r
+
+
+def hits(edges: DataFrame, n_iter: int = 5,
+         src: str = "src", dst: str = "dst") -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public literature) —
+    PageRank's companion crawl signal: a good HUB is a page whose
+    out-links point at good authorities (exactly what a frontier wants to
+    expand first), a good AUTHORITY is a page many good hubs point at
+    (what the corpus wants to keep). Returns (id, authority, hub) after
+    ``n_iter`` mutual-reinforcement iterations over the distinct edge set.
+
+    Determinism / cross-engine parity (same scheme as :func:`pagerank`):
+    L1 normalization each half-step (divide by the column sum — SQL-exact,
+    unlike the classical L2 norm's sqrt) and every normalized score is
+    rounded to 12 decimals ON BOTH ENGINES so partition-order-dependent
+    double summation cannot drift Spark and the DuckDB oracle apart.
+
+    Scale design mirrors pagerank (10^10-edge graphs): each half-step is
+    ONE equi-join of the edge table with a node-score table on its key
+    plus ONE partial/final sum keyed by the other endpoint; the
+    normalizer is a scalar aggregate (one double to the driver, same cost
+    class as a convergence check); scores are localCheckpoint()ed per
+    iteration so plan depth stays O(1) in iteration count. Mega-hub
+    fan-in lands in the sum aggregate, which map-side combines before the
+    shuffle.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
+    nodes = (e.select(F.col("src").alias("id"))
+              .unionByName(e.select(F.col("dst").alias("id")))
+              .distinct().persist())
+    n = nodes.count()
+    h = nodes.withColumn("h", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    a = None
+    try:
+        for _ in range(n_iter):
+            araw = (e.join(h.withColumnRenamed("id", "src"), "src")
+                     .groupBy(F.col("dst").alias("id"))
+                     .agg(F.sum("h").alias("s")))
+            az = araw.agg(F.sum("s")).first()[0]
+            a = (nodes.join(araw, "id", "left")
+                      .select("id", F.round(F.coalesce(F.col("s"), F.lit(0.0))
+                                            / F.lit(az), 12).alias("a"))
+                      .localCheckpoint(eager=True))
+            hraw = (e.join(a.withColumnRenamed("id", "dst"), "dst")
+                     .groupBy(F.col("src").alias("id"))
+                     .agg(F.sum("a").alias("s")))
+            hz = hraw.agg(F.sum("s")).first()[0]
+            h = (nodes.join(hraw, "id", "left")
+                      .select("id", F.round(F.coalesce(F.col("s"), F.lit(0.0))
+                                            / F.lit(hz), 12).alias("h"))
+                      .localCheckpoint(eager=True))
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+    return a.join(h, "id").select("id", "a", "h")

@@ -73,3 +73,59 @@ def test_deterministic_across_partitionings(spark):
     r1 = {(r["id"], r["rank"]) for r in pagerank(df1).collect()}
     r8 = {(r["id"], r["rank"]) for r in pagerank(df8).collect()}
     assert r1 == r8
+
+# ---------------------------------------------------------------- HITS
+
+
+def _np_hits(edges, n_iter=4):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    dedup = sorted(set(edges))
+    n = len(nodes)
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        for s, d in dedup:
+            a[idx[d]] += h[idx[s]]
+        a = np.round(a / a.sum(), 12)
+        h = np.zeros(n)
+        for s, d in dedup:
+            h[idx[s]] += a[idx[d]]
+        h = np.round(h / h.sum(), 12)
+    return ({v: a[idx[v]] for v in nodes}, {v: h[idx[v]] for v in nodes})
+
+
+def _run_hits(spark, edges, **kw):
+    from distributed_webcrawler_spark.operators.pagerank import hits
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = hits(df, **kw).collect()
+    return ({r["id"]: r["a"] for r in rows}, {r["id"]: r["h"] for r in rows})
+
+
+def test_hits_matches_numpy_oracle(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    ga, gh = _run_hits(spark, edges, n_iter=4)
+    wa, wh = _np_hits(edges, n_iter=4)
+    assert set(ga) == set(wa)
+    for v in wa:
+        assert abs(ga[v] - wa[v]) < 1e-9, ("a", v)
+        assert abs(gh[v] - wh[v]) < 1e-9, ("h", v)
+
+
+def test_hits_hub_vs_authority_separation(spark):
+    # directory page links to every article; articles link nowhere.
+    # directory = pure hub (authority 0), articles = pure authorities.
+    edges = [("dir", f"art{i}") for i in range(5)]
+    ga, gh = _run_hits(spark, edges)
+    assert ga["dir"] == 0.0
+    assert gh["dir"] == max(gh.values())
+    for i in range(5):
+        assert gh[f"art{i}"] == 0.0
+        assert ga[f"art{i}"] > 0.0
+    # L1 normalized each half-step
+    assert abs(sum(ga.values()) - 1.0) < 1e-6
+    assert abs(sum(gh.values()) - 1.0) < 1e-6
