@@ -3789,6 +3789,185 @@ FROM stats JOIN post ON post.term = stats.term
 """
 
 
+_DSIR_BUCKETS = 1024
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023, public literature):
+    score every raw doc by how target-like its hashed-unigram profile is
+    — log weight = SUM over tokens of ln(p_target(bucket)/p_raw(bucket))
+    (the log of DSIR's product-of-feature-ratios importance weight) with
+    add-1 smoothing over {buckets} hashed features — then accept
+    doc d iff ln(u_d) < weight for a deterministic per-doc uniform u_d
+    (Gumbel-style acceptance: P(keep) = min(1, e^weight), which IS
+    importance resampling without materializing exp()). Target domain
+    here: lang='en' docs; raw: the whole corpus.
+
+    Scale shape (same two-pass skeleton as ccnet_perplexity_bucket): ONE
+    corpus scan builds both count vectors with conditional partial aggs
+    keyed by the FIXED {buckets}-bucket feature space (the table is 1024
+    rows at any corpus size — always broadcastable, unlike a raw vocab);
+    pass 2 re-scans, broadcast-joins bucket->log-ratio and partial-aggs
+    the per-doc mean. Cross-engine float discipline: the ratio argument
+    is a product/quotient of exact small ints (double-exact), ln() is
+    rounded to 9 before averaging, the mean to 6, and the acceptance
+    uniform is ln((h64(doc_id)%10000+0.5)/10000) rounded to 9 — every
+    comparison happens between identically-rounded doubles.
+
+    Note on the fixture: the synthetic documents draw text from ONE
+    vocabulary regardless of lang, so the target/raw distributions are
+    nearly identical and log weights hover just below 0 (smoothing +
+    per-doc variance) — acceptance lands ~15-35% for every lang, which
+    is exactly what an unbiased importance sampler should do on a
+    signal-free corpus. On a real corpus the weight separates domains;
+    the oracle gates the full weight+acceptance math either way."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", "lang",
+                       F.explode(SC.word_tokens("text")).alias("w"))
+           .select("doc_id", "lang",
+                   F.pmod(h64(F.col("w")), F.lit(_DSIR_BUCKETS)).cast("int").alias("b")))
+    cnt = (tok.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        F.count("*").alias("cr")))
+    tot = cnt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lw = (cnt.crossJoin(F.broadcast(tot))
+          .select("b", F.round(F.log(
+              ((F.col("ct") + 1) * (F.col("nr") + _DSIR_BUCKETS))
+              / ((F.col("cr") + 1) * (F.col("nt") + _DSIR_BUCKETS))), 9).alias("lr")))
+    w = (tok.join(F.broadcast(lw), "b")
+         .groupBy("doc_id")
+         .agg(F.round(F.sum("lr"), 6).alias("log_weight")))
+    u = F.round(F.log((F.pmod(h64(F.col("doc_id").cast("string")), F.lit(10000))
+                       + F.lit(0.5)) / F.lit(10000.0)), 9)
+    return (docs.select("doc_id", "lang").join(w, "doc_id")
+            .select("doc_id", "lang", "log_weight",
+                    (u < F.col("log_weight")).alias("keep")))
+
+
+_Q_DSIR_SQL = f"""
+WITH words AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents),
+tok AS (
+  SELECT doc_id, lang, cast({h64_sql("w")} % {_DSIR_BUCKETS} as int) AS b
+  FROM words),
+cnt AS (
+  SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct, count(*) AS cr
+  FROM tok GROUP BY b),
+tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt),
+lw AS (
+  SELECT b, round(ln(((ct + 1) * ((SELECT nr FROM tot) + {_DSIR_BUCKETS}) * 1.0)
+                  / ((cr + 1) * ((SELECT nt FROM tot) + {_DSIR_BUCKETS}))), 9) AS lr
+  FROM cnt),
+w AS (
+  SELECT doc_id, cast(round(sum(lr), 6) as double) AS log_weight
+  FROM tok JOIN lw USING (b) GROUP BY doc_id)
+SELECT d.doc_id, d.lang, w.log_weight,
+       round(ln(({h64_sql("cast(d.doc_id as varchar)")} % 10000 + 0.5) / 10000.0), 9)
+         < w.log_weight AS keep
+FROM documents d JOIN w ON w.doc_id = d.doc_id
+"""
+
+
+_AGE_BOOST_PER_DAY = 0.002   # priority points per day waited
+_AGE_TOPK = 5
+
+
+def q_frontier_age_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority aging / starvation-freedom: effective priority =
+    min(1.0, priority + boost*age_days), so a deep low-priority URL that
+    has waited long enough eventually overtakes fresh high-priority ones
+    (the standard fix for rank-window schedulers where a hot host's new
+    discoveries would otherwise starve its tail forever). Age is measured
+    against the frontier's own max(discovered_at) — deterministic, no
+    wall clock. Emits each host's top-{k} by AGED rank alongside the
+    unaged rank so the reordering is visible (aged_rank != raw_rank rows
+    are the starvation saves).
+
+    Scale shape: the aging term is pure Column math in the scan; ranks
+    are per-host windows (the politeness shape, never a global sort); the
+    max-date reference is a scalar agg broadcast back."""
+    fr = _frontier(spark, sf_dir)
+    ref = fr.agg(F.max("discovered_at").alias("ref_d"))
+    aged = (fr.crossJoin(F.broadcast(ref))
+            .select("host", "url", "depth", F.round("priority", 6).alias("priority"),
+                    F.datediff(F.col("ref_d"), F.col("discovered_at")).alias("age_days"))
+            .select("*", F.round(F.least(F.lit(1.0),
+                                         F.col("priority") + F.lit(_AGE_BOOST_PER_DAY) * F.col("age_days")),
+                                 6).alias("eff_priority")))
+    # url alone is NOT unique (the synthetic frontier can emit the same
+    # (orderkey, linenumber) twice with different discovered_at), so
+    # age_days joins the tie-break on both windows.
+    wa = Window.partitionBy("host").orderBy(
+        F.col("eff_priority").desc(), F.col("url").asc(), F.col("age_days").desc())
+    wr = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("url").asc(), F.col("age_days").desc())
+    return (aged.select("*", F.row_number().over(wa).alias("aged_rank"),
+                        F.row_number().over(wr).alias("raw_rank"))
+            .where(F.col("aged_rank") <= _AGE_TOPK))
+
+
+_Q_AGE_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+aged AS (
+  SELECT host, url, depth, round(priority, 6) AS priority,
+         date_diff('day', discovered_at, (SELECT max(discovered_at) FROM frontier)) AS age_days,
+         round(least(1.0, round(priority, 6) + {_AGE_BOOST_PER_DAY} * date_diff('day', discovered_at, (SELECT max(discovered_at) FROM frontier))), 6) AS eff_priority
+  FROM frontier),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY host ORDER BY eff_priority DESC, url ASC, age_days DESC) AS aged_rank,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC, age_days DESC) AS raw_rank
+  FROM aged)
+SELECT host, url, depth, priority, cast(age_days as bigint) AS age_days,
+       eff_priority, cast(aged_rank as int) AS aged_rank, cast(raw_rank as int) AS raw_rank
+FROM rk WHERE aged_rank <= {_AGE_TOPK}
+"""
+
+
+def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index over crawl-archive records (the lookup artifact
+    web archives build next to WARC files, public Common Crawl layout):
+    one row per captured URI with capture count, first/last capture
+    sequence, distinct-payload count (revisit detection: same URI, same
+    digest => 'revisit' record, not a fresh copy), and the latest
+    capture's digest. Captures are synthesized deterministically from
+    documents (several doc_ids collapse onto one URI so revisit counts
+    are non-trivial); digest is md5 of the payload head — both engines
+    agree byte-for-byte.
+
+    Scale shape: ONE groupBy(uri) with max_by for the latest digest —
+    partial-agg friendly, no window, no self-join; at archive scale this
+    is the textbook mergeable-agg CDX build."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    caps = docs.select(
+        F.concat(F.lit("https://site"), (d % 20).cast("string"),
+                 F.lit(".example.com/p/"), (d % 50).cast("string")).alias("uri"),
+        d.alias("ts"),
+        F.md5(F.substring("text", 1, 40)).alias("digest"))
+    return (caps.groupBy("uri").agg(
+        F.count("*").cast("int").alias("n_captures"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct("digest").cast("int").alias("n_payloads"),
+        F.expr("max_by(digest, ts)").alias("latest_digest")))
+
+
+_Q_CDX_SQL = """
+WITH caps AS (
+  SELECT 'https://site' || cast(doc_id % 20 as varchar) || '.example.com/p/'
+           || cast(doc_id % 50 as varchar) AS uri,
+         doc_id AS ts, md5(substr(text, 1, 40)) AS digest
+  FROM documents)
+SELECT uri, cast(count(*) as int) AS n_captures, min(ts) AS first_ts,
+       max(ts) AS last_ts, cast(count(DISTINCT digest) as int) AS n_payloads,
+       arg_max(digest, ts) AS latest_digest
+FROM caps GROUP BY uri
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -3833,6 +4012,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": q_anchor_text_agg,
         "inverted_index": q_inverted_index,
         "hits_hosts": q_hits_hosts,
+        "dsir_importance": q_dsir_importance,
+        "frontier_age_priority": q_frontier_age_priority,
+        "warc_cdx_index": q_warc_cdx_index,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -3939,6 +4121,9 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_agg": _Q_ANCHOR_SQL,
         "inverted_index": _Q_INVIDX_SQL,
         "hits_hosts": _hits_sql(),
+        "dsir_importance": _Q_DSIR_SQL,
+        "frontier_age_priority": _Q_AGE_SQL,
+        "warc_cdx_index": _Q_CDX_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -79,6 +79,12 @@ HEADLINE = [
     "tfidf_keywords",
     "image_header_meta",
     "substring_dedup",
+    "anchor_text_agg",
+    "inverted_index",
+    "hits_hosts",
+    "dsir_importance",
+    "frontier_age_priority",
+    "warc_cdx_index",
 ]
 
 
