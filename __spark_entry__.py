@@ -3968,6 +3968,90 @@ FROM caps GROUP BY uri
 """
 
 
+_APPORTION_BUDGET = 10000
+
+
+def q_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global fetch-budget apportionment across hosts by largest-remainder
+    (Hamilton) rounding: quota_h = floor(B * demand_h / total_demand), then
+    the leftover seats go to the largest fractional remainders — so
+    per-host quotas are integers that sum EXACTLY to the round budget (a
+    plain proportional floor under-allocates by up to n_hosts-1 fetches
+    every round). Demand here is the host's summed frontier priority.
+
+    Scale shape: one groupBy(host) partial agg; total demand is a scalar
+    broadcast back; the remainder rank uses topk.global_row_number
+    (range-repartition + per-bucket offsets), NEVER Window.orderBy()'s
+    single-task global sort — host cardinality is ~10^8 at web scale.
+    Cross-engine float discipline: demand and total are both rounded to 6
+    (sums of 6-dp values; partition-order drift ~1e-10 can't move them),
+    so the quotient B*demand/total is the identical IEEE double on both
+    engines before floor()."""
+    from distributed_webcrawler_spark.operators.topk import global_row_number
+
+    fr = _frontier(spark, sf_dir)
+    w = fr.groupBy("host").agg(
+        F.round(F.sum(F.round("priority", 6)), 6).alias("demand"))
+    tot = w.agg(F.round(F.sum("demand"), 6).alias("td"))
+    q = (F.lit(float(_APPORTION_BUDGET)) * F.col("demand") / F.col("td"))
+    base = (w.crossJoin(F.broadcast(tot))
+            .select("host", "demand",
+                    F.floor(q).cast("bigint").alias("floor_q"),
+                    F.round(q - F.floor(q), 9).alias("rem")))
+    leftover = base.agg(
+        (F.lit(_APPORTION_BUDGET) - F.sum("floor_q")).alias("l"))
+    ranked = global_row_number(
+        base, [F.col("rem").desc(), F.col("host").asc()], seq_col="seq")
+    return (ranked.crossJoin(F.broadcast(leftover))
+            .select("host", "demand",
+                    (F.col("floor_q")
+                     + F.when(F.col("seq") <= F.col("l"), 1).otherwise(0))
+                    .cast("bigint").alias("quota")))
+
+
+_Q_APPORTION_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+w AS (SELECT host, round(sum(round(priority, 6)), 6) AS demand
+      FROM frontier GROUP BY host),
+tot AS (SELECT round(sum(demand), 6) AS td FROM w),
+base AS (
+  SELECT host, demand,
+         cast(floor({_APPORTION_BUDGET} * demand / (SELECT td FROM tot)) as bigint) AS floor_q,
+         round({_APPORTION_BUDGET} * demand / (SELECT td FROM tot)
+               - floor({_APPORTION_BUDGET} * demand / (SELECT td FROM tot)), 9) AS rem
+  FROM w),
+lf AS (SELECT {_APPORTION_BUDGET} - sum(floor_q) AS l FROM base),
+rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS seq FROM base)
+SELECT host, demand,
+       cast(floor_q + CASE WHEN seq <= (SELECT l FROM lf) THEN 1 ELSE 0 END as bigint) AS quota
+FROM rk
+"""
+
+
+def q_url_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonical sort keys (Sort-friendly URI Reordering Transform —
+    the key web archives sort CDX indexes by, public Heritrix/OpenWayback
+    convention): reverse the host labels comma-joined, then ')' + path,
+    so all URLs of a registrable domain sort contiguously regardless of
+    subdomain ('com,example,www)/p/1'). Pure Column string ops embedded
+    in the scan — zero shuffle at any corpus size beyond the DISTINCT."""
+    fr = _frontier(spark, sf_dir)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split("host", "[.]")), ","),
+        F.lit(")"),
+        F.regexp_extract("url", "https://[^/]+(/.*)", 1))
+    return fr.select("url", surt.alias("surt_key")).distinct()
+
+
+_Q_SURT_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL})
+SELECT DISTINCT url,
+       array_to_string(list_reverse(string_split(host, '.')), ',')
+         || ')' || regexp_extract(url, 'https://[^/]+(/.*)', 1) AS surt_key
+FROM frontier
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -4015,6 +4099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "frontier_age_priority": q_frontier_age_priority,
         "warc_cdx_index": q_warc_cdx_index,
+        "budget_apportion": q_budget_apportion,
+        "url_surt_key": q_url_surt_key,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4124,6 +4210,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance": _Q_DSIR_SQL,
         "frontier_age_priority": _Q_AGE_SQL,
         "warc_cdx_index": _Q_CDX_SQL,
+        "budget_apportion": _Q_APPORTION_SQL,
+        "url_surt_key": _Q_SURT_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

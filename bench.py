@@ -85,6 +85,8 @@ HEADLINE = [
     "dsir_importance",
     "frontier_age_priority",
     "warc_cdx_index",
+    "budget_apportion",
+    "url_surt_key",
 ]
 
 

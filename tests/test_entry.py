@@ -27,3 +27,11 @@ def test_sample_queries_run(spark):
     qs = E.queries()
     for name in ["pricing_summary", "dedup_exact", "text_lang_id"]:
         assert qs[name](spark, "/root/testdata/sf0.001").count() > 0
+
+
+def test_budget_apportion_sums_exactly(spark):
+    import __spark_entry__ as E
+    rows = E.q_budget_apportion(spark, E.SF001).collect()
+    total = sum(r["quota"] for r in rows)
+    assert total == E._APPORTION_BUDGET
+    assert all(r["quota"] >= 0 for r in rows)
