@@ -3968,6 +3968,58 @@ FROM caps GROUP BY uri
 """
 
 
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch calibration: for every LSH candidate pair, the
+    signature-estimated Jaccard next to the EXACT shingle Jaccard over
+    the same shingle universe, plus the absolute error — the evidence a
+    pipeline owner needs before trusting the 8-perm sketch's threshold
+    at 10^10 docs (E[|err|] ~ sqrt(j(1-j)/8); widening the sketch is a
+    one-constant change). Exact Jaccard is computed ONLY on the
+    LSH-candidate pairs (sub-quadratic: the shingle equi-join is keyed
+    by the candidate ids, never all-pairs). Oracle reuses the exact CTE
+    chain of dedup_minhash_lsh so both see identical candidates."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, n_hashes=_MH_N, band_size=_MH_BAND,
+        k=_MH_K, max_chars=_MH_CHARS, min_est=_MH_MIN)
+    sh = D.shingle_table(docs, _MH_K, _MH_CHARS)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sha = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = (pairs.join(sha, "id_a")
+             .join(shb, "id_b")
+             .where(F.col("sh_a") == F.col("sh_b"))
+             .groupBy("id_a", "id_b", "est_sim")
+             .agg(F.count("*").alias("inter")))
+    exact = F.round(F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6)
+    return (inter
+            .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+            .select("id_a", "id_b", "est_sim", exact.alias("exact_j"),
+                    F.round(F.abs(F.col("est_sim") - exact), 6).alias("abs_err")))
+
+
+def _minhash_calib_sql() -> str:
+    body, matches = _minhash_cte_body()
+    return f"""
+WITH {body},
+est AS (
+  SELECT id_a, id_b, round(({matches}) / 8.0, 6) AS est_sim
+  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+  WHERE round(({matches}) / 8.0, 6) >= {_MH_MIN}),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+xin AS (
+  SELECT e.id_a, e.id_b, e.est_sim, count(*) AS inter
+  FROM est e JOIN sh a ON a.id = e.id_a JOIN sh b ON b.id = e.id_b AND b.sh = a.sh
+  GROUP BY e.id_a, e.id_b, e.est_sim)
+SELECT x.id_a, x.id_b, x.est_sim,
+       round(x.inter * 1.0 / (sa.sz + sb.sz - x.inter), 6) AS exact_j,
+       round(abs(x.est_sim - round(x.inter * 1.0 / (sa.sz + sb.sz - x.inter), 6)), 6) AS abs_err
+FROM xin x JOIN sz sa ON sa.id = x.id_a JOIN sz sb ON sb.id = x.id_b
+"""
+
+
 _APPORTION_BUDGET = 10000
 
 
@@ -4101,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx_index": q_warc_cdx_index,
         "budget_apportion": q_budget_apportion,
         "url_surt_key": q_url_surt_key,
+        "minhash_calibration": q_minhash_calibration,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4212,6 +4265,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_cdx_index": _Q_CDX_SQL,
         "budget_apportion": _Q_APPORTION_SQL,
         "url_surt_key": _Q_SURT_SQL,
+        "minhash_calibration": _minhash_calib_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

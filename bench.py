@@ -87,6 +87,7 @@ HEADLINE = [
     "warc_cdx_index",
     "budget_apportion",
     "url_surt_key",
+    "minhash_calibration",
 ]
 
 
@@ -121,12 +122,18 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    # primary metric: scheduled+fetched URLs/sec on the flagship round (warm)
+    # primary metric: scheduled+fetched URLs/sec on the flagship round
+    # (warm; best of 3 — the sandbox host's minute-scale drift only ever
+    # SLOWS a run, so min is the least-noise estimate, same rule as
+    # tools/bench_scaling.py)
     flagship = qs["crawl_round_schedule"]
     n_urls = flagship(spark, sf_dir).count()
-    t0 = time.monotonic()
-    flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    flagship_sec = time.monotonic() - t0
+    walls = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        walls.append(time.monotonic() - t0)
+    flagship_sec = min(walls)
     urls_per_sec = round(n_urls / flagship_sec, 1)
 
     scaling = _read_scaling_from_bench_md(
