@@ -107,22 +107,29 @@ def hits(edges: DataFrame, n_iter: int = 5,
     a = None
     try:
         for _ in range(n_iter):
+            # each raw-sum table feeds TWO jobs (the scalar normalizer and
+            # the checkpointed normalized table) — persist so the edge join
+            # + agg runs once per half-step, not twice
             araw = (e.join(h.withColumnRenamed("id", "src"), "src")
                      .groupBy(F.col("dst").alias("id"))
-                     .agg(F.sum("h").alias("s")))
+                     .agg(F.sum("h").alias("s"))
+                     .persist())
             az = araw.agg(F.sum("s")).first()[0]
             a = (nodes.join(araw, "id", "left")
                       .select("id", F.round(F.coalesce(F.col("s"), F.lit(0.0))
                                             / F.lit(az), 12).alias("a"))
                       .localCheckpoint(eager=True))
+            araw.unpersist()
             hraw = (e.join(a.withColumnRenamed("id", "dst"), "dst")
                      .groupBy(F.col("src").alias("id"))
-                     .agg(F.sum("a").alias("s")))
+                     .agg(F.sum("a").alias("s"))
+                     .persist())
             hz = hraw.agg(F.sum("s")).first()[0]
             h = (nodes.join(hraw, "id", "left")
                       .select("id", F.round(F.coalesce(F.col("s"), F.lit(0.0))
                                             / F.lit(hz), 12).alias("h"))
                       .localCheckpoint(eager=True))
+            hraw.unpersist()
     finally:
         e.unpersist()
         nodes.unpersist()
