@@ -4104,6 +4104,93 @@ FROM frontier
 """
 
 
+def q_robots_block_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host robots compliance report: how much of the frontier each
+    host's robots.txt actually blocks — the number a crawl operator reads
+    before deciding whether a host is worth its politeness budget. Robots
+    are synthesized per host in-query (established pattern: hid%5==0
+    disallows the whole /p tree, %5==1 disallows the /p/1 prefix, others
+    allow all), the allow-first prefix check is pure Column string math
+    on the URL path, and the report is ONE groupBy(host). Block rate is
+    exact-integer-ratio rounded to 6 for cross-engine parity."""
+    fr = _frontier(spark, sf_dir)
+    hid = F.regexp_extract("host", "([0-9]+)", 1).cast("int")
+    path = F.regexp_extract("url", "https://[^/]+(/.*)", 1)
+    deny_prefix = (F.when(hid % 5 == 0, F.lit("/p"))
+                   .when(hid % 5 == 1, F.lit("/p/1"))
+                   .otherwise(F.lit(None).cast("string")))
+    blocked = (deny_prefix.isNotNull()
+               & path.startswith(deny_prefix)).cast("int")
+    return (fr.select("host", blocked.alias("blocked"))
+            .groupBy("host")
+            .agg(F.count("*").cast("bigint").alias("n_urls"),
+                 F.sum("blocked").cast("bigint").alias("n_blocked"),
+                 F.round(F.sum("blocked") / F.count("*"), 6).alias("block_rate")))
+
+
+_Q_ROBOTS_RATE_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+g AS (
+  SELECT host,
+         CASE WHEN cast(regexp_extract(host, '([0-9]+)', 1) as int) % 5 = 0
+                THEN CASE WHEN regexp_extract(url, 'https://[^/]+(/.*)', 1) LIKE '/p%' THEN 1 ELSE 0 END
+              WHEN cast(regexp_extract(host, '([0-9]+)', 1) as int) % 5 = 1
+                THEN CASE WHEN regexp_extract(url, 'https://[^/]+(/.*)', 1) LIKE '/p/1%' THEN 1 ELSE 0 END
+              ELSE 0 END AS blocked
+  FROM frontier)
+SELECT host, count(*) AS n_urls, cast(sum(blocked) as bigint) AS n_blocked,
+       round(sum(blocked) * 1.0 / count(*), 6) AS block_rate
+FROM g GROUP BY host
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff — the recrawl feedback artifact: compare two
+    capture generations of the corpus by content digest and classify
+    every URL as added / removed / changed / unchanged, rolled up per
+    source. Generations are synthesized deterministically from documents
+    (t1 skips doc_id%10==0, t2 skips %7==0, and %3==0 pages changed
+    content in t2), so every class is populated. Plan: ONE full outer
+    join on doc_id (the one join shape the rest of the suite doesn't
+    exercise) + CASE classify + groupBy(source) rollup; digests are md5
+    so both engines agree byte-for-byte. Change rates per source feed
+    recrawl_schedule's TTL ladder."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t1 = (docs.where(d % 10 != 0)
+          .select("doc_id", "source", F.md5("text").alias("dg1")))
+    t2 = (docs.where(d % 7 != 0)
+          .select("doc_id", "source",
+                  F.md5(F.when(d % 3 == 0, F.concat(F.col("text"), F.lit("|v2")))
+                        .otherwise(F.col("text"))).alias("dg2")))
+    j = (t1.alias("a").join(t2.alias("b"), "doc_id", "full_outer")
+         .select(F.coalesce("a.source", "b.source").alias("source"),
+                 F.when(F.col("dg1").isNull(), F.lit("added"))
+                  .when(F.col("dg2").isNull(), F.lit("removed"))
+                  .when(F.col("dg1") != F.col("dg2"), F.lit("changed"))
+                  .otherwise(F.lit("unchanged")).alias("status")))
+    return (j.groupBy("source", "status")
+            .agg(F.count("*").cast("bigint").alias("n")))
+
+
+_Q_SNAPDIFF_SQL = """
+WITH t1 AS (
+  SELECT doc_id, source, md5(text) AS dg1 FROM documents WHERE doc_id % 10 <> 0),
+t2 AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 3 = 0 THEN text || '|v2' ELSE text END) AS dg2
+  FROM documents WHERE doc_id % 7 <> 0),
+j AS (
+  SELECT coalesce(t1.source, t2.source) AS source,
+         CASE WHEN dg1 IS NULL THEN 'added'
+              WHEN dg2 IS NULL THEN 'removed'
+              WHEN dg1 <> dg2 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM t1 FULL OUTER JOIN t2 ON t1.doc_id = t2.doc_id)
+SELECT source, status, count(*) AS n FROM j GROUP BY source, status
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -4154,6 +4241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_apportion": q_budget_apportion,
         "url_surt_key": q_url_surt_key,
         "minhash_calibration": q_minhash_calibration,
+        "robots_block_rate": q_robots_block_rate,
+        "snapshot_diff": q_snapshot_diff,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4266,6 +4355,8 @@ def oracle_sql() -> dict[str, str]:
         "budget_apportion": _Q_APPORTION_SQL,
         "url_surt_key": _Q_SURT_SQL,
         "minhash_calibration": _minhash_calib_sql(),
+        "robots_block_rate": _Q_ROBOTS_RATE_SQL,
+        "snapshot_diff": _Q_SNAPDIFF_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -88,6 +88,8 @@ HEADLINE = [
     "budget_apportion",
     "url_surt_key",
     "minhash_calibration",
+    "robots_block_rate",
+    "snapshot_diff",
 ]
 
 
