@@ -4191,6 +4191,102 @@ SELECT source, status, count(*) AS n FROM j GROUP BY source, status
 """
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel over the event stream (view -> click ->
+    purchase, each step's event strictly AFTER the user's previous step):
+    users reached per step + conversion rate vs the previous step. The
+    order constraint is what a naive per-type count gets wrong.
+
+    Plan: one filtered min(ts) agg per step, each joined to the previous
+    step's user set — K tiny user-keyed shuffles for a K-step funnel
+    (never a per-user sort or UDF); rates are exact-int ratios rounded
+    to 6."""
+    ev = _t(spark, sf_dir, "events")
+    counts = [ev.select("user_id").distinct().count()]
+    prev = None
+    for step in _FUNNEL_STEPS:
+        cur = ev.where(F.col("event_type") == step)
+        if prev is not None:
+            cur = (cur.join(prev, "user_id")
+                   .where(F.col("ts") > F.col("prev_ts")))
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("prev_ts"))
+        counts.append(cur.count())
+        prev = cur
+    rows = [(i + 1, step, counts[i + 1],
+             round(counts[i + 1] / counts[i], 6) if counts[i] else 0.0)
+            for i, step in enumerate(_FUNNEL_STEPS)]
+    return spark.createDataFrame(
+        rows, "step int, event_type string, n_users bigint, conv_rate double")
+
+
+def _funnel_sql() -> str:
+    body = ["u0 AS (SELECT count(DISTINCT user_id) AS n FROM events)"]
+    prev = None
+    for i, step in enumerate(_FUNNEL_STEPS, start=1):
+        if prev is None:
+            body.append(f"""s{i} AS (
+  SELECT user_id, min(ts) AS prev_ts FROM events
+  WHERE event_type = '{step}' GROUP BY user_id)""")
+        else:
+            body.append(f"""s{i} AS (
+  SELECT e.user_id, min(e.ts) AS prev_ts
+  FROM events e JOIN s{i - 1} p ON p.user_id = e.user_id
+  WHERE e.event_type = '{step}' AND e.ts > p.prev_ts
+  GROUP BY e.user_id)""")
+        prev = step
+    selects = []
+    for i, step in enumerate(_FUNNEL_STEPS, start=1):
+        denom = "(SELECT n FROM u0)" if i == 1 else f"(SELECT count(*) FROM s{i - 1})"
+        selects.append(
+            f"SELECT {i} AS step, '{step}' AS event_type, "
+            f"count(*) AS n_users, "
+            f"round(count(*) * 1.0 / {denom}, 6) AS conv_rate FROM s{i}")
+    return "WITH " + ",\n".join(body) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph degree distribution (the power-law summary every crawl
+    paper plots): per direction, bucket hosts by floor(log2(degree)) and
+    count — the input for choosing skew-salting thresholds and for
+    spotting crawl traps (a host whose in-degree bucket jumps a decade).
+    floor(log2(int)) is cross-engine-safe: log2 of a power of two is an
+    exact IEEE double, and log2 of any other integer is never integral.
+    Plan: two degree aggs + a bucket agg each — three narrow shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("host"), (F.col("l_suppkey") % N_FRONTIER_HOSTS).cast("string")).alias("src"),
+        F.concat(F.lit("host"), (F.col("l_partkey") % N_FRONTIER_HOSTS).cast("string")).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    out = []
+    for direction, key in (("out", "src"), ("in", "dst")):
+        deg = edges.groupBy(key).agg(F.count("*").alias("deg"))
+        out.append(deg.select(
+            F.lit(direction).alias("direction"),
+            F.floor(F.log2("deg")).cast("int").alias("log2_bucket"))
+            .groupBy("direction", "log2_bucket")
+            .agg(F.count("*").cast("bigint").alias("n_hosts")))
+    return out[0].unionByName(out[1])
+
+
+_Q_DEGHIST_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT concat('host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar)) AS src,
+                  concat('host', cast(l_partkey % {N_FRONTIER_HOSTS} as varchar)) AS dst
+  FROM lineitem
+  WHERE l_suppkey % {N_FRONTIER_HOSTS} <> l_partkey % {N_FRONTIER_HOSTS}),
+od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+idg AS (SELECT dst, count(*) AS deg FROM e GROUP BY dst)
+SELECT 'out' AS direction, cast(floor(log2(deg)) as int) AS log2_bucket,
+       count(*) AS n_hosts FROM od GROUP BY 2
+UNION ALL
+SELECT 'in' AS direction, cast(floor(log2(deg)) as int) AS log2_bucket,
+       count(*) AS n_hosts FROM idg GROUP BY 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -4243,6 +4339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": q_minhash_calibration,
         "robots_block_rate": q_robots_block_rate,
         "snapshot_diff": q_snapshot_diff,
+        "event_funnel": q_event_funnel,
+        "degree_histogram": q_degree_histogram,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4357,6 +4455,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_calibration": _minhash_calib_sql(),
         "robots_block_rate": _Q_ROBOTS_RATE_SQL,
         "snapshot_diff": _Q_SNAPDIFF_SQL,
+        "event_funnel": _funnel_sql(),
+        "degree_histogram": _Q_DEGHIST_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

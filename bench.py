@@ -90,6 +90,8 @@ HEADLINE = [
     "minhash_calibration",
     "robots_block_rate",
     "snapshot_diff",
+    "event_funnel",
+    "degree_histogram",
 ]
 
 
