@@ -132,3 +132,39 @@ def test_redirect_resolve_no_cartesian(spark):
     plan = _plan(E.queries()["redirect_resolve"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_dsir_joins_are_broadcast_only(spark):
+    """dsir_importance's weight table is a FIXED 1024-bucket feature space
+    — every join in the plan must be a BroadcastHashJoin (the corpus never
+    sort-merge-shuffles against vocab-sized sides)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["dsir_importance"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_budget_apportion_no_single_partition_window(spark):
+    """budget_apportion ranks remainders via topk.global_row_number —
+    the plan must not contain a partition-less Window (the one-task global
+    sort trap)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["budget_apportion"](spark, SF))
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln.lower():
+            assert "SinglePartition" not in ln, ln
+    assert "CartesianProduct" not in plan
+
+
+def test_surt_and_block_rate_stay_in_scan(spark):
+    """url_surt_key / robots_block_rate are pure Column string math — the
+    only exchanges allowed are the final distinct/agg's own shuffle; no
+    join operators at all."""
+    import __spark_entry__ as E
+
+    for name in ("url_surt_key", "robots_block_rate"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "Join" not in plan, f"{name} joins:\n{plan}"
