@@ -162,3 +162,25 @@ def host_breaker_stream(fetches: DataFrame, *, window: str = "10 minutes",
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "host", "attempts", "failures"))
+
+
+def image_decode_stream(spark: SparkSession, payload_dir: str) -> DataFrame:
+    """Streaming twin of the batch image-decode stage (axes A+B: the
+    image pipeline as a continuous ingest): a file-source parquet stream
+    of (image_id, bytes) payloads through the SAME Arrow-batched
+    decode_stats mapInPandas the batch engine uses — streams compose
+    with mapInPandas untouched, so the decode logic exists ONCE. Emits
+    stats-width rows (ok/fmt/w/h/means/phash/err); pixels never leave
+    the decode task, exactly as in the batch plan. With a real source
+    this is the Kafka-fed decoder of a live crawl; tests drain it with
+    Trigger.AvailableNow and assert row-for-row equality with the batch
+    operator."""
+    from ..operators.multimodal import decode_stats
+
+    raw = (spark.readStream
+           .schema(T.StructType([
+               T.StructField("image_id", T.StringType()),
+               T.StructField("bytes", T.BinaryType()),
+           ]))
+           .parquet(payload_dir))
+    return decode_stats(raw)

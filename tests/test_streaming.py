@@ -114,3 +114,27 @@ def test_host_breaker_stream(spark, tmpdir):
     assert hosts == {"bad.example.test"}
     for r in got:
         assert r.attempts >= 8 and r.failures / r.attempts > 0.5
+
+
+def test_image_decode_stream_matches_batch(spark, tmpdir):
+    """The streaming decode twin must emit EXACTLY the batch decode_stats
+    rows (same codec path, same Arrow batching) — including the corrupt
+    payload's error row."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import decode_stats
+    from distributed_webcrawler_spark.sources import codec
+
+    payloads = [(f"img{i}", codec.encode_image(
+        codec.synth_pixels(f"img{i}", 16 + i, 12 + i), "png" if i % 2 else "jpeg")) for i in range(6)]
+    payloads.append(("broken", b"\x00\x01notanimage"))
+    pdf = pd.DataFrame(payloads, columns=["image_id", "bytes"])
+    src = f"{tmpdir}/payloads"
+    spark.createDataFrame(pdf).repartition(3).write.parquet(src)
+
+    out, ckpt = f"{tmpdir}/decoded", f"{tmpdir}/ckpt"
+    I.run_to_completion(I.image_decode_stream(spark, src), out, ckpt)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in decode_stats(spark.read.parquet(src)).collect()}
+    assert got == want and len(got) == 7
