@@ -1651,6 +1651,69 @@ r{t + 1} AS (
     return f"WITH {body}\nSELECT id AS host, round(rank, 6) AS rank FROM r{_PR_ITER}"
 
 
+_TR_ITER, _TR_DAMP, _TR_SEED_MOD = 4, 0.85, 20
+
+
+def q_trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the same host graph pagerank/HITS rank: teleport
+    biased onto a trusted-seed set (every 20th host — the stand-in for a
+    hand-vetted whitelist), so link-spam neighborhoods that good pages
+    don't link into starve toward zero trust. The scheduler's spam-
+    demotion signal (operators/pagerank.py:trustrank; Gyongyi et al.
+    2004). Fixed 4 iterations, per-iteration round-to-12 on both engines;
+    report rounds to 6."""
+    from distributed_webcrawler_spark.operators.pagerank import trustrank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("host"), (F.col("l_suppkey") % N_FRONTIER_HOSTS).cast("string")).alias("src"),
+        F.concat(F.lit("host"), (F.col("l_partkey") % N_FRONTIER_HOSTS).cast("string")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    seeds = (edges.select(F.col("src").alias("id"))
+             .unionByName(edges.select(F.col("dst").alias("id")))
+             .distinct()
+             .where(F.regexp_extract("id", "([0-9]+)", 1).cast("int")
+                    % _TR_SEED_MOD == 0))
+    return (trustrank(edges, seeds, n_iter=_TR_ITER, damping=_TR_DAMP)
+            .select(F.col("id").alias("host"), F.round("trust", 6).alias("trust")))
+
+
+def _trustrank_sql() -> str:
+    tele = repr(1.0 - _TR_DAMP)
+    parts = [f"""e AS (
+  SELECT DISTINCT concat('host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar)) AS src,
+                  concat('host', cast(l_partkey % {N_FRONTIER_HOSTS} as varchar)) AS dst
+  FROM lineitem
+  WHERE l_suppkey % {N_FRONTIER_HOSTS} <> l_partkey % {N_FRONTIER_HOSTS}),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+seeds AS (SELECT id FROM nodes
+          WHERE cast(regexp_extract(id, '([0-9]+)', 1) as int) % {_TR_SEED_MOD} = 0),
+ns AS (SELECT cast(count(*) as double) AS k FROM seeds),
+tv AS (SELECT n.id,
+              CASE WHEN s.id IS NOT NULL THEN cast(1 as double) / (SELECT k FROM ns)
+                   ELSE cast(0 as double) END AS t
+       FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+deg AS (SELECT src, cast(count(*) as double) AS deg FROM e GROUP BY src),
+r0 AS (SELECT id, t AS trust FROM tv)"""]
+    for t in range(_TR_ITER):
+        parts.append(f"""dang{t} AS (
+  SELECT coalesce(sum(r.trust), cast(0 as double)) AS dm FROM r{t} r
+  WHERE r.id NOT IN (SELECT src FROM deg)),
+c{t} AS (
+  SELECT e.dst AS id, sum(r.trust / d.deg) AS contrib
+  FROM e JOIN r{t} r ON r.id = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst),
+r{t + 1} AS (
+  SELECT v.id,
+         round(({tele}) * v.t
+               + {_TR_DAMP!r} * (coalesce(c.contrib, cast(0 as double))
+                                 + (SELECT dm FROM dang{t}) * v.t),
+               12) AS trust
+  FROM tv v LEFT JOIN c{t} c ON c.id = v.id)""")
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT id AS host, round(trust, 6) AS trust FROM r{_TR_ITER}"
+
+
 _HITS_ITER = 4
 
 
@@ -4341,6 +4404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "event_funnel": q_event_funnel,
         "degree_histogram": q_degree_histogram,
+        "trustrank_hosts": q_trustrank_hosts,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4457,6 +4521,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _Q_SNAPDIFF_SQL,
         "event_funnel": _funnel_sql(),
         "degree_histogram": _Q_DEGHIST_SQL,
+        "trustrank_hosts": _trustrank_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

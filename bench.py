@@ -92,6 +92,7 @@ HEADLINE = [
     "snapshot_diff",
     "event_funnel",
     "degree_histogram",
+    "trustrank_hosts",
 ]
 
 

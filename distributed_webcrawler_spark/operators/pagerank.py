@@ -134,3 +134,63 @@ def hits(edges: DataFrame, n_iter: int = 5,
         e.unpersist()
         nodes.unpersist()
     return a.join(h, "id").select("id", "a", "h")
+
+
+def trustrank(edges: DataFrame, seeds: DataFrame, n_iter: int = 5,
+              damping: float = 0.85, src: str = "src", dst: str = "dst") -> DataFrame:
+    """TrustRank (Gyongyi/Garcia-Molina/Pedersen 2004, public literature):
+    PageRank with the teleport biased onto a hand-vetted trusted-seed set,
+    so trust flows out along links and link-spam neighborhoods — which
+    good pages rarely link INTO — starve. The crawl scheduler reads it as
+    the spam-demotion complement to pagerank: schedule high-trust first,
+    quarantine near-zero-trust hosts. ``seeds`` is a 1-column ``id``
+    DataFrame; returns (id, trust).
+
+      r_{t+1}(v) = (1-d)*t(v) + d*( Σ_{u→v} r_t(u)/deg(u) + dang_t*t(v) )
+
+    with t(v) = 1/|S| on seeds, 0 elsewhere; r_0 = t. Dangling mass is
+    re-teleported through t(v) (not uniformly), keeping Σr = 1 and trust
+    OFF non-seed dead ends.
+
+    Same scale/parity scheme as :func:`pagerank`: per-iteration rounds to
+    12 on both engines, one edge equi-join + one partial/final sum per
+    iteration, scalar dangling agg, localCheckpoint lineage truncation.
+    The trust vector column rides the node table — no extra shuffle.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
+    nodes = (e.select(F.col("src").alias("id"))
+              .unionByName(e.select(F.col("dst").alias("id")))
+              .distinct().persist())
+    n_seeds = (nodes.join(seeds.select("id").distinct(), "id", "left_semi").count())
+    if n_seeds == 0:
+        raise ValueError("trustrank: no seed appears in the graph")
+    tele = (nodes.join(seeds.select("id").distinct().withColumn("_s", F.lit(1)),
+                       "id", "left")
+                 .select("id", F.when(F.col("_s").isNotNull(), F.lit(1.0 / n_seeds))
+                               .otherwise(F.lit(0.0)).alias("t"))
+                 .persist())
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    r = tele.select("id", F.col("t").alias("trust")).localCheckpoint(eager=True)
+    try:
+        for _ in range(n_iter):
+            dangling = (r.join(deg.withColumnRenamed("src", "id"), "id", "left_anti")
+                          .agg(F.sum("trust")).first()[0]) or 0.0
+            contribs = (e.join(r.withColumnRenamed("id", "src"), "src")
+                         .join(deg, "src")
+                         .select(F.col("dst").alias("id"),
+                                 (F.col("trust") / F.col("deg")).alias("c"))
+                         .groupBy("id").agg(F.sum("c").alias("contrib")))
+            r = (tele.join(contribs, "id", "left")
+                     .select("id",
+                             F.round(F.lit(1.0 - damping) * F.col("t")
+                                     + F.lit(damping)
+                                     * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                                        + F.lit(dangling) * F.col("t")),
+                                     12).alias("trust"))
+                     .localCheckpoint(eager=True))
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        tele.unpersist()
+        deg.unpersist()
+    return r

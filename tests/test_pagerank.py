@@ -129,3 +129,48 @@ def test_hits_hub_vs_authority_separation(spark):
     # L1 normalized each half-step
     assert abs(sum(ga.values()) - 1.0) < 1e-6
     assert abs(sum(gh.values()) - 1.0) < 1e-6
+
+# ---------------------------------------------------------------- TrustRank
+
+
+def _np_trustrank(edges, seeds, n_iter=4, damping=0.85):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    dedup = sorted(set(edges))
+    out = {}
+    for a, _ in dedup:
+        out[a] = out.get(a, 0) + 1
+    n = len(nodes)
+    sset = [v for v in nodes if v in seeds]
+    t = np.zeros(n)
+    for v in sset:
+        t[idx[v]] = 1.0 / len(sset)
+    r = t.copy()
+    for _ in range(n_iter):
+        dang = sum(r[idx[v]] for v in nodes if v not in out)
+        contrib = np.zeros(n)
+        for a, b in dedup:
+            contrib[idx[b]] += r[idx[a]] / out[a]
+        r = np.round((1.0 - damping) * t + damping * (contrib + dang * t), 12)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_trustrank_matches_numpy_and_starves_nonseed_islands(spark):
+    from distributed_webcrawler_spark.operators.pagerank import trustrank
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(100)]
+    edges = [(a, b) for a, b in edges if a != b]
+    # an island with no in-links from the seeded component
+    edges += [("iso1", "iso2"), ("iso2", "iso1")]
+    seeds = {"n0", "n1", "n2"}
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in sorted(seeds)], "id string")
+    got = {r["id"]: r["trust"] for r in trustrank(df, sdf, n_iter=4).collect()}
+    want = _np_trustrank(edges, seeds, n_iter=4)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+    # no trust reaches the unseeded island; seeds hold positive trust
+    assert got["iso1"] == 0.0 and got["iso2"] == 0.0
+    assert all(got[s] > 0 for s in seeds)
