@@ -4167,6 +4167,49 @@ FROM frontier
 """
 
 
+def q_image_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus color profile: per-channel 16-bucket pixel histogram over
+    the REAL Arrow-batched decode of the deterministic payload batch
+    (operators/multimodal.py channel_histogram — the partial aggregate
+    lives inside the decode task, 48 counter rows per Arrow batch, pixels
+    never shuffle). The oracle aggregates a driver-side numpy reference
+    pass over the identical codec output, so decode + binning + rollup
+    are all hash-gated."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import channel_histogram
+    from distributed_webcrawler_spark.sources import codec
+
+    pdf = pd.DataFrame(
+        [(iid, codec.encode_image(codec.synth_pixels(iid, w, h), fmt))
+         for iid, w, h, fmt in _mm_specs()],
+        columns=["image_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    return channel_histogram(payloads)
+
+
+def _img_hist_sql() -> str:
+    import numpy as np
+
+    from distributed_webcrawler_spark.sources import codec
+
+    acc = np.zeros((3, 16), dtype=np.int64)
+    for iid, w, h, fmt in _mm_specs():
+        px, _ = codec.decode_image(
+            codec.encode_image(codec.synth_pixels(iid, w, h), fmt))
+        for c in range(3):
+            acc[c] += np.bincount((px[:, :, c] >> 4).ravel(), minlength=16)
+    vals = ",\n".join(f"({c}, {b}, {int(acc[c][b])})"
+                      for c in range(3) for b in range(16))
+    return f"""
+SELECT cast(channel as int) AS channel, cast(bucket as int) AS bucket,
+       cast(n_pixels as bigint) AS n_pixels
+FROM (VALUES
+{vals}
+) AS t(channel, bucket, n_pixels)
+"""
+
+
 def q_robots_block_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host robots compliance report: how much of the frontier each
     host's robots.txt actually blocks — the number a crawl operator reads
@@ -4405,6 +4448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "degree_histogram": q_degree_histogram,
         "trustrank_hosts": q_trustrank_hosts,
+        "image_channel_histogram": q_image_channel_histogram,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4522,6 +4566,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _funnel_sql(),
         "degree_histogram": _Q_DEGHIST_SQL,
         "trustrank_hosts": _trustrank_sql(),
+        "image_channel_histogram": _img_hist_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -93,6 +93,7 @@ HEADLINE = [
     "event_funnel",
     "degree_histogram",
     "trustrank_hosts",
+    "image_channel_histogram",
 ]
 
 

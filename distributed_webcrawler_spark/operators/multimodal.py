@@ -272,3 +272,41 @@ def header_meta(payloads: DataFrame, id_col: str = "image_id",
         pixels.alias("pixel_bytes"),
         F.when(ok, F.round(payload / pixels, 9)).alias("compression_ratio"),
     )
+
+
+def channel_histogram(payloads: DataFrame, bits: int = 4,
+                      bytes_col: str = "bytes") -> DataFrame:
+    """Corpus-wide per-channel pixel histogram over decoded payloads
+    (2^bits buckets per RGB channel) — the exposure/color-balance profile
+    an image-training pipeline reads before normalization, and the
+    cheapest detector for batches of black/blank/clipped crawl images.
+
+    Scale shape: the histogram partial-aggregates INSIDE the decode task
+    — each Arrow batch emits exactly 3*2^bits counter rows no matter how
+    many images it decoded, so the shuffle is constant-width and pixels
+    never leave the task (the decode-once discipline of decode_stats).
+    Corrupt payloads are skipped (they are decode_stats' job to report).
+    """
+    nb = 1 << bits
+    shift = 8 - bits
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            acc = np.zeros((3, nb), dtype=np.int64)
+            for data in pdf[bytes_col]:
+                try:
+                    px, _ = codec.decode_image(bytes(data))
+                except codec.CodecError:
+                    continue
+                for c in range(3):
+                    acc[c] += np.bincount(
+                        (px[:, :, c] >> shift).ravel(), minlength=nb)
+            yield pd.DataFrame({
+                "channel": np.repeat(np.arange(3, dtype=np.int32), nb),
+                "bucket": np.tile(np.arange(nb, dtype=np.int32), 3),
+                "n": acc.ravel()})
+
+    part = payloads.select(bytes_col).mapInPandas(
+        batches, schema="channel int, bucket int, n long")
+    return (part.groupBy("channel", "bucket")
+            .agg(F.sum("n").alias("n_pixels")))

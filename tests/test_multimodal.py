@@ -239,3 +239,34 @@ def test_header_meta_plan_is_jvm_only(spark):
     plan = M.header_meta(pl)._jdf.queryExecution().executedPlan().toString()
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
         assert bad not in plan, plan
+
+
+def test_channel_histogram_matches_numpy_and_skips_corrupt(spark):
+    """channel_histogram == a numpy reference pass; corrupt payloads are
+    skipped, not counted; totals = 3 * sum(w*h) of decodable images."""
+    import numpy as np
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import channel_histogram
+    from distributed_webcrawler_spark.sources import codec
+
+    specs = [(f"ch{i}", 10 + i, 8 + i, ["png", "jpeg", "webp"][i % 3])
+             for i in range(5)]
+    rows = [(iid, codec.encode_image(codec.synth_pixels(iid, w, h), fmt))
+            for iid, w, h, fmt in specs]
+    rows.append(("bad", b"\x01\x02junk"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "bytes"])).repartition(3)
+
+    got = {(r["channel"], r["bucket"]): r["n_pixels"]
+           for r in channel_histogram(df).collect()}
+    acc = np.zeros((3, 16), dtype=np.int64)
+    npx = 0
+    for iid, w, h, fmt in specs:
+        px, _ = codec.decode_image(codec.encode_image(codec.synth_pixels(iid, w, h), fmt))
+        npx += px.shape[0] * px.shape[1]
+        for c in range(3):
+            acc[c] += np.bincount((px[:, :, c] >> 4).ravel(), minlength=16)
+    for c in range(3):
+        for b in range(16):
+            assert got.get((c, b), 0) == acc[c][b], (c, b)
+    assert sum(got.values()) == 3 * npx
