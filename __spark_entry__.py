@@ -4210,6 +4210,57 @@ FROM (VALUES
 """
 
 
+def q_host_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier skew report — the numbers that justify the scheduler's
+    hot-host salting (operators/topk.py) and pick its threshold: host
+    count, URL count, top-1 and top-10 host share, and Shannon entropy in
+    bits (effective_hosts = 2^entropy is the 'how many hosts is this
+    frontier REALLY spread over' figure; Zipf crawl frontiers sit far
+    below n_hosts). Plan: one groupBy(host) count, a max + a top-10 rank
+    (tiny post-agg table), and an entropy sum — per-term round-to-9 then
+    final round-to-6, the suite's ln/log2 ulp discipline. The frontier
+    itself is scanned once."""
+    fr = _frontier(spark, sf_dir)
+    # three consumers (totals, top-10, entropy) read the tiny host-count
+    # table: materialize it once (eager checkpoint) instead of re-scanning
+    # the frontier per consumer
+    counts = (fr.groupBy("host").agg(F.count("*").alias("c"))
+              .localCheckpoint(eager=True))
+    tot = counts.agg(F.sum("c").alias("n"),
+                     F.count("*").alias("n_hosts"),
+                     F.max("c").alias("top1"))
+    top10 = (counts.orderBy(F.col("c").desc(), F.col("host").asc()).limit(10)
+             .agg(F.sum("c").alias("t10")))
+    ent = (counts.crossJoin(F.broadcast(tot.select("n")))
+           .select(F.round(-(F.col("c") / F.col("n"))
+                           * F.log2(F.col("c") / F.col("n")), 9).alias("term"))
+           .agg(F.round(F.sum("term"), 6).alias("entropy_bits")))
+    out = (tot.crossJoin(top10).crossJoin(ent)
+           .select(F.col("n_hosts").cast("bigint").alias("n_hosts"),
+                   F.col("n").cast("bigint").alias("n_urls"),
+                   F.round(F.col("top1") / F.col("n"), 6).alias("top1_share"),
+                   F.round(F.col("t10") / F.col("n"), 6).alias("top10_share"),
+                   "entropy_bits"))
+    return out
+
+
+_Q_SKEW_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+counts AS (SELECT host, count(*) AS c FROM frontier GROUP BY host),
+tot AS (SELECT sum(c) AS n, count(*) AS n_hosts, max(c) AS top1 FROM counts),
+rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, host ASC) AS rn FROM counts),
+t10 AS (SELECT sum(c) AS t10 FROM rk WHERE rn <= 10),
+ent AS (SELECT round(sum(round(-(c * 1.0 / (SELECT n FROM tot))
+                               * log2(c * 1.0 / (SELECT n FROM tot)), 9)), 6) AS entropy_bits
+        FROM counts)
+SELECT cast(tot.n_hosts as bigint) AS n_hosts, cast(tot.n as bigint) AS n_urls,
+       round(tot.top1 * 1.0 / tot.n, 6) AS top1_share,
+       round(t10.t10 * 1.0 / tot.n, 6) AS top10_share,
+       ent.entropy_bits
+FROM tot, t10, ent
+"""
+
+
 def q_robots_block_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host robots compliance report: how much of the frontier each
     host's robots.txt actually blocks — the number a crawl operator reads
@@ -4449,6 +4500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": q_degree_histogram,
         "trustrank_hosts": q_trustrank_hosts,
         "image_channel_histogram": q_image_channel_histogram,
+        "host_skew_report": q_host_skew_report,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4567,6 +4619,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_histogram": _Q_DEGHIST_SQL,
         "trustrank_hosts": _trustrank_sql(),
         "image_channel_histogram": _img_hist_sql(),
+        "host_skew_report": _Q_SKEW_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

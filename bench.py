@@ -94,6 +94,7 @@ HEADLINE = [
     "degree_histogram",
     "trustrank_hosts",
     "image_channel_histogram",
+    "host_skew_report",
 ]
 
 
