@@ -4210,6 +4210,83 @@ FROM (VALUES
 """
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality calibration: recall@5 of the LSH-bucketed search
+    against the exact brute-force neighbors, per query vector — the
+    companion to minhash_calibration on the embedding side, and the
+    number that decides how many hyperplanes/probes the 10^10-vector
+    deployment needs. Queries = vec_id%50==0 (the suite's standard query
+    set). Plan: ONE signature pass, query-side filter BEFORE the bucket
+    equi-join (candidates ~ |bucket| per query, never N^2), both top-5
+    rank windows per query, one hits join. A query whose bucket holds no
+    other vector scores recall 0, not a dropped row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sig = S.lsh_signature(emb, n_planes=_LSH_PLANES, dim=_LSH_DIM)
+    from distributed_webcrawler_spark.operators.similarity import cosine
+
+    a = (sig.where(F.col("id") % 50 == 0)
+         .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"))
+    b = sig.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    lsh = (a.join(b, "bucket")
+           .where(F.col("query_id") != F.col("neighbor_id"))
+           .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+           .withColumn("rk", F.row_number().over(w))
+           .where(F.col("rk") <= 5)
+           .select("query_id", "neighbor_id"))
+    brute = (S.brute_force_topk(emb.where(F.col("vec_id") % 50 == 0), emb, k=5)
+             .select("query_id", "neighbor_id"))
+    hits = (brute.join(lsh, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    qset = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"))
+    return (qset.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+                    F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0), 6)
+                    .alias("recall_at_5")))
+
+
+def _ann_recall_sql() -> str:
+    from distributed_webcrawler_spark.operators.similarity import hyperplane_weights
+
+    bits = []
+    for p in range(_LSH_PLANES):
+        wt = ", ".join(repr(x) for x in hyperplane_weights(p, _LSH_DIM))
+        bits.append(f"(CASE WHEN list_dot_product(cast(embedding as double[]), [{wt}]) > 0"
+                    f" THEN {1 << p} ELSE 0 END)")
+    sigexpr = " + ".join(bits)
+    return f"""
+WITH sig AS (SELECT vec_id AS id, cast({sigexpr} as int) AS bucket, embedding FROM embeddings),
+cand AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id,
+         round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 6) AS sim
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id <> b.id
+  WHERE a.id % 50 = 0),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+    FROM cand) WHERE rk <= 5),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_cosine_similarity(cast(q.embedding as double[]), cast(c.embedding as double[])), 6) DESC,
+                                       c.vec_id ASC) AS rk
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id % 50 = 0) WHERE rk <= 5),
+hits AS (
+  SELECT b.query_id, count(*) AS n_hits
+  FROM brute b JOIN lsh l ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id),
+q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0)
+SELECT q.query_id, cast(coalesce(h.n_hits, 0) as int) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
 def q_host_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier skew report — the numbers that justify the scheduler's
     hot-host salting (operators/topk.py) and pick its threshold: host
@@ -4501,6 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_hosts": q_trustrank_hosts,
         "image_channel_histogram": q_image_channel_histogram,
         "host_skew_report": q_host_skew_report,
+        "ann_recall_report": q_ann_recall_report,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4620,6 +4698,7 @@ def oracle_sql() -> dict[str, str]:
         "trustrank_hosts": _trustrank_sql(),
         "image_channel_histogram": _img_hist_sql(),
         "host_skew_report": _Q_SKEW_SQL,
+        "ann_recall_report": _ann_recall_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -95,6 +95,7 @@ HEADLINE = [
     "trustrank_hosts",
     "image_channel_histogram",
     "host_skew_report",
+    "ann_recall_report",
 ]
 
 
