@@ -4287,6 +4287,55 @@ FROM q LEFT JOIN hits h ON h.query_id = q.query_id
 """
 
 
+_LPA_ITER = 3
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the host link graph — the
+    site-family / link-farm detector that complements dedup_components
+    (reachability) and trustrank (seeded authority): LPA groups densely
+    interlinked hosts even when a long thin path connects them to
+    everything else. Deterministic sync sweeps with most-frequent /
+    min-label tie-break (operators/components.py label_propagation);
+    report = per-community host counts, communities of one host omitted
+    (they're just 'no family found')."""
+    from distributed_webcrawler_spark.operators.components import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("host"), (F.col("l_suppkey") % N_FRONTIER_HOSTS).cast("string")).alias("src"),
+        F.concat(F.lit("host"), (F.col("l_partkey") % N_FRONTIER_HOSTS).cast("string")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    lab = label_propagation(edges, n_iter=_LPA_ITER)
+    return (lab.groupBy("community")
+            .agg(F.count("*").cast("bigint").alias("n_hosts"))
+            .where(F.col("n_hosts") > 1))
+
+
+def _lpa_sql() -> str:
+    parts = [f"""e0 AS (
+  SELECT DISTINCT concat('host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar)) AS src,
+                  concat('host', cast(l_partkey % {N_FRONTIER_HOSTS} as varchar)) AS dst
+  FROM lineitem
+  WHERE l_suppkey % {N_FRONTIER_HOSTS} <> l_partkey % {N_FRONTIER_HOSTS}),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+l0 AS (SELECT DISTINCT src AS id, src AS lab FROM sym)"""]
+    for t in range(_LPA_ITER):
+        parts.append(f"""v{t} AS (
+  SELECT s.dst AS id, l.lab, count(*) AS n
+  FROM sym s JOIN l{t} l ON l.id = s.src GROUP BY s.dst, l.lab),
+p{t} AS (
+  SELECT id, lab FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY n DESC, lab ASC) AS rk
+    FROM v{t}) WHERE rk = 1),
+l{t + 1} AS (
+  SELECT l.id, coalesce(p.lab, l.lab) AS lab
+  FROM l{t} l LEFT JOIN p{t} p ON p.id = l.id)""")
+    body = ",\n".join(parts)
+    return (f"WITH {body}\nSELECT lab AS community, count(*) AS n_hosts "
+            f"FROM l{_LPA_ITER} GROUP BY lab HAVING count(*) > 1")
+
+
 def q_host_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier skew report — the numbers that justify the scheduler's
     hot-host salting (operators/topk.py) and pick its threshold: host
@@ -4579,6 +4628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_channel_histogram": q_image_channel_histogram,
         "host_skew_report": q_host_skew_report,
         "ann_recall_report": q_ann_recall_report,
+        "lpa_communities": q_lpa_communities,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4699,6 +4749,7 @@ def oracle_sql() -> dict[str, str]:
         "image_channel_histogram": _img_hist_sql(),
         "host_skew_report": _Q_SKEW_SQL,
         "ann_recall_report": _ann_recall_sql(),
+        "lpa_communities": _lpa_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -96,6 +96,7 @@ HEADLINE = [
     "image_channel_histogram",
     "host_skew_report",
     "ann_recall_report",
+    "lpa_communities",
 ]
 
 

@@ -110,3 +110,44 @@ def component_representatives(components: DataFrame, scores: DataFrame,
         .select("component", F.col("id").alias("keep_id"),
                 F.col("__score").alias("best_score"), "n_members")
     )
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 3,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Synchronous label propagation communities (Raghavan et al. 2007,
+    public literature), made deterministic for cross-engine parity: each
+    sweep every node adopts its neighbors' MOST FREQUENT label, ties to
+    the SMALLEST label; isolated-from-update nodes keep their own. Unlike
+    connected components (which merges everything reachable), LPA finds
+    densely linked neighborhoods inside a component — on a host graph
+    these are the site families / link farms a crawl audit looks for.
+    Returns (id, community) after ``n_iter`` fixed sweeps (classic LPA
+    stops at convergence; a fixed count keeps both engines identical).
+
+    Scale shape per sweep: one edge-labels equi-join, one (node, label)
+    count agg, one per-node rank window (partitioned by node id — never a
+    global sort), one left join back; labels localCheckpoint()ed so plan
+    depth is O(1) in sweeps. Undirected: edges are symmetrized once.
+    """
+    sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+                 .withColumn("lab", F.col("id"))
+                 .localCheckpoint(eager=True))
+    w = Window.partitionBy("id").orderBy(F.col("n").desc(), F.col("lab").asc())
+    try:
+        for _ in range(n_iter):
+            votes = (sym.join(labels.withColumnRenamed("id", "src"), "src")
+                        .groupBy(F.col("dst").alias("id"), "lab")
+                        .agg(F.count("*").alias("n")))
+            pick = (votes.withColumn("rk", F.row_number().over(w))
+                         .where(F.col("rk") == 1)
+                         .select("id", F.col("lab").alias("new_lab")))
+            labels = (labels.join(pick, "id", "left")
+                            .select("id", F.coalesce("new_lab", "lab").alias("lab"))
+                            .localCheckpoint(eager=True))
+    finally:
+        sym.unpersist()
+    return labels.select("id", F.col("lab").alias("community"))

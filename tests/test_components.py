@@ -92,3 +92,38 @@ def test_deterministic_across_partitionings(spark):
     r1 = {(r["id"], r["component"]) for r in connected_components(df1).collect()}
     r8 = {(r["id"], r["component"]) for r in connected_components(df8).collect()}
     assert r1 == r8
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must give each clique
+    its own community (min member id), while connected_components would
+    merge them — the thing LPA exists to distinguish."""
+    from distributed_webcrawler_spark.operators.components import label_propagation
+
+    def clique(prefix, n):
+        ids = [f"{prefix}{i}" for i in range(n)]
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique("a", 4) + clique("b", 4) + [("a0", "b0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["community"] for r in label_propagation(df, n_iter=3).collect()}
+    a_labels = {got[f"a{i}"] for i in range(4)}
+    b_labels = {got[f"b{i}"] for i in range(1, 4)}
+    assert a_labels == {"a0"}
+    assert b_labels == {"b0"}
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    import random
+
+    from distributed_webcrawler_spark.operators.components import label_propagation
+
+    rng = random.Random(13)
+    nodes = [f"n{i}" for i in range(24)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    d1 = spark.createDataFrame(edges, "src string, dst string").repartition(1)
+    d8 = spark.createDataFrame(edges, "src string, dst string").repartition(8)
+    r1 = {(r["id"], r["community"]) for r in label_propagation(d1).collect()}
+    r8 = {(r["id"], r["community"]) for r in label_propagation(d8).collect()}
+    assert r1 == r8
