@@ -42,6 +42,15 @@ class CrawlConfig:
     cb_window_rounds: int = 3
     cb_min_attempts: int = 8
     cb_max_fail_rate: float = 0.5
+    # graded per-host budget adaptation (the analog step between full budget
+    # and the breaker's open circuit): budget_h = max(adaptive_min_budget,
+    # ceil(budget_per_host_per_round * success_rate_h)) over the same
+    # cb_window_rounds/cb_min_attempts host_stats window. Hosts without
+    # enough attempts keep the full budget; composes with crawl-delay caps
+    # by taking the smaller cap. Requires host_stats collection, so it
+    # implies the same per-round stats append the circuit breaker uses.
+    adaptive_budget: bool = False
+    adaptive_min_budget: int = 1
     respect_robots: bool = True
     user_agent: str = "dws-crawler"
     max_pages: int | None = None    # enforced in clean mode; reference stores-but-ignores

@@ -414,6 +414,29 @@ class CrawlEngine:
                           & (F.col("f") / F.col("a") > cfg.cb_max_fail_rate))
                 .select("host"))
 
+    def _adaptive_budgets(self, rnd: int) -> DataFrame | None:
+        """Graded per-host budgets from observed success rates — the analog
+        dial between full budget and the breaker's open circuit: budget_h =
+        max(adaptive_min_budget, ceil(base * success_rate_h)) over the same
+        sliding host_stats window the breaker reads. Hosts below the
+        attempt floor keep the full budget (no evidence, no throttle).
+        The table is one row per host with enough recent attempts — tiny,
+        and the scheduler broadcasts it."""
+        cfg = self.cfg
+        hs = self._t("host_stats").read(self.spark)
+        if hs is None:
+            return None
+        w = hs.where(F.col("round") >= rnd - cfg.cb_window_rounds)
+        agg = w.groupBy("host").agg(F.sum("attempts").alias("a"),
+                                    F.sum("failures").alias("f"))
+        return (agg.where(F.col("a") >= cfg.cb_min_attempts)
+                .select("host",
+                        F.greatest(
+                            F.lit(cfg.adaptive_min_budget),
+                            F.ceil(F.lit(cfg.budget_per_host_per_round)
+                                   * (F.col("a") - F.col("f")) / F.col("a")))
+                        .cast("int").alias("budget")))
+
     def _schedule(self, pending: DataFrame, rnd: int) -> tuple[DataFrame, int]:
         cfg = self.cfg
         order = topk.tie_break_cols()
@@ -460,15 +483,26 @@ class CrawlEngine:
             quota = max(cfg.batch_size // max(n_sessions, 1), 1)
             sched = topk.topk_per_group(pending, ["session_id"], order, quota).drop("rk")
         else:
+            # graded success-rate throttle: merge with any crawl-delay caps
+            # by taking the SMALLER cap per host (both tables are per-host
+            # one-row — the union/min agg is trivially broadcastable)
+            budgets = self.host_budgets
+            if cfg.adaptive_budget:
+                ab = self._adaptive_budgets(rnd)
+                if ab is not None:
+                    budgets = (ab if budgets is None
+                               else (budgets.unionByName(ab)
+                                     .groupBy("host")
+                                     .agg(F.min("budget").alias("budget"))))
             # constant-fold identity windows: the frontier manifest's row
             # count (metadata, no job) upper-bounds every per-host pending
             # count, so budget >= that bound means the rank filter keeps
             # every row — skip BOTH window shuffles (drain/backfill regime)
-            if self.host_budgets is not None:
+            if budgets is not None:
                 # per-host Crawl-delay caps: variable k, no constant-fold
                 # shortcut (a host's budget may be below any row bound)
                 sched = topk.topk_per_group_budget_salted(
-                    pending, ["session_id", "host"], order, self.host_budgets,
+                    pending, ["session_id", "host"], order, budgets,
                     "host", cfg.budget_per_host_per_round,
                     n_salts=cfg.hot_host_salts, salt_source="url").drop("rk")
             elif ((frontier_rows := self._t("frontier").total_rows()) is not None
@@ -905,10 +939,11 @@ class CrawlEngine:
                 "session_id", "url", F.col("round"),
                 F.lit("FAILED").alias("status"), F.lit(False).alias("retryable"),
                 F.lit("driver").alias("assigned_to")))
-            if cfg.circuit_breaker:
+            if cfg.circuit_breaker or cfg.adaptive_budget:
                 # one row per (round, host) off the cached slim fetch —
-                # feeds _tripped_hosts next round; robots-blocked rows never
-                # reach fetched so they can't trip a host
+                # feeds _tripped_hosts / _adaptive_budgets next round;
+                # robots-blocked rows never reach fetched so they can't
+                # trip or throttle a host
                 hstats = (fetched.groupBy("host").agg(
                     F.count("*").cast("int").alias("attempts"),
                     F.sum(F.when(F.coalesce(F.col("web_status"), F.lit(0)) != 200, 1)

@@ -347,3 +347,45 @@ def test_retry_backoff_schedule(spark, warehouse):
     ok_rounds = [r.round for r in
                  pages.where(F.col("url").endswith("/ok")).select("round").collect()]
     assert ok_rounds == [1]
+
+
+def test_adaptive_budget_throttles_failing_host(spark, warehouse):
+    """adaptive_budget: a host failing every fetch is throttled to
+    adaptive_min_budget once its stats window has evidence, while a
+    healthy host keeps the full budget; with the breaker OFF the bad host
+    keeps draining (slowly) instead of being cut off entirely."""
+    from distributed_webcrawler_spark.sources import codec
+
+    img = codec.encode_image(codec.synth_pixels("abimg", 16, 16), "png")
+    pay = spark.createDataFrame(
+        [("abimg", bytearray(img), 16, 16, "png", "cap", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long")
+    rows = []
+    for i in range(12):
+        rows.append((f"https://flaky.example.com/{i}", "flaky.example.com", [], None, 500))
+        rows.append((f"https://ok.example.com/{i}", "ok.example.com", [], "abimg", 200))
+    wg = spark.createDataFrame(
+        rows, "url string, host string, out_links array<string>, image_id string, status_code int")
+    cfg = CrawlConfig(max_depth=0, budget_per_host_per_round=6, max_rounds=10,
+                      use_bloom=False, respect_robots=False,
+                      adaptive_budget=True, adaptive_min_budget=1,
+                      cb_window_rounds=3, cb_min_attempts=5)
+    store = SnapshotStore(warehouse)
+    eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+    seeds = wg.select("url", F.monotonically_increasing_id().cast("int").alias("seq"))
+    eng.start_session(seeds)
+    eng.run()
+
+    pages = store.table("pages").read(spark)
+    per = {(r.host, r.round): r.n for r in
+           pages.groupBy("host", "round").agg(F.count("*").alias("n")).collect()}
+    flaky = {rnd: n for (h, rnd), n in per.items() if h == "flaky.example.com"}
+    ok = {rnd: n for (h, rnd), n in per.items() if h == "ok.example.com"}
+    # round 1: no stats yet -> both at full budget
+    assert flaky.get(1) == 6 and ok.get(1) == 6
+    # evidence collected -> flaky throttled to the min budget, not cut off
+    assert flaky.get(2) == 1
+    # healthy host untouched (drains in rounds 1-2)
+    assert sum(ok.values()) == 12 and set(ok) == {1, 2}
+    # the throttled host still drains every URL eventually
+    assert sum(flaky.values()) == 12
