@@ -4387,6 +4387,56 @@ FROM tot, t10, ent
 """
 
 
+_RSZ_W, _RSZ_H = 24, 24
+
+
+def q_image_resize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-path gate: run the REAL Arrow-batched nearest-neighbor
+    resize + lossless re-encode over the deterministic payload batch and
+    report each output's dims and the md5 of its re-encoded container —
+    so the whole decode -> index-map resize -> encode -> Arrow round trip
+    is BYTE-exact against a driver-side numpy reference (the oracle holds
+    hashlib digests of the same math). Closes the gate on the one
+    multimodal op (resize) the decode/stats queries didn't cover."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import resize
+    from distributed_webcrawler_spark.sources import codec
+
+    pdf = pd.DataFrame(
+        [(iid, codec.encode_image(codec.synth_pixels(iid, w, h), fmt))
+         for iid, w, h, fmt in _mm_specs()],
+        columns=["image_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    return (resize(payloads, _RSZ_W, _RSZ_H)
+            .select("image_id", "w", "h", "fmt", F.md5("bytes").alias("digest")))
+
+
+def _img_resize_sql() -> str:
+    import hashlib
+
+    import numpy as np
+
+    from distributed_webcrawler_spark.sources import codec
+
+    rows = []
+    for iid, w, h, fmt in _mm_specs():
+        px, _ = codec.decode_image(
+            codec.encode_image(codec.synth_pixels(iid, w, h), fmt))
+        ys = (np.arange(_RSZ_H) * px.shape[0] // _RSZ_H).astype(int)
+        xs = (np.arange(_RSZ_W) * px.shape[1] // _RSZ_W).astype(int)
+        out = codec.encode_image(px[ys][:, xs], "png")
+        rows.append((iid, hashlib.md5(out).hexdigest()))
+    vals = ",\n".join(f"('{iid}', {_RSZ_W}, {_RSZ_H}, 'png', '{dg}')"
+                      for iid, dg in rows)
+    return f"""
+SELECT image_id, cast(w as int) AS w, cast(h as int) AS h, fmt, digest
+FROM (VALUES
+{vals}
+) AS t(image_id, w, h, fmt, digest)
+"""
+
+
 def q_robots_block_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host robots compliance report: how much of the frontier each
     host's robots.txt actually blocks — the number a crawl operator reads
@@ -4629,6 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_skew_report": q_host_skew_report,
         "ann_recall_report": q_ann_recall_report,
         "lpa_communities": q_lpa_communities,
+        "image_resize_check": q_image_resize_check,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4750,6 +4801,7 @@ def oracle_sql() -> dict[str, str]:
         "host_skew_report": _Q_SKEW_SQL,
         "ann_recall_report": _ann_recall_sql(),
         "lpa_communities": _lpa_sql(),
+        "image_resize_check": _img_resize_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

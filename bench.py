@@ -97,6 +97,7 @@ HEADLINE = [
     "host_skew_report",
     "ann_recall_report",
     "lpa_communities",
+    "image_resize_check",
 ]
 
 
