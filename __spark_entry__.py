@@ -4437,6 +4437,67 @@ FROM (VALUES
 """
 
 
+_AU_ND_HAM = 3
+
+
+def _au_nd_payloads() -> list:
+    """The audio_features spec batch plus planted near-dups: the first 4
+    wav clips re-encoded LOSSY under '<id>-dup' — the quantizer perturbs
+    samples slightly, so the energy-delta fingerprint lands a few bits
+    away (the Haitsma-Kalker robustness property the banded search
+    exists to exploit). Returns (audio_id, container_bytes)."""
+    from distributed_webcrawler_spark.sources import codec
+
+    out = []
+    planted = 0
+    for aid, n, sr, fmt in _au_specs():
+        pcm = codec.synth_pcm(aid, n, sr)
+        out.append((aid, codec.encode_audio(pcm, sr, fmt)))
+        if fmt == "wav" and planted < 4:
+            out.append((f"{aid}-dup", codec.encode_audio(pcm, sr, "aac")))
+            planted += 1
+    return out
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs gated end-to-end: real Arrow-batched decode ->
+    afp64 fingerprint -> generic banded Hamming search (the same
+    hamming_banded_pairs images use; post-decode shuffle carries 16
+    bytes/row, never samples). The batch plants lossy re-encodes of 4
+    clips so the pair set is non-trivial; the oracle recomputes afp64
+    driver-side and brute-forces bit_count(xor) over the VALUES — with 4
+    bands and Hamming<=3 the pigeonhole guarantees band search == brute
+    filter, so the banding itself is what's being gated."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import audio_near_dup_pairs
+
+    pdf = pd.DataFrame(_au_nd_payloads(), columns=["audio_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    return (audio_near_dup_pairs(payloads, max_hamming=_AU_ND_HAM)
+            .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")))
+
+
+def _au_nd_sql() -> str:
+    from distributed_webcrawler_spark.sources import codec
+
+    sigs = []
+    for aid, data in _au_nd_payloads():
+        x, _, _ = codec.decode_audio(data)
+        sigs.append((aid, codec.afp64(x)))
+    vals = ",\n".join(f"('{aid}', {afp})" for aid, afp in sigs)
+    return f"""
+WITH sig AS (
+  SELECT * FROM (VALUES
+{vals}
+  ) AS t(id, afp))
+SELECT a.id AS id_a, b.id AS id_b,
+       cast(bit_count(xor(a.afp, b.afp)) as int) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.afp, b.afp)) <= {_AU_ND_HAM}
+"""
+
+
 def q_robots_block_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host robots compliance report: how much of the frontier each
     host's robots.txt actually blocks — the number a crawl operator reads
@@ -4680,6 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": q_ann_recall_report,
         "lpa_communities": q_lpa_communities,
         "image_resize_check": q_image_resize_check,
+        "audio_near_dup": q_audio_near_dup,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4802,6 +4864,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_report": _ann_recall_sql(),
         "lpa_communities": _lpa_sql(),
         "image_resize_check": _img_resize_sql(),
+        "audio_near_dup": _au_nd_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -98,6 +98,7 @@ HEADLINE = [
     "ann_recall_report",
     "lpa_communities",
     "image_resize_check",
+    "audio_near_dup",
 ]
 
 

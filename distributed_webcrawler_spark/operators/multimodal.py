@@ -74,8 +74,12 @@ def phash_near_dup_pairs(payloads: DataFrame, max_hamming: int = 3,
     Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming."""
     from .dedup import hamming_banded_pairs
 
-    sig = decode_stats(payloads, id_col, bytes_col).where("ok").select(
+    # hamming_banded_pairs' band union self-join re-evaluates its input
+    # up to 2*n_bands times — materialize the 16-byte/row fingerprint
+    # table so the DECODE runs once, not 8x
+    sig = (decode_stats(payloads, id_col, bytes_col).where("ok").select(
         F.col("image_id").alias("id"), F.col("phash").alias("sig"))
+        .localCheckpoint(eager=True))
     return hamming_banded_pairs(sig, max_hamming, n_bits=64, n_bands=4,
                                 sig_col="sig", id_col="id")
 
@@ -169,8 +173,12 @@ def audio_near_dup_pairs(payloads: DataFrame, max_hamming: int = 3,
     Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming."""
     from .dedup import hamming_banded_pairs
 
-    sig = audio_stats(payloads, id_col, bytes_col).where("ok").select(
+    # same materialization as phash_near_dup_pairs: the banded search
+    # re-evaluates its input up to 8x, and here the input is the full
+    # audio decode — checkpoint the 16-byte/row fingerprints once
+    sig = (audio_stats(payloads, id_col, bytes_col).where("ok").select(
         F.col("audio_id").alias("id"), F.col("afp").alias("sig"))
+        .localCheckpoint(eager=True))
     return hamming_banded_pairs(sig, max_hamming, n_bits=64, n_bands=4,
                                 sig_col="sig", id_col="id")
 
