@@ -2846,6 +2846,47 @@ FROM documents
 """
 
 
+def q_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard balance audit on top of token_shard_pack — the check a
+    training job runs before trusting its shards: per-shard doc count and
+    token sum, plus each shard's deviation from the budget. Greedy
+    running-sum packing guarantees every NON-FINAL shard holds >= budget
+    tokens minus its last doc's overshoot; the report makes that visible
+    (a shard far under budget that isn't the last one = packing bug).
+    Plan: the pack op's output (already computed without a single-task
+    window) + ONE groupBy(shard_id)."""
+    from distributed_webcrawler_spark.operators.pack import pack_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", X.token_count("text").cast("bigint").alias("n_tokens"))
+    reg: list = []
+    packed = pack_shards(sized, [F.col("doc_id")], "n_tokens", _PACK_BUDGET,
+                         cache_registry=reg)
+    out = (packed.groupBy("shard_id")
+           .agg(F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").alias("tokens"))
+           .select("shard_id", "n_docs", "tokens",
+                   (F.col("tokens") - _PACK_BUDGET).alias("over_budget"))
+           .localCheckpoint(eager=True))
+    for c in reg:
+        c.unpersist()
+    return out
+
+
+_Q_SHARD_BAL_SQL = f"""
+WITH packed AS (
+  SELECT doc_id,
+         cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) as bigint) AS n_tokens,
+         cast(floor(coalesce(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {_PACK_BUDGET}) as int) AS shard_id
+  FROM documents)
+SELECT shard_id, count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS tokens,
+       cast(sum(n_tokens) - {_PACK_BUDGET} as bigint) AS over_budget
+FROM packed GROUP BY shard_id
+"""
+
+
 # Blocklist: suffix rules (a full host is just a suffix that happens to be
 # the whole chain) — UT1/adult-list style crawl hygiene.
 _BLOCK_SUFFIXES = ["site3.example.com", "site7.example.com", "tracker.example.com"]
@@ -4742,6 +4783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": q_lpa_communities,
         "image_resize_check": q_image_resize_check,
         "audio_near_dup": q_audio_near_dup,
+        "shard_balance_report": q_shard_balance_report,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4865,6 +4907,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_sql(),
         "image_resize_check": _img_resize_sql(),
         "audio_near_dup": _au_nd_sql(),
+        "shard_balance_report": _Q_SHARD_BAL_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -99,6 +99,7 @@ HEADLINE = [
     "lpa_communities",
     "image_resize_check",
     "audio_near_dup",
+    "shard_balance_report",
 ]
 
 
