@@ -2846,6 +2846,37 @@ FROM documents
 """
 
 
+def q_crawl_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth profile of the frontier — the exponential-fanout picture
+    behind the depth gate (F2): URLs per depth, share, and cumulative
+    share in depth order. The cumulative window runs over the DEPTH
+    dimension (bounded by max_depth, single-digit rows after the agg), so
+    the ordered frame is over a constant-size table — not the global-sort
+    trap. One groupBy(depth) + a scalar total broadcast."""
+    fr = _frontier(spark, sf_dir)
+    per = fr.groupBy("depth").agg(F.count("*").alias("n"))
+    tot = per.agg(F.sum("n").alias("t"))
+    w = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    return (per.crossJoin(F.broadcast(tot))
+            .select(F.col("depth").cast("int").alias("depth"),
+                    F.col("n").cast("bigint").alias("n_urls"),
+                    F.round(F.col("n") / F.col("t"), 6).alias("share"),
+                    F.round(F.sum(F.col("n") / F.col("t")).over(w), 6)
+                    .alias("cum_share")))
+
+
+_Q_DEPTH_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+per AS (SELECT depth, count(*) AS n FROM frontier GROUP BY depth),
+tot AS (SELECT sum(n) AS t FROM per)
+SELECT cast(depth as int) AS depth, cast(n as bigint) AS n_urls,
+       round(n * 1.0 / (SELECT t FROM tot), 6) AS share,
+       round(sum(n * 1.0 / (SELECT t FROM tot))
+             OVER (ORDER BY depth ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_share
+FROM per
+"""
+
+
 def q_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard balance audit on top of token_shard_pack — the check a
     training job runs before trusting its shards: per-shard doc count and
@@ -4784,6 +4815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_check": q_image_resize_check,
         "audio_near_dup": q_audio_near_dup,
         "shard_balance_report": q_shard_balance_report,
+        "crawl_depth_profile": q_crawl_depth_profile,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4908,6 +4940,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resize_check": _img_resize_sql(),
         "audio_near_dup": _au_nd_sql(),
         "shard_balance_report": _Q_SHARD_BAL_SQL,
+        "crawl_depth_profile": _Q_DEPTH_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -100,6 +100,7 @@ HEADLINE = [
     "image_resize_check",
     "audio_near_dup",
     "shard_balance_report",
+    "crawl_depth_profile",
 ]
 
 
