@@ -2846,6 +2846,58 @@ FROM documents
 """
 
 
+def q_robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt `Sitemap:` directives (the
+    standard entry point sitemap_extract consumes): robots texts are
+    synthesized per host in-query (hid%4==0: two sitemaps, %4==1: one,
+    %4==2: directive with trailing spaces, %4==3: none), directives are
+    pulled with ONE in-row regexp_extract_all + positional explode —
+    map-side string surgery in the scan, one output row per (host,
+    sitemap), hosts without directives drop out (inner explode)."""
+    fr = _frontier(spark, sf_dir)
+    hosts = fr.select("host").distinct()
+    hid = F.regexp_extract("host", "([0-9]+)", 1).cast("int")
+    txt = (F.when(hid % 4 == 0,
+                  F.concat(F.lit("User-agent: *\nSitemap: https://"), F.col("host"),
+                           F.lit("/sitemap.xml\nDisallow: /tmp\nSitemap: https://"),
+                           F.col("host"), F.lit("/sitemap-imgs.xml")))
+           .when(hid % 4 == 1,
+                 F.concat(F.lit("User-agent: *\nSitemap: https://"), F.col("host"),
+                          F.lit("/sitemap.xml")))
+           .when(hid % 4 == 2,
+                 F.concat(F.lit("User-agent: *\nsitemap:   https://"), F.col("host"),
+                          F.lit("/s/map.xml   \nAllow: /")))
+           .otherwise(F.lit("User-agent: *\nDisallow: /private")))
+    with_txt = hosts.select("host", txt.alias("robots_txt"))
+    return (with_txt.select(
+        "host",
+        F.posexplode(F.expr(
+            r"regexp_extract_all(robots_txt, '(?i)sitemap:\\s*(\\S+)', 1)"))
+        .alias("pos", "sitemap_url"))
+        .select("host", F.col("pos").cast("int").alias("pos"), "sitemap_url"))
+
+
+_Q_SMAP_DISC_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+hosts AS (SELECT DISTINCT host FROM frontier),
+rb AS (
+  SELECT host,
+         CASE cast(regexp_extract(host, '([0-9]+)', 1) as int) % 4
+           WHEN 0 THEN 'User-agent: *' || chr(10) || 'Sitemap: https://' || host
+                       || '/sitemap.xml' || chr(10) || 'Disallow: /tmp' || chr(10)
+                       || 'Sitemap: https://' || host || '/sitemap-imgs.xml'
+           WHEN 1 THEN 'User-agent: *' || chr(10) || 'Sitemap: https://' || host || '/sitemap.xml'
+           WHEN 2 THEN 'User-agent: *' || chr(10) || 'sitemap:   https://' || host || '/s/map.xml   ' || chr(10) || 'Allow: /'
+           ELSE 'User-agent: *' || chr(10) || 'Disallow: /private'
+         END AS robots_txt
+  FROM hosts),
+m AS (SELECT host, regexp_extract_all(robots_txt, '(?i)sitemap:\\s*(\\S+)', 1) AS maps FROM rb)
+SELECT host, cast(generate_subscripts(maps, 1) - 1 as int) AS pos,
+       unnest(maps) AS sitemap_url
+FROM m
+"""
+
+
 def q_crawl_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth profile of the frontier — the exponential-fanout picture
     behind the depth gate (F2): URLs per depth, share, and cumulative
@@ -4816,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": q_audio_near_dup,
         "shard_balance_report": q_shard_balance_report,
         "crawl_depth_profile": q_crawl_depth_profile,
+        "robots_sitemap_discovery": q_robots_sitemap_discovery,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4941,6 +4994,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_near_dup": _au_nd_sql(),
         "shard_balance_report": _Q_SHARD_BAL_SQL,
         "crawl_depth_profile": _Q_DEPTH_SQL,
+        "robots_sitemap_discovery": _Q_SMAP_DISC_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

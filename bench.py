@@ -101,6 +101,7 @@ HEADLINE = [
     "audio_near_dup",
     "shard_balance_report",
     "crawl_depth_profile",
+    "robots_sitemap_discovery",
 ]
 
 
