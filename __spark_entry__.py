@@ -2898,6 +2898,60 @@ FROM m
 """
 
 
+_BLEND_W_PRIO, _BLEND_W_AUTH, _BLEND_TOPK = 0.7, 0.3, 3
+
+
+def q_pagerank_priority_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-aware scheduling — the north-star composition: blend the
+    host graph's PageRank into the frontier's priority
+    (blended = 0.7*priority + 0.3*authority, authority = rank/max(rank))
+    and take each host's top-3 by the BLENDED score, so the scheduler
+    fetches important hosts' URLs first without starving per-URL priority.
+    Reuses the oracle-gated pagerank operator output joined onto the
+    frontier by registrable host label; the max-rank normalizer is a
+    scalar broadcast; the final pick is the standard per-host rank window.
+    Every arithmetic input is pre-rounded to 6 so the blend is the
+    identical IEEE double on both engines."""
+    pr = q_pagerank_hosts(spark, sf_dir)
+    mx = pr.agg(F.max("rank").alias("m"))
+    fr = _frontier(spark, sf_dir)
+    j = (fr.select(F.col("host"), "url", "discovered_at",
+                   F.round("priority", 6).alias("priority"),
+                   F.regexp_extract("host", "([^.]+)", 1).alias("hshort"))
+         .join(pr.withColumnRenamed("host", "hshort"), "hshort")
+         .crossJoin(F.broadcast(mx))
+         .select("host", "url", "discovered_at", "priority",
+                 F.round(F.col("rank") / F.col("m"), 6).alias("authority")))
+    b = j.select("*", F.round(F.lit(_BLEND_W_PRIO) * F.col("priority")
+                              + F.lit(_BLEND_W_AUTH) * F.col("authority"), 6)
+                 .alias("blended"))
+    w = Window.partitionBy("host").orderBy(
+        F.col("blended").desc(), F.col("url").asc(), F.col("discovered_at").asc())
+    return (b.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _BLEND_TOPK)
+            .select("host", "url", "priority", "authority", "blended",
+                    F.col("rk").cast("int").alias("rk")))
+
+
+def _blend_sql() -> str:
+    return f"""
+WITH pr AS ({_pagerank_sql()}),
+frontier AS ({_FRONTIER_SQL}),
+mx AS (SELECT max(rank) AS m FROM pr),
+j AS (
+  SELECT f.host, f.url, f.discovered_at, round(f.priority, 6) AS priority,
+         round(p.rank / (SELECT m FROM mx), 6) AS authority
+  FROM frontier f JOIN pr p ON p.host = regexp_extract(f.host, '([^.]+)', 1)),
+b AS (SELECT *, round({_BLEND_W_PRIO} * priority + {_BLEND_W_AUTH} * authority, 6) AS blended FROM j),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+                               ORDER BY blended DESC, url ASC, discovered_at ASC) AS rk
+  FROM b)
+SELECT host, url, priority, authority, blended, cast(rk as int) AS rk
+FROM rk WHERE rk <= {_BLEND_TOPK}
+"""
+
+
 def q_crawl_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth profile of the frontier — the exponential-fanout picture
     behind the depth gate (F2): URLs per depth, share, and cumulative
@@ -4869,6 +4923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_balance_report": q_shard_balance_report,
         "crawl_depth_profile": q_crawl_depth_profile,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
+        "pagerank_priority_blend": q_pagerank_priority_blend,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -4995,6 +5050,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_balance_report": _Q_SHARD_BAL_SQL,
         "crawl_depth_profile": _Q_DEPTH_SQL,
         "robots_sitemap_discovery": _Q_SMAP_DISC_SQL,
+        "pagerank_priority_blend": _blend_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -102,6 +102,7 @@ HEADLINE = [
     "shard_balance_report",
     "crawl_depth_profile",
     "robots_sitemap_discovery",
+    "pagerank_priority_blend",
 ]
 
 
