@@ -2898,6 +2898,60 @@ FROM m
 """
 
 
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method agreement matrix — the meta-report that tells a
+    pipeline owner which near-dup detector finds what before picking one
+    at 10^10 docs: pair counts per method (MinHash-LSH, banded SimHash,
+    exact n-gram Jaccard — each already oracle-gated on its own) and
+    every pairwise/3-way intersection, computed by id-pair equi-joins of
+    the three pair sets. All counts are exact integers: hash parity is
+    trivial, the information is the matrix itself (e.g. simhash-only
+    pairs = near-dups the shingle methods miss)."""
+    docs = _t(spark, sf_dir, "documents")
+    # seven counts read each pair set up to 4x — materialize the tiny
+    # (id_a, id_b) tables once instead of re-running shingle/minhash
+    # pipelines per count
+    mh = (D.minhash_lsh_pairs(docs, n_hashes=_MH_N, band_size=_MH_BAND,
+                              k=_MH_K, max_chars=_MH_CHARS,
+                              min_est=_MH_MIN).select("id_a", "id_b")
+          .localCheckpoint(eager=True))
+    sh = (D.simhash_banded_pairs(docs, max_hamming=_SH64_HAM, n_bits=_SH64_BITS,
+                                 n_bands=_SH64_BANDS,
+                                 max_chars=_SIM_CHARS).select("id_a", "id_b")
+          .localCheckpoint(eager=True))
+    jc = (D.ngram_jaccard_pairs(docs, k=_JACCARD_K, max_chars=_JACCARD_CHARS,
+                                threshold=_JACCARD_TH,
+                                max_df=_JACCARD_MAXDF).select("id_a", "id_b")
+          .localCheckpoint(eager=True))
+    keys = ["id_a", "id_b"]
+
+    def n(df):  # noqa: ANN001 - tiny local helper
+        return df.count()
+
+    rows = [("minhash", n(mh)), ("simhash", n(sh)), ("jaccard", n(jc)),
+            ("minhash&simhash", n(mh.join(sh, keys))),
+            ("minhash&jaccard", n(mh.join(jc, keys))),
+            ("simhash&jaccard", n(sh.join(jc, keys))),
+            ("all3", n(mh.join(sh, keys).join(jc, keys)))]
+    return spark.createDataFrame(rows, "methods string, n_pairs bigint")
+
+
+def _dedup_agreement_sql() -> str:
+    return f"""
+WITH mh AS (SELECT id_a, id_b FROM ({_minhash_sql()})),
+sh AS (SELECT id_a, id_b FROM ({_simhash64_sql()})),
+jc AS (SELECT id_a, id_b FROM ({_Q_JACCARD_SQL}))
+SELECT 'minhash' AS methods, count(*) AS n_pairs FROM mh
+UNION ALL SELECT 'simhash', count(*) FROM sh
+UNION ALL SELECT 'jaccard', count(*) FROM jc
+UNION ALL SELECT 'minhash&simhash', count(*) FROM mh JOIN sh USING (id_a, id_b)
+UNION ALL SELECT 'minhash&jaccard', count(*) FROM mh JOIN jc USING (id_a, id_b)
+UNION ALL SELECT 'simhash&jaccard', count(*) FROM sh JOIN jc USING (id_a, id_b)
+UNION ALL SELECT 'all3', count(*)
+  FROM mh JOIN sh USING (id_a, id_b) JOIN jc USING (id_a, id_b)
+"""
+
+
 _BLEND_W_PRIO, _BLEND_W_AUTH, _BLEND_TOPK = 0.7, 0.3, 3
 
 
@@ -4924,6 +4978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_depth_profile": q_crawl_depth_profile,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
         "pagerank_priority_blend": q_pagerank_priority_blend,
+        "dedup_method_agreement": q_dedup_method_agreement,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -5051,6 +5106,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_depth_profile": _Q_DEPTH_SQL,
         "robots_sitemap_discovery": _Q_SMAP_DISC_SQL,
         "pagerank_priority_blend": _blend_sql(),
+        "dedup_method_agreement": _dedup_agreement_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
