@@ -2898,6 +2898,47 @@ FROM m
 """
 
 
+_HB_BUCKETS = 64
+
+
+def q_host_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-bucket balance audit — the evidence behind the engine's
+    bucket-everything design (frontier partitioning, sharded bloom, the
+    bucketed co-located anti-join): hash hosts into the standard 64
+    host_buckets and report per-bucket host and URL counts plus each
+    bucket's URL share vs the uniform ideal. A bucket far above 1/64 of
+    the URLs would hotspot its bloom shard and its frontier partition —
+    this query is how you see it BEFORE it burns a round. Portable h64
+    keeps the oracle bit-identical; the engine's hot path uses xxhash64
+    (same distribution class, JVM codegen)."""
+    fr = _frontier(spark, sf_dir)
+    b = F.pmod(h64(F.col("host")), F.lit(_HB_BUCKETS)).cast("int")
+    per = (fr.select(b.alias("host_bucket"), "host")
+           .groupBy("host_bucket")
+           .agg(F.countDistinct("host").cast("bigint").alias("n_hosts"),
+                F.count("*").cast("bigint").alias("n_urls")))
+    tot = per.agg(F.sum("n_urls").alias("t"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("host_bucket", "n_hosts", "n_urls",
+                    F.round(F.col("n_urls") / F.col("t"), 6).alias("url_share"),
+                    F.round(F.col("n_urls") / F.col("t") * _HB_BUCKETS, 6)
+                    .alias("load_factor")))
+
+
+_Q_HB_BAL_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+per AS (
+  SELECT cast({h64_sql("host")} % {_HB_BUCKETS} as int) AS host_bucket,
+         count(DISTINCT host) AS n_hosts, count(*) AS n_urls
+  FROM frontier GROUP BY 1),
+tot AS (SELECT sum(n_urls) AS t FROM per)
+SELECT host_bucket, n_hosts, n_urls,
+       round(n_urls * 1.0 / (SELECT t FROM tot), 6) AS url_share,
+       round(n_urls * 1.0 / (SELECT t FROM tot) * {_HB_BUCKETS}, 6) AS load_factor
+FROM per
+"""
+
+
 def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-method agreement matrix — the meta-report that tells a
     pipeline owner which near-dup detector finds what before picking one
@@ -4979,6 +5020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
         "pagerank_priority_blend": q_pagerank_priority_blend,
         "dedup_method_agreement": q_dedup_method_agreement,
+        "host_bucket_balance": q_host_bucket_balance,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -5107,6 +5149,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemap_discovery": _Q_SMAP_DISC_SQL,
         "pagerank_priority_blend": _blend_sql(),
         "dedup_method_agreement": _dedup_agreement_sql(),
+        "host_bucket_balance": _Q_HB_BAL_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

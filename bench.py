@@ -103,6 +103,7 @@ HEADLINE = [
     "crawl_depth_profile",
     "robots_sitemap_discovery",
     "pagerank_priority_blend",
+    "host_bucket_balance",
 ]
 
 
