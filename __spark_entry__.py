@@ -2898,6 +2898,50 @@ FROM m
 """
 
 
+_ANOM_Z = 2.0
+
+
+def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection — the crawl-ops alarm shape (a host
+    or event type whose daily volume jumps |z| >= 2 off its own history):
+    daily counts per event type, each day's z-score against that type's
+    mean/std, anomalous days flagged. Cross-engine float discipline: the
+    sample std is rebuilt FROM EXACT INTEGER SUMS (n, Σc, Σc²) as
+    sqrt((Σc² - (Σc)²/n) / (n-1)) instead of calling stddev_samp — both
+    engines then do the identical IEEE ops, and z rounds to 6. Two
+    narrow aggs + one broadcast join; no window."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("c")))
+    stats = (daily.groupBy("event_type")
+             .agg(F.count("*").alias("n"), F.sum("c").alias("s"),
+                  F.sum(F.col("c") * F.col("c")).alias("ss")))
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = F.round((F.col("c") - mean) / F.sqrt(var), 6)
+    return (daily.join(F.broadcast(stats), "event_type")
+            .where(F.col("n") > 1)
+            .select("event_type", "day", F.col("c").cast("bigint").alias("n_events"),
+                    z.alias("z"), (F.abs(z) >= _ANOM_Z).alias("anomaly")))
+
+
+_Q_ANOM_SQL = f"""
+WITH daily AS (
+  SELECT event_type, cast(ts as date) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS ss
+  FROM daily GROUP BY 1)
+SELECT d.event_type, d.day, d.c AS n_events,
+       round((d.c - s.s * 1.0 / s.n)
+             / sqrt((s.ss - s.s * 1.0 * s.s / s.n) / (s.n - 1)), 6) AS z,
+       abs(round((d.c - s.s * 1.0 / s.n)
+             / sqrt((s.ss - s.s * 1.0 * s.s / s.n) / (s.n - 1)), 6)) >= {_ANOM_Z} AS anomaly
+FROM daily d JOIN stats s ON s.event_type = d.event_type
+WHERE s.n > 1
+"""
+
+
 _HB_BUCKETS = 64
 
 
@@ -5021,6 +5065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_priority_blend": q_pagerank_priority_blend,
         "dedup_method_agreement": q_dedup_method_agreement,
         "host_bucket_balance": q_host_bucket_balance,
+        "event_rate_anomaly": q_event_rate_anomaly,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -5150,6 +5195,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_priority_blend": _blend_sql(),
         "dedup_method_agreement": _dedup_agreement_sql(),
         "host_bucket_balance": _Q_HB_BAL_SQL,
+        "event_rate_anomaly": _Q_ANOM_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -104,6 +104,7 @@ HEADLINE = [
     "robots_sitemap_discovery",
     "pagerank_priority_blend",
     "host_bucket_balance",
+    "event_rate_anomaly",
 ]
 
 
