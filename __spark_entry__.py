@@ -2898,6 +2898,37 @@ FROM m
 """
 
 
+def q_caption_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-duplicate image sets — LAION-style cross-modal hygiene:
+    the same caption attached to MANY distinct images usually means
+    boilerplate alt-text ('image', 'photo', product templates), and
+    keeping all of them skews an image-caption training set toward that
+    caption. Captions/digests are synthesized deterministically from
+    documents (40 caption classes over 500 docs -> real collisions);
+    report per duplicated caption: attached images, distinct payloads,
+    and the first-wins canonical digest. ONE groupBy(caption) —
+    mergeable aggs only."""
+    docs = _t(spark, sf_dir, "documents")
+    caps = docs.select(
+        F.concat(F.lit("cap"), (F.col("doc_id") % 40).cast("string")).alias("caption"),
+        F.md5("text").alias("digest"))
+    return (caps.groupBy("caption")
+            .agg(F.count("*").cast("bigint").alias("n_images"),
+                 F.countDistinct("digest").cast("bigint").alias("n_payloads"),
+                 F.min("digest").alias("canonical_digest"))
+            .where(F.col("n_images") > 1))
+
+
+_Q_CAPDUP_SQL = """
+WITH caps AS (
+  SELECT 'cap' || cast(doc_id % 40 as varchar) AS caption, md5(text) AS digest
+  FROM documents)
+SELECT caption, count(*) AS n_images, count(DISTINCT digest) AS n_payloads,
+       min(digest) AS canonical_digest
+FROM caps GROUP BY caption HAVING count(*) > 1
+"""
+
+
 _ANOM_Z = 2.0
 
 
@@ -5066,6 +5097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_method_agreement": q_dedup_method_agreement,
         "host_bucket_balance": q_host_bucket_balance,
         "event_rate_anomaly": q_event_rate_anomaly,
+        "caption_dup_images": q_caption_dup_images,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -5196,6 +5228,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_method_agreement": _dedup_agreement_sql(),
         "host_bucket_balance": _Q_HB_BAL_SQL,
         "event_rate_anomaly": _Q_ANOM_SQL,
+        "caption_dup_images": _Q_CAPDUP_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -105,6 +105,7 @@ HEADLINE = [
     "pagerank_priority_blend",
     "host_bucket_balance",
     "event_rate_anomaly",
+    "caption_dup_images",
 ]
 
 
