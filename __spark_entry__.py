@@ -5029,6 +5029,232 @@ SELECT 'in' AS direction, cast(floor(log2(deg)) as int) AS log2_bucket,
 """
 
 
+# --- HyperLogLog distinct sketch ------------------------------------------
+# m = 2^8 = 256 registers; alpha_m per Flajolet et al. 2007 (public paper).
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)  # embedded as repr on both engines
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog frontier cardinality — the mergeable sketch that
+    answers "how many distinct URLs has this crawl seen" WITHOUT the full
+    shuffle `count(distinct)` needs: at 10^10 URLs the exact count is a
+    60-byte-per-row shuffle of the whole frontier, while HLL is a
+    constant 256-register partial agg that merges across partitions,
+    rounds, and checkpoints (same lifecycle as the bloom shards).
+
+    Cross-engine float discipline: registers are exact integers
+    (register = h % m, rho = 53 - bitlen(h div m) via unpadded binary
+    strings on both engines), and the harmonic sum is computed as an
+    EXACT integer Σ 2^(53-Mj) (max 256·2^53 < 2^63) so the only float
+    ops are one division + one multiply chain, identical IEEE on both
+    engines. Exact distinct is computed alongside ONLY as the sf0.01
+    demo column — at scale you'd drop it; rel_err is the point.
+
+    Ref parity: the reference sizes its (declared, unimplemented) bloom
+    at 10^7 insertions (application.properties:33-34) but has no way to
+    measure how full it is; this sketch is that missing gauge."""
+    from distributed_webcrawler_spark.operators.sketch import hll_estimate, hll_registers
+
+    fr = _frontier(spark, sf_dir)
+    reg = hll_registers(fr, "url", p=8)
+    exact = fr.agg(F.countDistinct("url").alias("exact_distinct"))
+    scal = (hll_estimate(reg, p=8).crossJoin(F.broadcast(exact))
+            .select("hll_estimate", "exact_distinct",
+                    F.round(F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                            / F.col("exact_distinct"), 6).alias("rel_err")))
+    return (reg.crossJoin(F.broadcast(scal))
+            .select("register", "max_rho",
+                    "hll_estimate", "exact_distinct", "rel_err"))
+
+
+def _hll_sql() -> str:
+    raw = (f"(({_HLL_ALPHA!r}::DOUBLE * {float(_HLL_M * _HLL_M)!r}::DOUBLE)"
+           f" * 9007199254740992.0::DOUBLE) / s_int")
+    est = (f"round(CASE WHEN v_empty > 0 AND {raw} <= {2.5 * _HLL_M!r}::DOUBLE"
+           f" THEN {float(_HLL_M)!r}::DOUBLE * ln({float(_HLL_M)!r}::DOUBLE / v_empty)"
+           f" ELSE {raw} END, 4)")
+    return f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+hw AS (
+  SELECT cast({h64_sql("url")} % {_HLL_M} as int) AS register,
+         ({h64_sql("url")} // {_HLL_M}) AS w
+  FROM frontier),
+reg AS (
+  SELECT register,
+         cast(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) as int) AS max_rho
+  FROM hw GROUP BY register),
+summ AS (
+  SELECT sum((1::BIGINT << (53 - max_rho)))
+           + ({_HLL_M} - count(*)) * 9007199254740992 AS s_int,
+         cast({_HLL_M} - count(*) as bigint) AS v_empty
+  FROM reg),
+exact AS (SELECT count(DISTINCT url) AS exact_distinct FROM frontier),
+scal AS (
+  SELECT {est} AS hll_estimate, exact_distinct,
+         round(abs({est} - exact_distinct) * 1.0 / exact_distinct, 6) AS rel_err
+  FROM summ CROSS JOIN exact)
+SELECT register, max_rho, hll_estimate, exact_distinct, rel_err
+FROM reg CROSS JOIN scal
+"""
+
+
+# --- URL template mining ----------------------------------------------------
+_TMPL_TRAP_N = 1000
+
+
+def q_url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining — collapse every URL to its structural
+    template (digit runs -> 'N') and profile the URL space: crawler-trap
+    detection (one template generating unbounded URLs: calendars,
+    session ids, pagination), dedup-rule candidates (DUST-style), and a
+    compression figure for frontier storage. The synthetic URL set is
+    built from orders so several templates coexist (priority segment ×
+    optional ?page= param).
+
+    Plan shape: one regexp_replace projection (JVM codegen, no UDF) +
+    one groupBy(template) with map-side partial agg — the template
+    dimension is tiny (product of site layouts, not of URLs), so the
+    shuffle is constant-width regardless of corpus size."""
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop"), (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".example.test/"),
+        F.lower(F.col("o_orderpriority")),
+        F.lit("/item"), F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.concat(F.lit("?page="), (F.col("o_orderkey") % 11).cast("string")))
+        .otherwise(F.lit("")))
+    host = F.concat(F.lit("shop"), (F.col("o_custkey") % 50).cast("string"),
+                    F.lit(".example.test"))
+    rows = o.select(F.regexp_replace(url, "[0-9]+", "N").alias("template"),
+                    host.alias("host"))
+    return (rows.groupBy("template")
+            .agg(F.count("*").cast("bigint").alias("n_urls"),
+                 F.countDistinct("host").cast("bigint").alias("n_hosts"))
+            .select("template", "n_urls", "n_hosts",
+                    F.round(F.col("n_urls") / F.col("n_hosts"), 6)
+                    .alias("urls_per_host"),
+                    (F.col("n_urls") >= _TMPL_TRAP_N).alias("trap_risk")))
+
+
+_Q_TMPL_SQL = f"""
+WITH u AS (
+  SELECT regexp_replace(
+           concat('https://shop', cast(o_custkey % 50 as varchar), '.example.test/',
+                  lower(o_orderpriority), '/item', cast(o_orderkey as varchar),
+                  CASE WHEN o_orderkey % 3 = 0
+                       THEN concat('?page=', cast(o_orderkey % 11 as varchar))
+                       ELSE '' END),
+           '[0-9]+', 'N', 'g') AS template,
+         concat('shop', cast(o_custkey % 50 as varchar), '.example.test') AS host
+  FROM orders)
+SELECT template, count(*) AS n_urls, count(DISTINCT host) AS n_hosts,
+       round(count(*) * 1.0 / count(DISTINCT host), 6) AS urls_per_host,
+       count(*) >= {_TMPL_TRAP_N} AS trap_risk
+FROM u GROUP BY template
+"""
+
+
+# --- host co-citation similarity -------------------------------------------
+_COCITE_CAP, _COCITE_MIN, _COCITE_HOSTS = 12, 5, 200
+
+
+def q_host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host co-citation similarity — two hosts are related if the same
+    pages link to both (Small 1973; the seed-expansion signal: "crawl
+    what's co-cited with my vetted seeds"). The citing side is the
+    orders-derived page set (pages cite the hosts of their orders'
+    links) so out-degrees are naturally sparse and varied. Pairs come
+    from a self-join of the out-edge list on src, so a hub src with
+    out-degree d emits d² pairs — the classic quadratic skew bomb. The
+    scale guard is explicit: srcs with out-degree > 12 are EXCLUDED
+    (standard practice in co-citation/collab-filter systems — a page
+    linking to everything carries no signal; at sf0.01 the cap visibly
+    binds, dropping ~18% of srcs), bounding pairs at cap²/2 per src.
+    Similarity = cocite / sqrt(indeg_a·indeg_b) (cosine on the exact
+    integer counts), pairs reported at cocite >= 5."""
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("page"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("host"), (F.col("o_orderkey") % _COCITE_HOSTS).cast("string")).alias("dst"),
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    kept = (edges.join(deg.where(F.col("outdeg") <= _COCITE_CAP), "src")
+            .select("src", "dst"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (a.join(b, (F.col("a.src") == F.col("b.src"))
+                    & (F.col("a.dst") < F.col("b.dst")))
+             .groupBy(F.col("a.dst").alias("host_a"), F.col("b.dst").alias("host_b"))
+             .agg(F.count("*").cast("bigint").alias("cocite"))
+             .where(F.col("cocite") >= _COCITE_MIN))
+    indeg = kept.groupBy("dst").agg(F.count("*").alias("indeg"))
+    return (pairs
+            .join(indeg.withColumnRenamed("dst", "host_a")
+                  .withColumnRenamed("indeg", "indeg_a"), "host_a")
+            .join(indeg.withColumnRenamed("dst", "host_b")
+                  .withColumnRenamed("indeg", "indeg_b"), "host_b")
+            .select("host_a", "host_b", "cocite",
+                    F.round(F.col("cocite")
+                            / F.sqrt(F.col("indeg_a") * F.col("indeg_b")), 6)
+                    .alias("cosine")))
+
+
+_Q_COCITE_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT concat('page', cast(o_custkey as varchar)) AS src,
+                  concat('host', cast(o_orderkey % {_COCITE_HOSTS} as varchar)) AS dst
+  FROM orders),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+kept AS (SELECT e.src, e.dst FROM e JOIN deg d ON d.src = e.src
+         WHERE d.outdeg <= {_COCITE_CAP}),
+pairs AS (
+  SELECT a.dst AS host_a, b.dst AS host_b, count(*) AS cocite
+  FROM kept a JOIN kept b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2 HAVING count(*) >= {_COCITE_MIN}),
+indeg AS (SELECT dst, count(*) AS indeg FROM kept GROUP BY dst)
+SELECT p.host_a, p.host_b, p.cocite,
+       round(p.cocite / sqrt(ia.indeg * ib.indeg), 6) AS cosine
+FROM pairs p JOIN indeg ia ON ia.dst = p.host_a
+             JOIN indeg ib ON ib.dst = p.host_b
+"""
+
+
+def q_crawl_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl makespan forecast — given the politeness budget of
+    100 fetches/host/round, how many rounds until each host's
+    pending queue drains, and how long the whole frontier takes (the
+    makespan = the slowest host, which is what actually bounds a polite
+    crawl — adding executors cannot make one host go faster). Pure
+    integer math ((pending + B-1) div B), one groupBy(host) + a scalar
+    max broadcast; the capacity-planning twin of budget_apportion."""
+    fr = _frontier(spark, sf_dir)
+    per = (fr.groupBy("host").agg(F.count("*").cast("bigint").alias("pending"))
+           .select("host", "pending",
+                   F.expr(f"CAST((pending + {HOST_BUDGET - 1}) DIV {HOST_BUDGET} AS INT)")
+                   .alias("drain_rounds"),
+                   F.expr(f"CAST(pending - (pending - 1) DIV {HOST_BUDGET} * {HOST_BUDGET} AS BIGINT)")
+                   .alias("last_round_urls")))
+    mk = per.agg(F.max("drain_rounds").alias("makespan_rounds"))
+    return (per.crossJoin(F.broadcast(mk))
+            .select("host", "pending", "drain_rounds", "last_round_urls",
+                    F.col("makespan_rounds").cast("int").alias("makespan_rounds")))
+
+
+_Q_MAKESPAN_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+per AS (
+  SELECT host, count(*) AS pending,
+         cast((count(*) + {HOST_BUDGET - 1}) // {HOST_BUDGET} as int) AS drain_rounds,
+         cast(count(*) - (count(*) - 1) // {HOST_BUDGET} * {HOST_BUDGET} as bigint) AS last_round_urls
+  FROM frontier GROUP BY host),
+mk AS (SELECT max(drain_rounds) AS makespan_rounds FROM per)
+SELECT host, pending, drain_rounds, last_round_urls,
+       cast((SELECT makespan_rounds FROM mk) as int) AS makespan_rounds
+FROM per
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -5098,6 +5324,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_bucket_balance": q_host_bucket_balance,
         "event_rate_anomaly": q_event_rate_anomaly,
         "caption_dup_images": q_caption_dup_images,
+        "hll_distinct": q_hll_distinct,
+        "url_template_mining": q_url_template_mining,
+        "host_cocitation": q_host_cocitation,
+        "crawl_makespan": q_crawl_makespan,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -5229,6 +5459,10 @@ def oracle_sql() -> dict[str, str]:
         "host_bucket_balance": _Q_HB_BAL_SQL,
         "event_rate_anomaly": _Q_ANOM_SQL,
         "caption_dup_images": _Q_CAPDUP_SQL,
+        "hll_distinct": _hll_sql(),
+        "url_template_mining": _Q_TMPL_SQL,
+        "host_cocitation": _Q_COCITE_SQL,
+        "crawl_makespan": _Q_MAKESPAN_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -29,6 +29,41 @@ def test_sample_queries_run(spark):
         assert qs[name](spark, "/root/testdata/sf0.001").count() > 0
 
 
+def test_url_template_mining_masks_all_digits(spark):
+    rows = E.q_url_template_mining(spark, E.SF001).collect()
+    assert rows
+    n_orders = spark.read.parquet(f"{E.SF001}/orders.parquet").count()
+    assert sum(r["n_urls"] for r in rows) == n_orders
+    for r in rows:
+        assert "N" in r["template"]
+        assert not any(c.isdigit() for c in r["template"])
+
+
+def test_host_cocitation_invariants(spark):
+    # sf0.01: sf0.001's orders are too few for any pair to clear the
+    # cocite >= 5 floor (max observed there is 4) — the report would be
+    # vacuously green, which is exactly what this test forbids
+    rows = E.q_host_cocitation(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "cocitation must be non-vacuous at sf0.01"
+    for r in rows:
+        assert r["host_a"] < r["host_b"]
+        assert r["cocite"] >= E._COCITE_MIN
+        # cocite <= min(indeg) => cosine <= 1; > 0 by construction
+        assert 0.0 < r["cosine"] <= 1.0
+
+
+def test_crawl_makespan_integer_math(spark):
+    rows = E.q_crawl_makespan(spark, E.SF001).collect()
+    assert rows
+    mk = max(r["drain_rounds"] for r in rows)
+    for r in rows:
+        want = -(-r["pending"] // E.HOST_BUDGET)  # ceil
+        assert r["drain_rounds"] == want
+        assert 1 <= r["last_round_urls"] <= E.HOST_BUDGET
+        assert (r["pending"] - r["last_round_urls"]) % E.HOST_BUDGET == 0
+        assert r["makespan_rounds"] == mk
+
+
 def test_budget_apportion_sums_exactly(spark):
     import __spark_entry__ as E
     rows = E.q_budget_apportion(spark, E.SF001).collect()

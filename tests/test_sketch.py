@@ -50,6 +50,56 @@ def test_weighted_sample_matches_python_reference(spark):
     assert got == want
 
 
+def test_hll_estimate_accuracy(spark):
+    from distributed_webcrawler_spark.operators.sketch import hll_estimate, hll_registers
+
+    n = 20000
+    df = spark.createDataFrame([(f"url-{i}",) for i in range(n)], "x string")
+    est = hll_estimate(hll_registers(df, "x", p=8), p=8).first()["hll_estimate"]
+    # stderr ~ 1.04/sqrt(256) ~ 6.5%; allow 4 sigma
+    assert abs(est - n) / n < 0.26, est
+
+
+def test_hll_insensitive_to_duplicates_and_partitioning(spark):
+    from distributed_webcrawler_spark.operators.sketch import hll_estimate, hll_registers
+
+    vals = [(f"v{i}",) for i in range(5000)]
+    a = spark.createDataFrame(vals, "x string")
+    b = spark.createDataFrame(vals * 4, "x string").repartition(16)
+    ea = hll_estimate(hll_registers(a, "x"), 8).first()["hll_estimate"]
+    eb = hll_estimate(hll_registers(b, "x"), 8).first()["hll_estimate"]
+    assert ea == eb  # max-register state is multiset- and layout-invariant
+
+
+def test_hll_small_range_correction(spark):
+    from distributed_webcrawler_spark.operators.sketch import hll_estimate, hll_registers
+
+    # far below m distinct values: linear counting kicks in and the
+    # estimate lands within a few percent even where raw HLL is biased
+    n = 30
+    df = spark.createDataFrame([(f"s{i}",) for i in range(n)], "x string")
+    est = hll_estimate(hll_registers(df, "x"), 8).first()["hll_estimate"]
+    assert abs(est - n) / n < 0.2, est
+
+
+def test_hll_registers_merge_across_batches(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_webcrawler_spark.operators.sketch import hll_estimate, hll_registers
+
+    # the union-then-max of two register tables equals the registers of
+    # the unioned input — the property that lets the engine fold a
+    # per-round sketch into the checkpointed one without rescanning
+    d1 = spark.createDataFrame([(f"a{i}",) for i in range(3000)], "x string")
+    d2 = spark.createDataFrame([(f"b{i}",) for i in range(3000)], "x string")
+    merged = (hll_registers(d1, "x").unionByName(hll_registers(d2, "x"))
+              .groupBy("register").agg(F.max("max_rho").cast("int").alias("max_rho")))
+    whole = hll_registers(d1.unionByName(d2), "x")
+    em = hll_estimate(merged).first()["hll_estimate"]
+    ew = hll_estimate(whole).first()["hll_estimate"]
+    assert em == ew
+
+
 def test_weighted_sample_prefers_heavy_items(spark):
     # one item with overwhelming weight is (near-)certain to be selected:
     # key = u^(1/w) -> 1 as w -> inf
