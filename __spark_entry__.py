@@ -5255,6 +5255,228 @@ FROM per
 """
 
 
+# --- triangle counting over the host graph ---------------------------------
+_TRI_HOSTS, _TRI_MOD = 200, 4
+_TRI_EDGE_SQL = f"""
+  SELECT DISTINCT least(o_orderkey % {_TRI_HOSTS}, o_custkey % {_TRI_HOSTS}) AS a,
+                  greatest(o_orderkey % {_TRI_HOSTS}, o_custkey % {_TRI_HOSTS}) AS b
+  FROM orders
+  WHERE o_orderkey % {_TRI_HOSTS} <> o_custkey % {_TRI_HOSTS}
+    AND (o_orderkey + o_custkey) % {_TRI_MOD} = 0
+"""
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + clustering coefficient per host — the link-
+    farm detector (spam rings are near-cliques: high clustering at high
+    degree) and the community-density summary. The Spark side runs the
+    degree-ordered ORIENTED enumeration (operators/graphstats.py: each
+    triangle found once at its lowest-(degree,id) corner, so hub nodes
+    never become wedge centers — the 'last reducer' fix from Suri &
+    Vassilvitskii WWW'11); the oracle states the naive neighbor-pair
+    form. Orientation is a physical strategy, not a semantic: the counts
+    are provably identical, which is the point of gating it."""
+    from distributed_webcrawler_spark.operators.graphstats import triangle_counts
+
+    o = _t(spark, sf_dir, "orders")
+    ka, kb = F.col("o_orderkey") % _TRI_HOSTS, F.col("o_custkey") % _TRI_HOSTS
+    edges = (o.where((ka != kb)
+                     & ((F.col("o_orderkey") + F.col("o_custkey")) % _TRI_MOD == 0))
+             .select(ka.alias("src"), kb.alias("dst")))
+    return (triangle_counts(edges)
+            .select(F.col("id").cast("bigint").alias("node"),
+                    "degree", "triangles", "clustering"))
+
+
+_Q_TRI_SQL = f"""
+WITH e AS ({_TRI_EDGE_SQL}),
+und AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT s AS id, count(*) AS degree FROM und GROUP BY s),
+tri AS (
+  SELECT e1.s AS id, count(*) AS triangles
+  FROM und e1 JOIN und e2 ON e1.s = e2.s AND e1.d < e2.d
+  JOIN e e3 ON e3.a = e1.d AND e3.b = e2.d
+  GROUP BY e1.s)
+SELECT d.id AS node, cast(d.degree as bigint) AS degree,
+       cast(coalesce(t.triangles, 0) as bigint) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tri t ON t.id = d.id
+"""
+
+
+# --- BFS seed distance -------------------------------------------------------
+_BFS_NODES, _BFS_SEED_MOD, _BFS_HOPS = 400, 50, 6
+_BFS_EDGE_SQL = f"""
+  SELECT DISTINCT l_orderkey % {_BFS_NODES} AS src,
+                  (l_orderkey * 3 + l_linenumber % 2) % {_BFS_NODES} AS dst
+  FROM lineitem
+  WHERE l_orderkey % {_BFS_NODES} <> (l_orderkey * 3 + l_linenumber % 2) % {_BFS_NODES}
+"""
+
+
+def q_graph_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the seed set over the link graph, exact up
+    to 6 hops — the offline twin of crawl depth: "if I seed these hosts,
+    what does round N's frontier look like" (the synthetic graph spreads
+    seeds' reach across depths 0-8, so the 6-hop horizon visibly
+    truncates: unreached nodes are absent, as in a real crawl). Spark
+    runs frontier-only expansion (operators/graphstats.py, one equi-join
+    + min-agg per hop, checkpointed); the oracle states the Bellman-Ford
+    relax-everything form — after t rounds both give the exact min-hop
+    distance for every node within t hops, so the gate proves the
+    frontier optimization changes nothing."""
+    from distributed_webcrawler_spark.operators.graphstats import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (li.select((F.col("l_orderkey") % _BFS_NODES).alias("src"),
+                       ((F.col("l_orderkey") * 3 + F.col("l_linenumber") % 2)
+                        % _BFS_NODES).alias("dst"))
+             .where(F.col("src") != F.col("dst")).distinct())
+    nodes = (edges.select(F.col("src").alias("id"))
+             .unionByName(edges.select(F.col("dst").alias("id"))).distinct())
+    seeds = nodes.where(F.col("id") % _BFS_SEED_MOD == 0)
+    return (bfs_distances(edges, seeds, max_hops=_BFS_HOPS)
+            .select(F.col("id").cast("bigint").alias("node"), "dist"))
+
+
+def _bfs_sql() -> str:
+    parts = [f"""e AS ({_BFS_EDGE_SQL}),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+d0 AS (SELECT id, 0 AS dist FROM nodes WHERE id % {_BFS_SEED_MOD} = 0)"""]
+    for t in range(_BFS_HOPS):
+        parts.append(f"""d{t + 1} AS (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d{t}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + 1 AS dist FROM d{t} d JOIN e ON e.src = d.id
+  ) GROUP BY id)""")
+    body = ",\n".join(parts)
+    return (f"WITH {body}\nSELECT cast(id as bigint) AS node,"
+            f" cast(dist as int) AS dist FROM d{_BFS_HOPS}")
+
+
+# --- approximate quantiles from a fixed-width histogram ----------------------
+_AQ_BIN_W = 100.0
+_AQ_QS = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
+
+
+def q_approx_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-binned approximate quantiles of l_extendedprice — the
+    10^10-row replacement for exact `percentile`'s global sort: a
+    constant-width groupBy(bin) (mergeable, partial-agg bounded) plus
+    linear interpolation where the cumulative count crosses q·n
+    (operators/sketch.py binned_quantiles; max error bin_width/2). The
+    exact percentile is computed alongside and the relative error
+    reported — the accuracy-vs-shuffle tradeoff made visible and gated."""
+    from distributed_webcrawler_spark.operators.sketch import binned_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = binned_quantiles(li, "l_extendedprice", _AQ_BIN_W, _AQ_QS)
+    ex = li.agg(*[F.expr(f"percentile(l_extendedprice, {q!r})").alias(lbl)
+                  for lbl, q in _AQ_QS])
+    exm = (ex.select(F.explode(F.array(*[
+        F.struct(F.lit(lbl).alias("label"),
+                 F.round(F.col(lbl), 6).alias("exact_value"))
+        for lbl, _ in _AQ_QS])).alias("s"))
+        .select("s.label", "s.exact_value"))
+    return (est.join(F.broadcast(exm), "label")
+            .select("label", "q", "est_value", "exact_value",
+                    F.round(F.abs(F.col("est_value") - F.col("exact_value"))
+                            / F.col("exact_value"), 6).alias("rel_err")))
+
+
+def _aq_sql() -> str:
+    from distributed_webcrawler_spark.operators.sketch import binned_quantiles_sql
+
+    inner = binned_quantiles_sql("l_extendedprice", "lineitem", _AQ_BIN_W, _AQ_QS)
+    exact = " UNION ALL ".join(
+        f"SELECT '{lbl}' AS label, round(quantile_cont(l_extendedprice, {q!r}), 6)"
+        f" AS exact_value FROM lineitem" for lbl, q in _AQ_QS)
+    return f"""
+WITH est AS ({inner}),
+ex AS ({exact})
+SELECT est.label, est.q, est.est_value, ex.exact_value,
+       round(abs(est.est_value - ex.exact_value) / ex.exact_value, 6) AS rel_err
+FROM est JOIN ex ON ex.label = est.label
+"""
+
+
+# --- DUST rule mining ---------------------------------------------------------
+_DUST_MIN_SUPPORT = 100
+
+
+def q_dust_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule mining — "Different URLs with Similar Text" (Bar-Yossef
+    et al., WWW 2007): discover URL rewrite rules from content-duplicate
+    URL pairs, so the frontier can canonicalize aliases BEFORE fetching
+    them (www-prefix, /index.html suffix, session-id params — the three
+    planted alias families here). The miner is generic: group URLs by
+    content digest, elect the lexicographic-min URL as the canonical,
+    emit template(alias) -> template(canonical) per non-canonical member
+    (templates = digit-masked), and count supporting digest groups; only
+    rules above min-support survive (one noisy pair is not a rule).
+
+    Scale shape: one shuffle on digest (groupBy min + join back on the
+    same key — co-partitioned), one constant-width rule agg. The rule
+    table is then a broadcast-size artifact the canonicalizer applies
+    map-side, which is the whole point: discovered once, applied for
+    free at 10^10 URLs."""
+    li = _t(spark, sf_dir, "lineitem")
+    host = F.concat(F.lit("host"), (F.col("l_suppkey") % N_FRONTIER_HOSTS).cast("string"))
+    tail = F.concat(F.col("l_orderkey").cast("string"), F.lit("-"),
+                    F.col("l_linenumber").cast("string"))
+    base = F.concat(F.lit("https://"), host, F.lit(".example.test/p/"), tail)
+    v = F.col("l_linenumber") % 3
+    alias = (F.when(v == 0, F.concat(F.lit("https://www."), host,
+                                     F.lit(".example.test/p/"), tail))
+             .when(v == 1, F.concat(base, F.lit("/index.html")))
+             .otherwise(F.concat(base, F.lit("?session="),
+                                 (F.col("l_orderkey") % 1000).cast("string"))))
+    urls = (li.select(h64(base).alias("digest"),
+                      F.explode(F.array(base, alias)).alias("url")))
+    canon = urls.groupBy("digest").agg(F.min("url").alias("canon"))
+    tmpl = lambda c: F.regexp_replace(c, "[0-9]+", "N")  # noqa: E731
+    return (urls.join(canon, "digest")
+            .where(F.col("url") != F.col("canon"))
+            .select(tmpl(F.col("url")).alias("rule_from"),
+                    tmpl(F.col("canon")).alias("rule_to"))
+            .groupBy("rule_from", "rule_to")
+            .agg(F.count("*").cast("bigint").alias("support"))
+            .where(F.col("support") >= _DUST_MIN_SUPPORT))
+
+
+_Q_DUST_SQL = f"""
+WITH rows_ AS (
+  SELECT concat('https://host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar),
+                '.example.test/p/', cast(l_orderkey as varchar), '-',
+                cast(l_linenumber as varchar)) AS base,
+         l_orderkey, l_linenumber, l_suppkey
+  FROM lineitem),
+pairs AS (
+  SELECT {h64_sql("base")} AS digest, base,
+         CASE l_linenumber % 3
+           WHEN 0 THEN concat('https://www.host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar),
+                              '.example.test/p/', cast(l_orderkey as varchar), '-',
+                              cast(l_linenumber as varchar))
+           WHEN 1 THEN concat(base, '/index.html')
+           ELSE concat(base, '?session=', cast(l_orderkey % 1000 as varchar))
+         END AS alias
+  FROM rows_),
+urls AS (
+  SELECT digest, base AS url FROM pairs
+  UNION ALL SELECT digest, alias FROM pairs),
+canon AS (SELECT digest, min(url) AS canon FROM urls GROUP BY digest)
+SELECT regexp_replace(u.url, '[0-9]+', 'N', 'g') AS rule_from,
+       regexp_replace(c.canon, '[0-9]+', 'N', 'g') AS rule_to,
+       count(*) AS support
+FROM urls u JOIN canon c ON c.digest = u.digest
+WHERE u.url <> c.canon
+GROUP BY 1, 2 HAVING count(*) >= {_DUST_MIN_SUPPORT}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_round_schedule": q_crawl_round_schedule,
@@ -5328,6 +5550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_template_mining": q_url_template_mining,
         "host_cocitation": q_host_cocitation,
         "crawl_makespan": q_crawl_makespan,
+        "graph_triangles": q_graph_triangles,
+        "graph_seed_distance": q_graph_seed_distance,
+        "approx_quantile_hist": q_approx_quantile_hist,
+        "dust_rule_mining": q_dust_rule_mining,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -5463,6 +5689,10 @@ def oracle_sql() -> dict[str, str]:
         "url_template_mining": _Q_TMPL_SQL,
         "host_cocitation": _Q_COCITE_SQL,
         "crawl_makespan": _Q_MAKESPAN_SQL,
+        "graph_triangles": _Q_TRI_SQL,
+        "graph_seed_distance": _bfs_sql(),
+        "approx_quantile_hist": _aq_sql(),
+        "dust_rule_mining": _Q_DUST_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -144,6 +144,70 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     return summ.select(est.alias("hll_estimate"))
 
 
+def binned_quantiles(df: DataFrame, col: str, bin_width: float,
+                     qs: list[tuple[str, float]]) -> DataFrame:
+    """Approximate quantiles from a fixed-width histogram: (label, q,
+    est_value) per requested quantile. The 10^10-row path for exact
+    `percentile`'s global sort: one groupBy(bin) with map-side partial
+    counts (shuffle width = #bins, a constant of the value range, not of
+    the row count; mergeable across rounds like every sketch here), then
+    linear interpolation inside the bin where the cumulative count
+    crosses q·n. Max error is bin_width/2 per estimate, chosen by the
+    caller. The cumulative window runs over the BIN dimension (bounded,
+    ordered) — the same bounded-dimension window pattern as the depth
+    profile, not a global sort over rows.
+
+    Determinism: bin ids and cumulative counts are exact integers; the
+    only float ops are floor(x/W) per row and one interpolation per
+    quantile — identical IEEE on both engines."""
+    bins = (df.select(F.floor(F.col(col) / F.lit(bin_width)).cast("bigint").alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("cnt")))
+    from pyspark.sql import Window
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select("bin", "cnt", F.sum("cnt").over(w).alias("cum"))
+    tot = bins.agg(F.sum("cnt").alias("n"))
+    qdim = tot.select(
+        "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(label).alias("label"), F.lit(q).alias("q"))
+            for label, q in qs])).alias("s")).select("n", "s.label", "s.q")
+    cand = (cum.crossJoin(F.broadcast(qdim))
+            .where(F.col("cum") >= F.col("q") * F.col("n")))
+    wq = Window.partitionBy("label").orderBy("bin")
+    first = (cand.withColumn("rk", F.row_number().over(wq))
+             .where(F.col("rk") == 1))
+    est = (F.col("bin") * F.lit(bin_width)
+           + F.lit(bin_width) * (F.col("q") * F.col("n")
+                                 - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+    return first.select("label", "q", F.round(est, 6).alias("est_value"))
+
+
+def binned_quantiles_sql(expr: str, source: str, bin_width: float,
+                         qs: list[tuple[str, float]]) -> str:
+    """DuckDB restatement of :func:`binned_quantiles` (same bins, same
+    cumulative crossing, same interpolation — value-identical)."""
+    qrows = ", ".join(f"('{label}', {q!r}::DOUBLE)" for label, q in qs)
+    return f"""
+WITH bins AS (
+  SELECT cast(floor(({expr}) / {bin_width!r}) as bigint) AS bin, count(*) AS cnt
+  FROM {source} GROUP BY 1),
+cum AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM bins),
+tot AS (SELECT sum(cnt) AS n FROM bins),
+qdim AS (SELECT * FROM (VALUES {qrows}) v(label, q)),
+cand AS (
+  SELECT q.label, q.q, c.bin, c.cnt, c.cum, t.n,
+         row_number() OVER (PARTITION BY q.label ORDER BY c.bin) AS rk
+  FROM cum c CROSS JOIN qdim q CROSS JOIN tot t
+  WHERE c.cum >= q.q * t.n)
+SELECT label, q,
+       round(bin * {bin_width!r} + {bin_width!r} * (q * n - (cum - cnt)) / cnt, 6) AS est_value
+FROM cand WHERE rk = 1
+"""
+
+
 def weighted_sample(df: DataFrame, weight_col, k: int = 100,
                     id_col: str = "doc_id") -> DataFrame:
     """Deterministic Efraimidis-Spirakis weighted sample WITHOUT

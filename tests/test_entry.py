@@ -64,6 +64,20 @@ def test_crawl_makespan_integer_math(spark):
         assert r["makespan_rounds"] == mk
 
 
+def test_dust_rules_find_planted_alias_families(spark):
+    rows = E.q_dust_rule_mining(spark, E.SF001).collect()
+    froms = {r["rule_from"] for r in rows}
+    # the three planted alias families, and nothing else
+    assert froms == {
+        "https://www.hostN.example.test/p/N-N",
+        "https://hostN.example.test/p/N-N/index.html",
+        "https://hostN.example.test/p/N-N?session=N",
+    }
+    for r in rows:
+        assert r["rule_to"] == "https://hostN.example.test/p/N-N"
+        assert r["support"] >= E._DUST_MIN_SUPPORT
+
+
 def test_budget_apportion_sums_exactly(spark):
     import __spark_entry__ as E
     rows = E.q_budget_apportion(spark, E.SF001).collect()

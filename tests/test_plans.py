@@ -168,3 +168,27 @@ def test_surt_and_block_rate_stay_in_scan(spark):
     for name in ("url_surt_key", "robots_block_rate"):
         plan = _plan(E.queries()[name](spark, SF))
         assert "Join" not in plan, f"{name} joins:\n{plan}"
+
+
+def test_graph_queries_no_cartesian(spark):
+    """Triangle counting's wedge close and BFS's hop expansion are keyed
+    equi-joins — no CartesianProduct / BroadcastNestedLoopJoin; the
+    cross-joins in approx_quantile_hist broadcast a 3-row quantile dim,
+    never a row-scaled side."""
+    import __spark_entry__ as E
+
+    for name in ("graph_triangles", "graph_seed_distance"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_dust_canonical_join_is_single_key_shuffle(spark):
+    """dust_rule_mining groups and re-joins on the SAME digest key — the
+    join must be an equi-join (hash or sort-merge on digest), never a
+    nested loop."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["dust_rule_mining"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -100,6 +100,31 @@ def test_hll_registers_merge_across_batches(spark):
     assert em == ew
 
 
+def test_binned_quantiles_error_bound(spark):
+    from distributed_webcrawler_spark.operators.sketch import binned_quantiles
+
+    vals = [(float(7 + (i * 37) % 1000),) for i in range(5000)]
+    df = spark.createDataFrame(vals, "x double")
+    got = {r["label"]: r["est_value"]
+           for r in binned_quantiles(df, "x", 10.0, [("p50", 0.5), ("p95", 0.95)]).collect()}
+    xs = sorted(v for (v,) in vals)
+    for label, q in (("p50", 0.5), ("p95", 0.95)):
+        exact = xs[min(int(q * len(xs)), len(xs) - 1)]
+        assert abs(got[label] - exact) <= 10.0, (label, got[label], exact)
+
+
+def test_binned_quantiles_exact_when_bin_holds_one_value(spark):
+    from distributed_webcrawler_spark.operators.sketch import binned_quantiles
+
+    # all mass in single-value bins: interpolation crosses inside the
+    # bin that holds the target, so p50 of {0..9 each x100, width 1}
+    # lands inside bin 4 (cum crosses 500 at bin 4's upper half)
+    vals = [(float(i),) for i in range(10) for _ in range(100)]
+    df = spark.createDataFrame(vals, "x double")
+    got = binned_quantiles(df, "x", 1.0, [("p50", 0.5)]).first()
+    assert 4.0 <= got["est_value"] <= 5.0
+
+
 def test_weighted_sample_prefers_heavy_items(spark):
     # one item with overwhelming weight is (near-)certain to be selected:
     # key = u^(1/w) -> 1 as w -> inf
