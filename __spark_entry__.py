@@ -3141,7 +3141,7 @@ def q_crawl_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cum_share")))
 
 
-_Q_DEPTH_SQL = f"""
+_Q_DEPTH_PROFILE_SQL = f"""
 WITH frontier AS ({_FRONTIER_SQL}),
 per AS (SELECT depth, count(*) AS n FROM frontier GROUP BY depth),
 tot AS (SELECT sum(n) AS t FROM per)
@@ -5255,6 +5255,86 @@ FROM per
 """
 
 
+# --- letterbox / pillarbox margin detection ---------------------------------
+_LB_N = 192
+
+
+def _lb_payloads() -> list:
+    """Deterministic (image_id, bytes) batch with PLANTED uniform borders:
+    i%4==0 rows get top/bottom letterbox bars, i%4==1 rows get left/right
+    pillarbox bars, one image is fully blank, the rest are raw synth
+    pixels (no uniform border). md5-derived sizes, same recipe as the
+    multimodal decode batch."""
+    import hashlib
+
+    import numpy as np
+
+    from distributed_webcrawler_spark.sources import codec
+
+    out = []
+    fmts = ["png", "jpeg", "webp"]
+    for i in range(_LB_N):
+        hw = int(hashlib.md5(f"lbw:{i}".encode()).hexdigest()[:8], 16)
+        hh = int(hashlib.md5(f"lbh:{i}".encode()).hexdigest()[:8], 16)
+        w, h = 20 + hw % 29, 20 + hh % 29
+        iid = f"lb-{i:05d}"
+        px = codec.synth_pixels(iid, w, h).copy()
+        if i == 7:
+            px[:] = (12, 12, 12)                     # fully blank
+        elif i % 4 == 0:
+            k = 2 + i % 5
+            px[:k] = (0, 0, 0)
+            px[-k:] = (0, 0, 0)                      # letterbox bars
+        elif i % 4 == 1:
+            k = 2 + i % 3
+            px[:, :k] = (0, 0, 0)
+            px[:, -k:] = (0, 0, 0)                   # pillarbox bars
+        out.append((iid, codec.encode_image(np.ascontiguousarray(px), fmts[i % 3])))
+    return out
+
+
+def q_image_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox/pillarbox detection — uniform-border margins + content
+    box per image, the pre-training crop signal (bars poison phash dedup
+    and aspect bucketing). Arrow-batched decode-once mapInPandas
+    (operators/multimodal.py letterbox_stats); the planted-border batch
+    is deterministic, so the oracle gates rows+schema+hash against a
+    precomputed expected table, same discipline as multimodal_decode."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import letterbox_stats
+
+    pdf = pd.DataFrame(_lb_payloads(), columns=["image_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    return (letterbox_stats(payloads).where(F.col("ok"))
+            .select("image_id", "w", "h", "top", "bottom", "left", "right",
+                    "content_w", "content_h", "letterboxed"))
+
+
+def _lb_sql() -> str:
+    from distributed_webcrawler_spark.operators.multimodal import letterbox_margins_np
+    from distributed_webcrawler_spark.sources import codec
+
+    rows = []
+    for iid, data in _lb_payloads():
+        px, _ = codec.decode_image(data)
+        t, b, lf, r = letterbox_margins_np(px)
+        h, w = px.shape[0], px.shape[1]
+        rows.append(f"('{iid}', {w}, {h}, {t}, {b}, {lf}, {r}, "
+                    f"{w - lf - r}, {h - t - b}, {str(max(t, b, lf, r) >= 2).upper()})")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT image_id, cast(w as int) AS w, cast(h as int) AS h,
+       cast(top as int) AS top, cast(bottom as int) AS bottom,
+       cast("left" as int) AS "left", cast("right" as int) AS "right",
+       cast(content_w as int) AS content_w, cast(content_h as int) AS content_h,
+       letterboxed
+FROM (VALUES
+{vals}
+) AS t(image_id, w, h, top, bottom, "left", "right", content_w, content_h, letterboxed)
+"""
+
+
 # --- triangle counting over the host graph ---------------------------------
 _TRI_HOSTS, _TRI_MOD = 200, 4
 _TRI_EDGE_SQL = f"""
@@ -5554,6 +5634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
         "dust_rule_mining": q_dust_rule_mining,
+        "image_letterbox": q_image_letterbox,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -5678,7 +5759,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resize_check": _img_resize_sql(),
         "audio_near_dup": _au_nd_sql(),
         "shard_balance_report": _Q_SHARD_BAL_SQL,
-        "crawl_depth_profile": _Q_DEPTH_SQL,
+        "crawl_depth_profile": _Q_DEPTH_PROFILE_SQL,
         "robots_sitemap_discovery": _Q_SMAP_DISC_SQL,
         "pagerank_priority_blend": _blend_sql(),
         "dedup_method_agreement": _dedup_agreement_sql(),
@@ -5693,6 +5774,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),
         "dust_rule_mining": _Q_DUST_SQL,
+        "image_letterbox": _lb_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

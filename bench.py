@@ -106,6 +106,15 @@ HEADLINE = [
     "host_bucket_balance",
     "event_rate_anomaly",
     "caption_dup_images",
+    "hll_distinct",
+    "url_template_mining",
+    "host_cocitation",
+    "crawl_makespan",
+    "graph_triangles",
+    "graph_seed_distance",
+    "approx_quantile_hist",
+    "dust_rule_mining",
+    "image_letterbox",
 ]
 
 

@@ -282,6 +282,81 @@ def header_meta(payloads: DataFrame, id_col: str = "image_id",
     )
 
 
+LETTERBOX_SCHEMA = ("image_id string, ok boolean, w int, h int, "
+                    "top int, bottom int, left int, right int, "
+                    "content_w int, content_h int, letterboxed boolean")
+
+
+def letterbox_margins_np(px: "np.ndarray") -> tuple[int, int, int, int]:
+    """Uniform-border margins of one decoded RGB array: the count of
+    leading/trailing rows (then columns, inside the row-cropped region)
+    whose every pixel equals the image's top-left corner pixel. A fully
+    uniform image is ALL top margin (bottom/left/right 0) so the four
+    margins never double-count. Pure numpy, shared verbatim by the Spark
+    decode task and the driver-side expected-table generator — what the
+    oracle then gates is the Arrow/batch/schema plumbing."""
+    h, w = px.shape[0], px.shape[1]
+    corner = px[0, 0]
+    row_uniform = (px == corner).all(axis=(1, 2))   # row equals corner color
+    top = 0
+    while top < h and row_uniform[top]:
+        top += 1
+    if top == h:
+        return h, 0, 0, 0
+    bottom = 0
+    while row_uniform[h - 1 - bottom]:
+        bottom += 1
+    core = px[top:h - bottom]
+    col_uniform = (core == corner).all(axis=(0, 2))
+    left = 0
+    while left < w and col_uniform[left]:
+        left += 1
+    if left == w:
+        return top, bottom, w, 0
+    right = 0
+    while col_uniform[w - 1 - right]:
+        right += 1
+    return top, bottom, left, right
+
+
+def letterbox_stats(payloads: DataFrame, min_margin: int = 2,
+                    id_col: str = "image_id",
+                    bytes_col: str = "bytes") -> DataFrame:
+    """Letterbox / pillarbox detection over decoded payloads: per image,
+    the uniform-border margins (top/bottom/left/right), the remaining
+    content box, and a `letterboxed` flag when any margin reaches
+    ``min_margin`` — the pre-training crop signal (letterboxed thumbnails
+    and pillarboxed re-posts are rampant in crawled image sets, and the
+    black bars poison both phash dedup and aspect-bucket packing).
+
+    Scale shape: same decode-once discipline as decode_stats — Arrow
+    batches in, metadata-width rows out, pixels never leave the task."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    px, _ = codec.decode_image(bytes(data))
+                except codec.CodecError:
+                    rows.append((iid, False) + (None,) * 8 + (None,))
+                    continue
+                t, b, lf, r = letterbox_margins_np(px)
+                h, w = px.shape[0], px.shape[1]
+                rows.append((iid, True, w, h, t, b, lf, r,
+                             w - lf - r, h - t - b,
+                             max(t, b, lf, r) >= min_margin))
+            names = ["image_id", "ok", "w", "h", "top", "bottom", "left",
+                     "right", "content_w", "content_h", "letterboxed"]
+            data = {n: [row[i] for row in rows] for i, n in enumerate(names)}
+            for n in names[2:10]:
+                data[n] = pd.array(data[n], dtype="Int32")
+            yield pd.DataFrame(data)
+
+    return payloads.select(id_col, bytes_col).mapInPandas(
+        batches, schema=LETTERBOX_SCHEMA)
+
+
 def channel_histogram(payloads: DataFrame, bits: int = 4,
                       bytes_col: str = "bytes") -> DataFrame:
     """Corpus-wide per-channel pixel histogram over decoded payloads

@@ -64,6 +64,41 @@ def test_crawl_makespan_integer_math(spark):
         assert r["makespan_rounds"] == mk
 
 
+def test_no_shadowed_toplevel_names():
+    """A duplicated module-level constant silently clobbers the earlier
+    one (this bit depth_gate's oracle when the depth-profile SQL reused
+    its constant name) — forbid duplicate top-level assignments/defs in
+    the entry module outright."""
+    import ast
+    import collections
+
+    tree = ast.parse(open(E.__file__).read())
+    names = collections.Counter()
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names[t.id] += 1
+        elif isinstance(node, ast.FunctionDef):
+            names[node.name] += 1
+    dupes = {n: c for n, c in names.items() if c > 1}
+    assert not dupes, f"shadowed top-level names: {dupes}"
+
+
+def test_image_letterbox_semantics(spark):
+    rows = {r["image_id"]: r
+            for r in E.q_image_letterbox(spark, E.SF001).collect()}
+    assert len(rows) == E._LB_N
+    blank = rows["lb-00007"]
+    assert blank["top"] == blank["h"] and blank["content_h"] == 0
+    flagged = [r for r in rows.values() if r["letterboxed"]]
+    clean = [r for r in rows.values() if not r["letterboxed"]]
+    assert flagged and clean  # planted bars found; raw synth images not
+    for r in rows.values():
+        assert r["content_w"] == r["w"] - r["left"] - r["right"]
+        assert r["content_h"] == r["h"] - r["top"] - r["bottom"]
+
+
 def test_dust_rules_find_planted_alias_families(spark):
     rows = E.q_dust_rule_mining(spark, E.SF001).collect()
     froms = {r["rule_from"] for r in rows}
