@@ -5255,6 +5255,78 @@ FROM per
 """
 
 
+# --- Zipf rank-frequency fit --------------------------------------------------
+_ZIPF_TOPK = 100
+_ZIPF_SCALE = 1_000_000  # fixed-point ln() quantum for exact integer OLS sums
+
+
+def q_zipf_term_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary — the corpus
+    health check every tokenizer/dedup decision leans on (natural text
+    fits slope ≈ -1; boilerplate-flooded or template-generated crawls
+    bend the curve). Term counts are one groupBy; the head is a bounded
+    TakeOrderedAndProject (top-100 by freq DESC, term ASC — never a
+    global sort); the OLS of ln(freq) on ln(rank) runs in FIXED-POINT:
+    each row contributes round(ln(v)·10^6) as bigint, so every
+    regression sum is an exact order-independent integer (float sums
+    would drift between engines with summation order — Spark partial
+    aggs vs DuckDB's window segment trees) and only the final
+    slope/intercept division is float, identical IEEE on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]{3,}', 0)"))
+        .alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    top = K.global_topk(freq, [F.col("freq").desc(), F.col("term").asc()],
+                        _ZIPF_TOPK)
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))  # 100-row dim
+    xi = F.round(F.log(F.col("rank").cast("double")) * _ZIPF_SCALE).cast("bigint")
+    yi = F.round(F.log(F.col("freq").cast("double")) * _ZIPF_SCALE).cast("bigint")
+    pts = ranked.select("rank", "term", "freq", xi.alias("xi"), yi.alias("yi"))
+    s = pts.agg(F.count("*").alias("n"), F.sum("xi").alias("sx"),
+                F.sum("yi").alias("sy"),
+                F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+                F.sum(F.col("xi") * F.col("xi")).alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = ((F.col("sy") - slope * F.col("sx"))
+                 / (F.col("n") * F.lit(float(_ZIPF_SCALE))))
+    fit = s.select(F.round(slope, 6).alias("zipf_slope"),
+                   F.round(intercept, 6).alias("zipf_intercept"))
+    return (pts.select("rank", "term", F.col("freq").cast("bigint").alias("freq"))
+            .crossJoin(F.broadcast(fit)))
+
+
+_Q_ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]{{3,}}')) AS term
+  FROM documents),
+freq AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+top_ AS (SELECT term, freq FROM freq ORDER BY freq DESC, term ASC LIMIT {_ZIPF_TOPK}),
+ranked AS (
+  SELECT term, freq,
+         row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+  FROM top_),
+pts AS (
+  SELECT rank, term, freq,
+         cast(round(ln(cast(rank as double)) * {_ZIPF_SCALE}) as bigint) AS xi,
+         cast(round(ln(cast(freq as double)) * {_ZIPF_SCALE}) as bigint) AS yi
+  FROM ranked),
+s AS (
+  SELECT count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
+         sum(xi * yi) AS sxy, sum(xi * xi) AS sxx
+  FROM pts)
+SELECT p.rank, p.term, cast(p.freq as bigint) AS freq,
+       round((s.n * s.sxy - s.sx * s.sy) * 1.0
+             / (s.n * s.sxx - s.sx * s.sx), 6) AS zipf_slope,
+       round((s.sy - ((s.n * s.sxy - s.sx * s.sy) * 1.0
+                      / (s.n * s.sxx - s.sx * s.sx)) * s.sx)
+             / (s.n * {float(_ZIPF_SCALE)!r}), 6) AS zipf_intercept
+FROM pts p CROSS JOIN s
+"""
+
+
 # --- letterbox / pillarbox margin detection ---------------------------------
 _LB_N = 192
 
@@ -5635,6 +5707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantile_hist": q_approx_quantile_hist,
         "dust_rule_mining": q_dust_rule_mining,
         "image_letterbox": q_image_letterbox,
+        "zipf_term_fit": q_zipf_term_fit,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -5775,6 +5848,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantile_hist": _aq_sql(),
         "dust_rule_mining": _Q_DUST_SQL,
         "image_letterbox": _lb_sql(),
+        "zipf_term_fit": _Q_ZIPF_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -115,6 +115,7 @@ HEADLINE = [
     "approx_quantile_hist",
     "dust_rule_mining",
     "image_letterbox",
+    "zipf_term_fit",
 ]
 
 

@@ -164,6 +164,25 @@ def host_breaker_stream(fetches: DataFrame, *, window: str = "10 minutes",
                     "host", "attempts", "failures"))
 
 
+def hll_cardinality_stream(spark: SparkSession, url_dir: str) -> DataFrame:
+    """Streaming twin of the HLL distinct sketch (operators/sketch.py):
+    a file-source parquet stream of (url) rows through the SAME
+    hll_registers column pipeline, aggregated as a streaming
+    max-per-register — the live "how many distinct URLs has this crawl
+    seen" gauge a dashboard polls without ever counting the frontier.
+    max() is the textbook streaming-friendly aggregate: monotone and
+    mergeable, so complete-mode state is exactly 2^p registers no matter
+    how long the stream runs. Drain with foreachBatch/complete and feed
+    the register table to hll_estimate for the number."""
+    from ..operators.sketch import hll_registers
+
+    raw = (spark.readStream
+           .schema(T.StructType([T.StructField("url", T.StringType())]))
+           .parquet(url_dir))
+    # hll_registers ends in groupBy(register).max(rho) — valid streaming agg
+    return hll_registers(raw, "url", p=8)
+
+
 def image_decode_stream(spark: SparkSession, payload_dir: str) -> DataFrame:
     """Streaming twin of the batch image-decode stage (axes A+B: the
     image pipeline as a continuous ingest): a file-source parquet stream

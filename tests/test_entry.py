@@ -99,6 +99,27 @@ def test_image_letterbox_semantics(spark):
         assert r["content_h"] == r["h"] - r["top"] - r["bottom"]
 
 
+def test_zipf_fit_matches_numpy_ols(spark):
+    import math
+
+    rows = E.q_zipf_term_fit(spark, E.SF001).collect()
+    assert rows
+    slope = rows[0]["zipf_slope"]
+    # natural-ish corpus: frequency decreasing in rank -> negative slope
+    assert slope < 0
+    # the fixed-point OLS must agree with a float reference to ~1e-4
+    # (the 1e-6 ln() quantum bounds the drift)
+    pts = sorted((r["rank"], r["freq"]) for r in rows)
+    xs = [math.log(r) for r, _ in pts]
+    ys = [math.log(f) for _, f in pts]
+    n = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    ref = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(slope - ref) < 1e-4, (slope, ref)
+
+
 def test_dust_rules_find_planted_alias_families(spark):
     rows = E.q_dust_rule_mining(spark, E.SF001).collect()
     froms = {r["rule_from"] for r in rows}

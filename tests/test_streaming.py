@@ -138,3 +138,30 @@ def test_image_decode_stream_matches_batch(spark, tmpdir):
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     want = {tuple(r) for r in decode_stats(spark.read.parquet(src)).collect()}
     assert got == want and len(got) == 7
+
+
+def test_hll_cardinality_stream_matches_batch(spark, tmpdir):
+    """The streaming HLL register table (complete-mode max-per-register)
+    must equal the batch hll_registers of the same input — max is
+    monotone/mergeable, so micro-batch order cannot change it — and
+    therefore yield the identical estimate."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.sketch import hll_estimate, hll_registers
+
+    pdf = pd.DataFrame({"url": [f"https://h{i % 97}.test/p/{i}" for i in range(4000)]})
+    src = f"{tmpdir}/urls"
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+
+    q = (I.hll_cardinality_stream(spark, src)
+         .writeStream.format("memory").queryName("hllreg")
+         .outputMode("complete")
+         .option("checkpointLocation", f"{tmpdir}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.sql("SELECT register, max_rho FROM hllreg")
+    want = hll_registers(spark.read.parquet(src), "url", p=8)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    assert (hll_estimate(got).first()["hll_estimate"]
+            == hll_estimate(want).first()["hll_estimate"])
