@@ -5255,6 +5255,84 @@ FROM per
 """
 
 
+# --- RFC 9309 robots matching -------------------------------------------------
+_R9_HOSTS = 40
+
+
+def _r9_rules() -> list:
+    """Deterministic per-host robots rule set exercising every RFC 9309
+    precedence feature: wildcard prefixes, '$' end anchors, longest-match
+    beats shorter, Allow beats Disallow on equal length ('/p/*7$' vs
+    '/p/*-2' is a planted length tie)."""
+    rules = []
+    for h in range(_R9_HOSTS):
+        host = f"rb{h}.example.test"
+        rules.append((host, "/p/*", False))       # disallow the product tree
+        rules.append((host, "/p/1*", True))       # …except ids starting 1
+        if h % 3 == 0:
+            rules.append((host, "/p/*7$", False))  # …but never ids ending 7
+        if h % 5 == 0:
+            rules.append((host, "/p/*-2", True))   # len-6 tie vs the anchor
+    return rules
+
+
+def q_robots_rfc9309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots evaluation — wildcard '*', '$' end anchors, and
+    LONGEST-MATCH precedence with Allow winning ties: the real-web robots
+    semantics the reference's prefix-only matcher (BasicCrawler.java:
+    268-286; kept verbatim elsewhere for parity) cannot express. The
+    matcher compiles each rule to a SQL LIKE pattern once
+    (functions/robots_fn.py rule_to_like), so BOTH engines evaluate the
+    match natively — no UDF, no regex-engine divergence; the per-URL
+    winner is a rank window over the handful of matched rules of that
+    URL's host (broadcast rule table, never a global sort); no-match
+    URLs default to allowed (§2.2.2) via a left join that cannot drop
+    rows."""
+    from distributed_webcrawler_spark.functions.robots_fn import rfc9309_gate, rule_to_like
+
+    li = _t(spark, sf_dir, "lineitem")
+    host = F.concat(F.lit("rb"), (F.col("l_suppkey") % _R9_HOSTS).cast("string"),
+                    F.lit(".example.test"))
+    path = F.concat(F.lit("/p/"), F.col("l_orderkey").cast("string"),
+                    F.lit("-"), F.col("l_linenumber").cast("string"))
+    urls = (li.select(host.alias("host"), path.alias("path"),
+                      F.concat(F.lit("https://"), host, path).alias("url"))
+            .distinct())
+    rules = spark.createDataFrame(
+        [(h, r, rule_to_like(r), a) for h, r, a in _r9_rules()],
+        "host string, rule string, pattern string, is_allow boolean")
+    return rfc9309_gate(urls, rules)
+
+
+def _r9_sql() -> str:
+    from distributed_webcrawler_spark.functions.robots_fn import rule_to_like
+
+    vals = ",\n".join(
+        f"('{h}', '{r}', '{rule_to_like(r)}', {str(a).upper()})"
+        for h, r, a in _r9_rules())
+    return f"""
+WITH urls AS (
+  SELECT DISTINCT
+         concat('rb', cast(l_suppkey % {_R9_HOSTS} as varchar), '.example.test') AS host,
+         concat('/p/', cast(l_orderkey as varchar), '-', cast(l_linenumber as varchar)) AS path,
+         concat('https://rb', cast(l_suppkey % {_R9_HOSTS} as varchar), '.example.test',
+                '/p/', cast(l_orderkey as varchar), '-', cast(l_linenumber as varchar)) AS url
+  FROM lineitem),
+rules AS (SELECT * FROM (VALUES
+{vals}
+) v(host, rule, pattern, is_allow)),
+m AS (
+  SELECT u.url, r.rule, r.is_allow,
+         row_number() OVER (PARTITION BY u.url
+                            ORDER BY length(r.rule) DESC, r.is_allow DESC, r.rule ASC) AS rk
+  FROM urls u JOIN rules r ON r.host = u.host AND u.path LIKE r.pattern ESCAPE '\\')
+SELECT u.host, u.url, u.path, w.rule AS matched_rule,
+       coalesce(w.is_allow, TRUE) AS allowed
+FROM urls u LEFT JOIN (SELECT url, rule, is_allow FROM m WHERE rk = 1) w
+  ON w.url = u.url
+"""
+
+
 # --- Zipf rank-frequency fit --------------------------------------------------
 _ZIPF_TOPK = 100
 _ZIPF_SCALE = 1_000_000  # fixed-point ln() quantum for exact integer OLS sums
@@ -5708,6 +5786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_rule_mining": q_dust_rule_mining,
         "image_letterbox": q_image_letterbox,
         "zipf_term_fit": q_zipf_term_fit,
+        "robots_rfc9309": q_robots_rfc9309,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -5849,6 +5928,7 @@ def oracle_sql() -> dict[str, str]:
         "dust_rule_mining": _Q_DUST_SQL,
         "image_letterbox": _lb_sql(),
         "zipf_term_fit": _Q_ZIPF_SQL,
+        "robots_rfc9309": _r9_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

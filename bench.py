@@ -116,6 +116,7 @@ HEADLINE = [
     "dust_rule_mining",
     "image_letterbox",
     "zipf_term_fit",
+    "robots_rfc9309",
 ]
 
 

@@ -172,3 +172,53 @@ def gate_by_robots(scheduled: DataFrame, robots_rules: DataFrame, path_col: Colu
             )
         ),
     ).drop("allow", "disallow")
+
+
+# --- RFC 9309 wildcard matching ---------------------------------------------
+# The reference's matcher is prefix-only (BasicCrawler.java:268-286, mirrored
+# above for parity). Real robots.txt in the wild uses the RFC 9309 / Googlebot
+# extensions: '*' wildcards, '$' end anchors, and LONGEST-MATCH precedence
+# with Allow winning length ties. This matcher is additive (opt-in), and is
+# expressed entirely in SQL LIKE so both engines evaluate it natively — no
+# UDF, no regex engine divergence.
+
+def rule_to_like(rule: str) -> str:
+    """robots.txt rule pattern -> SQL LIKE pattern: '*' -> '%', trailing
+    '$' anchors (otherwise the rule is a prefix -> append '%'); LIKE
+    metacharacters in the rule are backslash-escaped (pair with
+    ``ESCAPE '\\'`` — Spark's default, explicit in DuckDB)."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    esc = (body.replace("\\", "\\\\")
+               .replace("%", "\\%")
+               .replace("_", "\\_"))
+    pat = esc.replace("*", "%")
+    return pat if anchored else pat + "%"
+
+
+def rfc9309_gate(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """Longest-match robots evaluation: ``urls`` (host, url, path) x
+    ``rules`` (host, rule, pattern, is_allow) -> one row per url with the
+    winning rule and the allow verdict (no matching rule => allowed,
+    RFC 9309 §2.2.2 default).
+
+    Precedence: longest raw rule wins; Allow beats Disallow on equal
+    length; rule text ASC as the final deterministic tie-break.
+
+    Scale shape: rules are a per-host handful -> broadcast the rule table
+    and evaluate LIKE inside the scan's partition; the rank window is per
+    url over that handful of matched rules, never a global sort."""
+    matches = (urls.join(F.broadcast(rules), ["host"])
+               .where(F.expr("path LIKE pattern"))
+               .select("url", "rule", "is_allow", F.length("rule").alias("rlen")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("url").orderBy(
+        F.col("rlen").desc(), F.col("is_allow").desc(), F.col("rule").asc())
+    winner = (matches.withColumn("rk", F.row_number().over(w))
+              .where(F.col("rk") == 1).select("url", "rule", "is_allow"))
+    # urls whose host has no rules, or whose path matches none, default
+    # to allowed (RFC 9309 §2.2.2) — re-attach via left join, never drop
+    return (urls.join(winner, "url", "left")
+            .select("host", "url", "path",
+                    F.col("rule").alias("matched_rule"),
+                    F.coalesce(F.col("is_allow"), F.lit(True)).alias("allowed")))

@@ -112,3 +112,38 @@ class TestCrawlDelay:
                        "huge": 0, "dup": 5}
         # one row per host even with duplicate robots rows
         assert crawl_delay_budgets(robots, 60, 5).count() == 6
+
+
+def test_rfc9309_longest_match_and_anchors(spark):
+    """Hand vectors for the RFC 9309 matcher: wildcard prefix, '$' end
+    anchor, longest-match precedence, Allow-wins-tie, and the
+    default-allow path for both no-rules hosts and no-match paths."""
+    from distributed_webcrawler_spark.functions.robots_fn import rfc9309_gate, rule_to_like
+
+    rules_raw = [
+        ("a.test", "/p/*", False),
+        ("a.test", "/p/1*", True),
+        ("a.test", "/p/*7$", False),   # len 6 anchor
+        ("a.test", "/p/*-2", True),    # len 6 -> Allow wins the tie
+    ]
+    rules = spark.createDataFrame(
+        [(h, r, rule_to_like(r), a) for h, r, a in rules_raw],
+        "host string, rule string, pattern string, is_allow boolean")
+    urls = spark.createDataFrame(
+        [("a.test", "/p/5-1", "u1"),    # only '/p/*' -> disallowed
+         ("a.test", "/p/15-1", "u2"),   # '/p/1*' (5) beats '/p/*' (4) -> allowed
+         ("a.test", "/p/15-7", "u3"),   # anchor (6) beats '/p/1*' -> disallowed
+         ("a.test", "/p/1-27", "u4"),   # '*7$' vs '*-2' len tie -> Allow wins
+         ("a.test", "/about", "u5"),    # no rule matches -> default allow
+         ("b.test", "/p/5-1", "u6")],   # host has no rules -> default allow
+        "host string, path string, url string")
+    got = {r["url"]: (r["matched_rule"], r["allowed"])
+           for r in rfc9309_gate(urls, rules).collect()}
+    assert got == {
+        "u1": ("/p/*", False),
+        "u2": ("/p/1*", True),
+        "u3": ("/p/*7$", False),
+        "u4": ("/p/*-2", True),
+        "u5": (None, True),
+        "u6": (None, True),
+    }
