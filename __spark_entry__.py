@@ -5255,6 +5255,66 @@ FROM per
 """
 
 
+# --- politeness compliance audit ----------------------------------------------
+_PCA_HOSTS, _PCA_MIN_GAP_US = 25, 30_000_000  # 30s required gap per host
+
+
+def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness compliance audit — the after-the-fact check every
+    polite crawler owes its targets: from the fetch event log, the gap
+    between consecutive fetches of the same host (lag window per host,
+    ordered by event time with event_id as the total-order tie-break)
+    and, per host, the fetch count, violation count (gap < 30s), minimum
+    observed gap, and violation rate. The reference ENFORCES politeness
+    (Thread.sleep(500), BasicCrawler.java:72-74) but never audits it;
+    this is the report that proves the budget held. Gaps are exact
+    integer microseconds (unix_micros / epoch_us), so no float enters
+    until the rounded rate.
+
+    Plan: one lag window PER HOST partition (each host's log is
+    politeness-bounded by construction — never a global sort), one
+    groupBy(host) rollup."""
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(F.lit("ph"), (F.col("user_id") % _PCA_HOSTS).cast("string")).alias("host"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t_us"), "event_id")
+    w = Window.partitionBy("host").orderBy(F.col("t_us").asc(), F.col("event_id").asc())
+    gaps = fetches.select(
+        "host", (F.col("t_us") - F.lag("t_us").over(w)).alias("gap_us"))
+    return (gaps.groupBy("host")
+            .agg(F.count("*").cast("bigint").alias("n_fetches"),
+                 F.sum(F.when(F.col("gap_us") < _PCA_MIN_GAP_US, 1).otherwise(0))
+                 .cast("bigint").alias("n_violations"),
+                 F.min("gap_us").alias("min_gap_us"),
+                 F.count("gap_us").alias("n_gaps"))
+            .select("host", "n_fetches", "n_violations",
+                    F.col("min_gap_us").cast("bigint").alias("min_gap_us"),
+                    F.when(F.col("n_gaps") > 0,
+                           F.round(F.col("n_violations") / F.col("n_gaps"), 6))
+                    .otherwise(F.lit(0.0)).alias("violation_rate")))
+
+
+_Q_PCA_SQL = f"""
+WITH fetches AS (
+  SELECT concat('ph', cast(user_id % {_PCA_HOSTS} as varchar)) AS host,
+         epoch_us(ts) AS t_us, event_id
+  FROM events),
+gaps AS (
+  SELECT host,
+         t_us - lag(t_us) OVER (PARTITION BY host ORDER BY t_us ASC, event_id ASC) AS gap_us
+  FROM fetches)
+SELECT host, count(*) AS n_fetches,
+       cast(coalesce(sum(CASE WHEN gap_us < {_PCA_MIN_GAP_US} THEN 1 ELSE 0 END), 0)
+            as bigint) AS n_violations,
+       cast(min(gap_us) as bigint) AS min_gap_us,
+       CASE WHEN count(gap_us) > 0
+            THEN round(sum(CASE WHEN gap_us < {_PCA_MIN_GAP_US} THEN 1 ELSE 0 END) * 1.0
+                       / count(gap_us), 6)
+            ELSE 0.0 END AS violation_rate
+FROM gaps GROUP BY host
+"""
+
+
 # --- RFC 9309 robots matching -------------------------------------------------
 _R9_HOSTS = 40
 
@@ -5787,6 +5847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_letterbox": q_image_letterbox,
         "zipf_term_fit": q_zipf_term_fit,
         "robots_rfc9309": q_robots_rfc9309,
+        "politeness_audit": q_politeness_audit,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -5929,6 +5990,7 @@ def oracle_sql() -> dict[str, str]:
         "image_letterbox": _lb_sql(),
         "zipf_term_fit": _Q_ZIPF_SQL,
         "robots_rfc9309": _r9_sql(),
+        "politeness_audit": _Q_PCA_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

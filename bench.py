@@ -117,6 +117,7 @@ HEADLINE = [
     "image_letterbox",
     "zipf_term_fit",
     "robots_rfc9309",
+    "politeness_audit",
 ]
 
 

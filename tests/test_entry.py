@@ -99,6 +99,18 @@ def test_image_letterbox_semantics(spark):
         assert r["content_h"] == r["h"] - r["top"] - r["bottom"]
 
 
+def test_politeness_audit_invariants(spark):
+    rows = E.q_politeness_audit(spark, E.SF001).collect()
+    assert rows
+    n_events = spark.read.parquet(f"{E.SF001}/events.parquet").count()
+    assert sum(r["n_fetches"] for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r["n_violations"] <= max(r["n_fetches"] - 1, 0)
+        assert 0.0 <= r["violation_rate"] <= 1.0
+        if r["n_fetches"] > 1:
+            assert r["min_gap_us"] is not None and r["min_gap_us"] >= 0
+
+
 def test_zipf_fit_matches_numpy_ols(spark):
     import math
 
