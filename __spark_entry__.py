@@ -5348,48 +5348,132 @@ def q_robots_rfc9309(spark: SparkSession, sf_dir: str) -> DataFrame:
     URL's host (broadcast rule table, never a global sort); no-match
     URLs default to allowed (§2.2.2) via a left join that cannot drop
     rows."""
-    from distributed_webcrawler_spark.functions.robots_fn import rfc9309_gate, rule_to_like
+    from distributed_webcrawler_spark.functions.robots_fn import rfc9309_gate
 
+    return rfc9309_gate(_r9_urls(spark, sf_dir), _r9_rules_df(spark, _r9_rules()))
+
+
+def _r9_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     host = F.concat(F.lit("rb"), (F.col("l_suppkey") % _R9_HOSTS).cast("string"),
                     F.lit(".example.test"))
     path = F.concat(F.lit("/p/"), F.col("l_orderkey").cast("string"),
                     F.lit("-"), F.col("l_linenumber").cast("string"))
-    urls = (li.select(host.alias("host"), path.alias("path"),
+    return (li.select(host.alias("host"), path.alias("path"),
                       F.concat(F.lit("https://"), host, path).alias("url"))
             .distinct())
-    rules = spark.createDataFrame(
-        [(h, r, rule_to_like(r), a) for h, r, a in _r9_rules()],
-        "host string, rule string, pattern string, is_allow boolean")
-    return rfc9309_gate(urls, rules)
 
 
-def _r9_sql() -> str:
+def _r9_rules_df(spark: SparkSession, rules: list) -> DataFrame:
     from distributed_webcrawler_spark.functions.robots_fn import rule_to_like
 
-    vals = ",\n".join(
-        f"('{h}', '{r}', '{rule_to_like(r)}', {str(a).upper()})"
-        for h, r, a in _r9_rules())
+    return spark.createDataFrame(
+        [(h, r, rule_to_like(r), a) for h, r, a in rules],
+        "host string, rule string, pattern string, is_allow boolean")
+
+
+def _r9_rules_gen2() -> list:
+    """The next robots generation: h%4 hosts TIGHTEN (the '/p/1*' Allow
+    escape hatch is withdrawn), h%7 hosts LOOSEN (a new '/p/2*' Allow) —
+    both realistic webmaster edits, both deterministic."""
+    out = []
+    for h, r, a in _r9_rules():
+        idx = int(h[2:h.index(".")])
+        if idx % 4 == 0 and r == "/p/1*":
+            continue
+        out.append((h, r, a))
+    for h in range(_R9_HOSTS):
+        if h % 7 == 0:
+            out.append((f"rb{h}.example.test", "/p/2*", True))
+    return out
+
+
+def q_robots_generation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-change impact report — when a host publishes a new
+    robots.txt, which frontier URLs flip allowed->blocked (must be
+    evicted NOW) and blocked->allowed (new crawl inventory)? Evaluates
+    the SAME frontier against both rule generations with the RFC 9309
+    matcher (reused, already oracle-gated) and rolls the verdict diff up
+    per host. The recrawl scheduler's compliance hook: the reference
+    re-reads robots per fetch but can never answer "what did this change
+    affect" — this query is that answer, over 10^10 URLs two broadcast
+    rule tables and one url-keyed join."""
+    from distributed_webcrawler_spark.functions.robots_fn import rfc9309_gate
+
+    urls = _r9_urls(spark, sf_dir)
+    v1 = (rfc9309_gate(urls, _r9_rules_df(spark, _r9_rules()))
+          .select("host", "url", F.col("allowed").alias("a1")))
+    v2 = (rfc9309_gate(urls, _r9_rules_df(spark, _r9_rules_gen2()))
+          .select("url", F.col("allowed").alias("a2")))
+    return (v1.join(v2, "url")
+            .groupBy("host")
+            .agg(F.count("*").cast("bigint").alias("n_urls"),
+                 F.sum(F.when(F.col("a1") & ~F.col("a2"), 1).otherwise(0))
+                 .cast("bigint").alias("newly_blocked"),
+                 F.sum(F.when(~F.col("a1") & F.col("a2"), 1).otherwise(0))
+                 .cast("bigint").alias("newly_allowed"))
+            .select("host", "n_urls", "newly_blocked", "newly_allowed",
+                    (F.col("newly_blocked") + F.col("newly_allowed") > 0)
+                    .alias("changed")))
+
+
+def _rdelta_sql() -> str:
     return f"""
-WITH urls AS (
+WITH urls AS ({_R9_URLS_SQL}),
+{_r9_verdict_sql(_r9_rules(), "1")},
+{_r9_verdict_sql(_r9_rules_gen2(), "2")}
+SELECT v1.host, count(*) AS n_urls,
+       cast(coalesce(sum(CASE WHEN v1.allowed AND NOT v2.allowed THEN 1 ELSE 0 END), 0)
+            as bigint) AS newly_blocked,
+       cast(coalesce(sum(CASE WHEN NOT v1.allowed AND v2.allowed THEN 1 ELSE 0 END), 0)
+            as bigint) AS newly_allowed,
+       (coalesce(sum(CASE WHEN v1.allowed AND NOT v2.allowed THEN 1 ELSE 0 END), 0)
+        + coalesce(sum(CASE WHEN NOT v1.allowed AND v2.allowed THEN 1 ELSE 0 END), 0)) > 0
+         AS changed
+FROM verdict1 v1 JOIN verdict2 v2 ON v2.url = v1.url
+GROUP BY v1.host
+"""
+
+
+_R9_URLS_SQL = f"""
   SELECT DISTINCT
          concat('rb', cast(l_suppkey % {_R9_HOSTS} as varchar), '.example.test') AS host,
          concat('/p/', cast(l_orderkey as varchar), '-', cast(l_linenumber as varchar)) AS path,
          concat('https://rb', cast(l_suppkey % {_R9_HOSTS} as varchar), '.example.test',
                 '/p/', cast(l_orderkey as varchar), '-', cast(l_linenumber as varchar)) AS url
-  FROM lineitem),
-rules AS (SELECT * FROM (VALUES
+  FROM lineitem
+"""
+
+
+def _r9_verdict_sql(rules: list, tag: str) -> str:
+    """CTE fragments (uniquely ``tag``-suffixed) ending in verdict{tag}
+    (host, url, path, matched_rule, allowed) — the RFC 9309 evaluation of
+    the `urls` CTE against the given rule set."""
+    from distributed_webcrawler_spark.functions.robots_fn import rule_to_like
+
+    vals = ",\n".join(
+        f"('{h}', '{r}', '{rule_to_like(r)}', {str(a).upper()})"
+        for h, r, a in rules)
+    return f"""rules{tag} AS (SELECT * FROM (VALUES
 {vals}
 ) v(host, rule, pattern, is_allow)),
-m AS (
+m{tag} AS (
   SELECT u.url, r.rule, r.is_allow,
          row_number() OVER (PARTITION BY u.url
                             ORDER BY length(r.rule) DESC, r.is_allow DESC, r.rule ASC) AS rk
-  FROM urls u JOIN rules r ON r.host = u.host AND u.path LIKE r.pattern ESCAPE '\\')
-SELECT u.host, u.url, u.path, w.rule AS matched_rule,
-       coalesce(w.is_allow, TRUE) AS allowed
-FROM urls u LEFT JOIN (SELECT url, rule, is_allow FROM m WHERE rk = 1) w
-  ON w.url = u.url
+  FROM urls u JOIN rules{tag} r ON r.host = u.host AND u.path LIKE r.pattern ESCAPE '\\'),
+verdict{tag} AS (
+  SELECT u.host, u.url, u.path, w.rule AS matched_rule,
+         coalesce(w.is_allow, TRUE) AS allowed
+  FROM urls u LEFT JOIN (SELECT url, rule, is_allow FROM m{tag} WHERE rk = 1) w
+    ON w.url = u.url)"""
+
+
+def _r9_sql() -> str:
+    return f"""
+WITH urls AS ({_R9_URLS_SQL}),
+{_r9_verdict_sql(_r9_rules(), "1")}
+SELECT host, url, path, matched_rule, allowed FROM verdict1
 """
 
 
@@ -5848,6 +5932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_term_fit": q_zipf_term_fit,
         "robots_rfc9309": q_robots_rfc9309,
         "politeness_audit": q_politeness_audit,
+        "robots_generation_diff": q_robots_generation_diff,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -5991,6 +6076,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_term_fit": _Q_ZIPF_SQL,
         "robots_rfc9309": _r9_sql(),
         "politeness_audit": _Q_PCA_SQL,
+        "robots_generation_diff": _rdelta_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -118,6 +118,7 @@ HEADLINE = [
     "zipf_term_fit",
     "robots_rfc9309",
     "politeness_audit",
+    "robots_generation_diff",
 ]
 
 

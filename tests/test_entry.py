@@ -99,6 +99,23 @@ def test_image_letterbox_semantics(spark):
         assert r["content_h"] == r["h"] - r["top"] - r["bottom"]
 
 
+def test_robots_generation_diff_flip_directions(spark):
+    rows = E.q_robots_generation_diff(spark, E.SF001).collect()
+    assert rows
+    blocked_hosts = [r for r in rows if r["newly_blocked"] > 0]
+    allowed_hosts = [r for r in rows if r["newly_allowed"] > 0]
+    assert blocked_hosts and allowed_hosts  # both edit kinds took effect
+    for r in rows:
+        idx = int(r["host"][2:r["host"].index(".")])
+        # tightening only on h%4 hosts (the '/p/1*' Allow withdrawn)
+        if r["newly_blocked"] > 0:
+            assert idx % 4 == 0, r
+        # loosening only on h%7 hosts (the new '/p/2*' Allow)
+        if r["newly_allowed"] > 0:
+            assert idx % 7 == 0, r
+        assert r["changed"] == (r["newly_blocked"] + r["newly_allowed"] > 0)
+
+
 def test_politeness_audit_invariants(spark):
     rows = E.q_politeness_audit(spark, E.SF001).collect()
     assert rows
