@@ -158,16 +158,26 @@ class Table:
         snaps = self._read_manifest()
         return spark.read.parquet(os.path.join(self.path, snaps[snapshot_id - 1]))
 
-    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame | None:
+    def read(self, spark: SparkSession, as_of: int | None = None,
+             merge_schema: bool = False) -> DataFrame | None:
         """Read the table at the given snapshot (default: latest).
-        Returns None when the table has no committed data yet."""
+        Returns None when the table has no committed data yet.
+
+        ``merge_schema=True`` is the Iceberg-style schema-evolution read:
+        snapshots appended with extra columns union cleanly, older rows
+        reading the new columns as null. Opt-in because Spark must then
+        read every file's footer up front (a real cost at 10^5 files) —
+        steady-state readers on a settled schema skip it."""
         snaps = self._read_manifest()
         if as_of is not None:
             snaps = snaps[:as_of]
         if not snaps:
             return None
         paths = [os.path.join(self.path, s) for s in snaps]
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     # -- resume ------------------------------------------------------------
     def rollback(self, snapshot_id: int) -> None:

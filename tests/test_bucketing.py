@@ -55,3 +55,48 @@ def test_bucketed_join_has_no_exchange(spark, warehouse):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
     # count above: evens 0..9998 are matched by done's 0,2,..,9998, so the
     # 5,000 odd url_hashes remain pending
+
+
+def test_hive_partition_pruning(spark, tmpdir):
+    """File-layout twin of the bucketed join: pages written partitioned by
+    host_bucket must let a bucket-filtered scan PRUNE directories — the
+    physical plan carries the predicate as PartitionFilters (zero data
+    files of other buckets opened), which is the layout that makes
+    per-bucket operations (bloom shard rebuild, per-host exports) O(1/B)
+    at the 10^10 tier."""
+    pages = spark.range(0, 20_000).select(
+        F.col("id").alias("url_hash"),
+        (F.col("id") % 16).alias("host_bucket"),
+        (F.col("id") * 7 % 1000).alias("size"))
+    out = f"{tmpdir}/pages_part"
+    pages.write.partitionBy("host_bucket").parquet(out)
+
+    df = spark.read.parquet(out).where(F.col("host_bucket") == 3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+    # the partition predicate must sit in PartitionFilters (pruning),
+    # not survive as a post-scan data Filter
+    import re
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "host_bucket" in m.group(1), plan
+    assert df.count() == 20_000 // 16
+
+
+def test_store_schema_evolution_read(spark, tmpdir):
+    """Iceberg-style schema evolution on the snapshot store: a later
+    snapshot adds a column; merge_schema=True unions the generations with
+    nulls for pre-evolution rows, while the default read stays on the
+    cheap single-footer path."""
+    from distributed_webcrawler_spark.sources.store import SnapshotStore
+
+    store = SnapshotStore(str(tmpdir))
+    t = store.table("pages_evo")
+    t.append(spark.createDataFrame([(1, "a")], "id long, status string"))
+    t.append(spark.createDataFrame(
+        [(2, "b", 0.9)], "id long, status string, quality double"))
+
+    merged = t.read(spark, merge_schema=True)
+    assert set(merged.columns) == {"id", "status", "quality"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["quality"] is None and rows[2]["quality"] == 0.9
