@@ -5255,6 +5255,150 @@ FROM per
 """
 
 
+# --- sitemap coverage gap -------------------------------------------------------
+
+
+def q_sitemap_coverage_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl coverage gap — per host, how much of what the
+    host ADVERTISES (its sitemap URL set) the crawl actually discovered,
+    and how much the crawl found that the sitemap never listed (organic
+    link-graph discoveries). The audit that decides whether to trust a
+    host's sitemap as a frontier seed source. Sitemap set: the host
+    advertises its line-1..4 pages plus a phantom '/p/<order>-99' per
+    order (content it lists but never links — the classic stale-sitemap
+    row). One url-keyed full outer join + per-host rollup; both sides
+    pre-projected to (host, url)."""
+    fr = _frontier(spark, sf_dir).select("host", "url")
+    li = _t(spark, sf_dir, "lineitem")
+    host = F.concat(F.lit("host"), (F.col("l_suppkey") % N_FRONTIER_HOSTS).cast("string"),
+                    F.lit(".example.test"))
+    base = F.concat(F.lit("https://"), host, F.lit("/p/"),
+                    F.col("l_orderkey").cast("string"))
+    adv = (li.where(F.col("l_linenumber") <= 4)
+           .select(host.alias("host"),
+                   F.concat(base, F.lit("-"), F.col("l_linenumber").cast("string"))
+                   .alias("url"))
+           .unionByName(
+               li.where(F.col("l_linenumber") == 1)
+               .select(host.alias("host"), F.concat(base, F.lit("-99")).alias("url")))
+           .distinct())
+    j = (adv.withColumn("a", F.lit(1))
+         .join(fr.withColumn("d", F.lit(1)), ["host", "url"], "full_outer"))
+    return (j.groupBy("host")
+            .agg(F.sum("a").cast("bigint").alias("n_advertised"),
+                 F.sum(F.when(F.col("a").isNotNull() & F.col("d").isNotNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("n_matched"),
+                 F.sum(F.when(F.col("a").isNotNull() & F.col("d").isNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("n_stale"),
+                 F.sum(F.when(F.col("a").isNull() & F.col("d").isNotNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("n_organic"))
+            .select("host", "n_advertised", "n_matched", "n_stale", "n_organic",
+                    F.round(F.col("n_matched") / F.col("n_advertised"), 6)
+                    .alias("coverage")))
+
+
+_Q_SMGAP_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+fr AS (SELECT host, url FROM frontier),
+adv AS (
+  SELECT DISTINCT host, url FROM (
+    SELECT concat('host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar),
+                  '.example.test') AS host,
+           concat('https://host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar),
+                  '.example.test/p/', cast(l_orderkey as varchar), '-',
+                  cast(l_linenumber as varchar)) AS url
+    FROM lineitem WHERE l_linenumber <= 4
+    UNION ALL
+    SELECT concat('host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar),
+                  '.example.test') AS host,
+           concat('https://host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar),
+                  '.example.test/p/', cast(l_orderkey as varchar), '-99') AS url
+    FROM lineitem WHERE l_linenumber = 1)),
+j AS (
+  SELECT coalesce(a.host, f.host) AS host,
+         CASE WHEN a.url IS NOT NULL THEN 1 END AS a,
+         CASE WHEN f.url IS NOT NULL THEN 1 END AS d
+  FROM adv a FULL OUTER JOIN fr f ON f.host = a.host AND f.url = a.url)
+SELECT host, cast(sum(a) as bigint) AS n_advertised,
+       cast(coalesce(sum(CASE WHEN a IS NOT NULL AND d IS NOT NULL THEN 1 ELSE 0 END), 0) as bigint) AS n_matched,
+       cast(coalesce(sum(CASE WHEN a IS NOT NULL AND d IS NULL THEN 1 ELSE 0 END), 0) as bigint) AS n_stale,
+       cast(coalesce(sum(CASE WHEN a IS NULL AND d IS NOT NULL THEN 1 ELSE 0 END), 0) as bigint) AS n_organic,
+       round(coalesce(sum(CASE WHEN a IS NOT NULL AND d IS NOT NULL THEN 1 ELSE 0 END), 0) * 1.0
+             / sum(a), 6) AS coverage
+FROM j GROUP BY host
+"""
+
+
+# --- per-image color profile ---------------------------------------------------
+_DC_N = 160
+
+
+def _dc_payloads() -> list:
+    """Deterministic payload batch with PLANTED color pathologies: i%9==0
+    images are forced grayscale (r=g=b), i==11 is a solid placeholder
+    tile (one color everywhere), the rest are raw synth pixels."""
+    import hashlib
+
+    import numpy as np
+
+    from distributed_webcrawler_spark.sources import codec
+
+    out = []
+    fmts = ["png", "jpeg", "webp"]
+    for i in range(_DC_N):
+        hw = int(hashlib.md5(f"dcw:{i}".encode()).hexdigest()[:8], 16)
+        hh = int(hashlib.md5(f"dch:{i}".encode()).hexdigest()[:8], 16)
+        w, h = 18 + hw % 27, 18 + hh % 27
+        iid = f"dc-{i:05d}"
+        px = codec.synth_pixels(iid, w, h).copy()
+        if i == 11:
+            px[:] = (200, 180, 40)                         # solid tile
+        elif i % 9 == 0:
+            px[:, :, 1] = px[:, :, 0]
+            px[:, :, 2] = px[:, :, 0]                      # grayscale
+        out.append((iid, codec.encode_image(np.ascontiguousarray(px), fmts[i % 3])))
+    return out
+
+
+def q_image_color_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image dominant color + grayscale profiling — the image-set
+    quality filters (drop monochrome thumbnails, solid placeholder tiles
+    with dom_share ~ 1.0, desaturated scans) a multimodal training
+    pipeline applies before captioning. Decode-once Arrow batches
+    (operators/multimodal.py color_profile); planted-pathology batch, so
+    the oracle gates rows+schema+hash against a precomputed expected
+    table."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import color_profile
+
+    pdf = pd.DataFrame(_dc_payloads(), columns=["image_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    return (color_profile(payloads).where(F.col("ok"))
+            .select("image_id", "dom_color", "dom_share", "gray_frac", "is_gray"))
+
+
+def _dc_sql() -> str:
+    from distributed_webcrawler_spark.operators.multimodal import color_profile_np
+    from distributed_webcrawler_spark.sources import codec
+
+    rows = []
+    for iid, data in _dc_payloads():
+        px, _ = codec.decode_image(data)
+        dom, share, gf = color_profile_np(px)
+        rows.append(f"('{iid}', {dom}, {share!r}, {gf!r}, "
+                    f"{str(gf >= 0.9).upper()})")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT image_id, cast(dom_color as int) AS dom_color,
+       cast(dom_share as double) AS dom_share,
+       cast(gray_frac as double) AS gray_frac, is_gray
+FROM (VALUES
+{vals}
+) AS t(image_id, dom_color, dom_share, gray_frac, is_gray)
+"""
+
+
 # --- politeness compliance audit ----------------------------------------------
 _PCA_HOSTS, _PCA_MIN_GAP_US = 25, 30_000_000  # 30s required gap per host
 
@@ -5933,6 +6077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rfc9309": q_robots_rfc9309,
         "politeness_audit": q_politeness_audit,
         "robots_generation_diff": q_robots_generation_diff,
+        "image_color_profile": q_image_color_profile,
+        "sitemap_coverage_gap": q_sitemap_coverage_gap,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -6077,6 +6223,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_rfc9309": _r9_sql(),
         "politeness_audit": _Q_PCA_SQL,
         "robots_generation_diff": _rdelta_sql(),
+        "image_color_profile": _dc_sql(),
+        "sitemap_coverage_gap": _Q_SMGAP_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -119,6 +119,8 @@ HEADLINE = [
     "robots_rfc9309",
     "politeness_audit",
     "robots_generation_diff",
+    "image_color_profile",
+    "sitemap_coverage_gap",
 ]
 
 

@@ -357,6 +357,59 @@ def letterbox_stats(payloads: DataFrame, min_margin: int = 2,
         batches, schema=LETTERBOX_SCHEMA)
 
 
+COLOR_PROFILE_SCHEMA = ("image_id string, ok boolean, dom_color int, "
+                        "dom_share double, gray_frac double, is_gray boolean")
+
+
+def color_profile_np(px: "np.ndarray", gray_tol: int = 8) -> tuple:
+    """(dom_color, dom_share, gray_frac) for one decoded RGB array.
+    dom_color = the 9-bit posterized bucket (3 bits/channel) holding the
+    most pixels, smallest bucket id on ties; gray_frac = fraction of
+    pixels whose channel spread is <= gray_tol. Integer counts only;
+    shares round to 6. Shared verbatim with the driver-side expected
+    generator (the oracle gates the Spark plumbing)."""
+    h, w = px.shape[0], px.shape[1]
+    n = h * w
+    b = (((px[:, :, 0].astype(np.int64) >> 5) << 6)
+         | ((px[:, :, 1].astype(np.int64) >> 5) << 3)
+         | (px[:, :, 2].astype(np.int64) >> 5)).ravel()
+    counts = np.bincount(b, minlength=512)
+    dom = int(counts.argmax())          # argmax takes the first (smallest) max
+    spread = px.max(axis=2).astype(np.int64) - px.min(axis=2).astype(np.int64)
+    gray = int((spread <= gray_tol).sum())
+    return dom, round(counts[dom] / n, 6), round(gray / n, 6)
+
+
+def color_profile(payloads: DataFrame, gray_tol: int = 8, gray_min: float = 0.9,
+                  id_col: str = "image_id", bytes_col: str = "bytes") -> DataFrame:
+    """Per-image color profile over decoded payloads: dominant posterized
+    color + its pixel share, grayscale pixel fraction, and an `is_gray`
+    flag — the training-set filters for monochrome thumbnails, solid
+    placeholder tiles (dom_share ~ 1.0), and desaturated scans. Same
+    decode-once Arrow discipline as decode_stats: pixels never leave the
+    task, output is metadata-width."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    px, _ = codec.decode_image(bytes(data))
+                except codec.CodecError:
+                    rows.append((iid, False, None, None, None, None))
+                    continue
+                dom, share, gf = color_profile_np(px, gray_tol)
+                rows.append((iid, True, dom, share, gf, gf >= gray_min))
+            names = ["image_id", "ok", "dom_color", "dom_share",
+                     "gray_frac", "is_gray"]
+            data = {nm: [r[i] for r in rows] for i, nm in enumerate(names)}
+            data["dom_color"] = pd.array(data["dom_color"], dtype="Int32")
+            yield pd.DataFrame(data)
+
+    return payloads.select(id_col, bytes_col).mapInPandas(
+        batches, schema=COLOR_PROFILE_SCHEMA)
+
+
 def channel_histogram(payloads: DataFrame, bits: int = 4,
                       bytes_col: str = "bytes") -> DataFrame:
     """Corpus-wide per-channel pixel histogram over decoded payloads

@@ -99,6 +99,32 @@ def test_image_letterbox_semantics(spark):
         assert r["content_h"] == r["h"] - r["top"] - r["bottom"]
 
 
+def test_sitemap_coverage_gap_accounting(spark):
+    rows = E.q_sitemap_coverage_gap(spark, E.SF001).collect()
+    assert rows
+    for r in rows:
+        # matched + stale partition the advertised set exactly
+        assert r["n_matched"] + r["n_stale"] == r["n_advertised"]
+        # every host advertises phantom '-99' rows it never links
+        assert r["n_stale"] >= 1
+        # lines 5..7 exist in the frontier but never in the sitemap
+        assert r["n_organic"] >= 0
+        assert 0.0 <= r["coverage"] < 1.0
+
+
+def test_image_color_profile_planted_pathologies(spark):
+    rows = {r["image_id"]: r
+            for r in E.q_image_color_profile(spark, E.SF001).collect()}
+    assert len(rows) == E._DC_N
+    solid = rows["dc-00011"]
+    assert solid["dom_share"] == 1.0   # solid tile: one posterized bucket
+    grays = [rows[f"dc-{i:05d}"] for i in range(E._DC_N) if i % 9 == 0 and i != 11]
+    assert grays and all(r["is_gray"] and r["gray_frac"] == 1.0 for r in grays)
+    normal = [r for k, r in rows.items()
+              if int(k[3:]) % 9 != 0 and k != "dc-00011"]
+    assert normal and not any(r["is_gray"] for r in normal)
+
+
 def test_robots_generation_diff_flip_directions(spark):
     rows = E.q_robots_generation_diff(spark, E.SF001).collect()
     assert rows
