@@ -5824,6 +5824,50 @@ FROM deg d LEFT JOIN tri t ON t.id = d.id
 """
 
 
+# --- k-core ------------------------------------------------------------------
+_KCORE_K, _KCORE_ROUNDS = 20, 12
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the host graph (k=20) — the densest tightly-cross-linked
+    site cluster, peeled by iterative degree filtering (at sf0.01 the
+    cascade runs 9 rounds: removing sub-20 hosts drops neighbors below
+    20, and so on — the non-trivial dynamics the gate certifies). Spark
+    runs operators/graphstats.py k_core (early-exit fixpoint loop); the
+    oracle unrolls a fixed 12 rounds — peeling is monotone, so the two
+    agree exactly whenever the fixpoint arrives within the unroll."""
+    from distributed_webcrawler_spark.operators.graphstats import k_core
+
+    o = _t(spark, sf_dir, "orders")
+    ka, kb = F.col("o_orderkey") % _TRI_HOSTS, F.col("o_custkey") % _TRI_HOSTS
+    edges = (o.where((ka != kb)
+                     & ((F.col("o_orderkey") + F.col("o_custkey")) % _TRI_MOD == 0))
+             .select(ka.alias("src"), kb.alias("dst")))
+    return (k_core(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+            .select(F.col("id").cast("bigint").alias("node"), "core_degree"))
+
+
+def _kcore_sql() -> str:
+    # AS MATERIALIZED: each round references the previous edge set three
+    # times — default CTE inlining would expand e0 exponentially (the
+    # same trap the HITS oracle documents)
+    parts = [f"e0 AS MATERIALIZED ({_TRI_EDGE_SQL})"]
+    for t in range(_KCORE_ROUNDS):
+        parts.append(f"""d{t} AS MATERIALIZED (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM e{t} UNION ALL SELECT b FROM e{t}) GROUP BY id),
+k{t} AS MATERIALIZED (SELECT id FROM d{t} WHERE deg >= {_KCORE_K}),
+e{t + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{t} e
+  JOIN k{t} x ON x.id = e.a JOIN k{t} y ON y.id = e.b)""")
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT cast(id as bigint) AS node, cast(count(*) as bigint) AS core_degree
+FROM (SELECT a AS id FROM e{_KCORE_ROUNDS} UNION ALL SELECT b FROM e{_KCORE_ROUNDS})
+GROUP BY id
+"""
+
+
 # --- BFS seed distance -------------------------------------------------------
 _BFS_NODES, _BFS_SEED_MOD, _BFS_HOPS = 400, 50, 6
 _BFS_EDGE_SQL = f"""
@@ -6079,6 +6123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_generation_diff": q_robots_generation_diff,
         "image_color_profile": q_image_color_profile,
         "sitemap_coverage_gap": q_sitemap_coverage_gap,
+        "graph_kcore": q_graph_kcore,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -6225,6 +6270,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_generation_diff": _rdelta_sql(),
         "image_color_profile": _dc_sql(),
         "sitemap_coverage_gap": _Q_SMGAP_SQL,
+        "graph_kcore": _kcore_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

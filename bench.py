@@ -121,6 +121,7 @@ HEADLINE = [
     "robots_generation_diff",
     "image_color_profile",
     "sitemap_coverage_gap",
+    "graph_kcore",
 ]
 
 

@@ -78,6 +78,39 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
                     .otherwise(F.lit(0.0)).alias("clustering")))
 
 
+def k_core(edges: DataFrame, k: int, max_rounds: int = 20,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """The k-core of the undirected simple graph: iteratively peel nodes
+    of degree < k until none remain (Seidman 1983 — the densest-region
+    extractor: a crawl's k-core is its tightly cross-linked site cluster,
+    the opposite end of the spectrum from the star-shaped link farms the
+    degree histogram flags). Returns (id, core_degree) for surviving
+    nodes. Peeling is monotone, so extra rounds are no-ops — the loop
+    exits early at the fixpoint (LIMIT-1 probe, never a full count) and
+    the unrolled-CTE oracle can simply run a fixed generous round count.
+    Each round: one degree agg + two semi-joins; the edge table is
+    localCheckpoint()ed per round to keep lineage flat."""
+    a, b = F.col(src), F.col(dst)
+    e = (edges.where(a != b)
+         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+         .distinct().localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        deg = (e.select(F.col("a").alias("id"))
+               .unionAll(e.select(F.col("b").alias("id")))
+               .groupBy("id").agg(F.count("*").alias("deg")))
+        keep = deg.where(F.col("deg") >= k).select("id")
+        e2 = (e.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+              .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+              .select("a", "b").localCheckpoint(eager=True))
+        dropped = e.join(e2, ["a", "b"], "left_anti").limit(1)
+        e = e2
+        if not dropped.take(1):
+            break
+    return (e.select(F.col("a").alias("id"))
+            .unionAll(e.select(F.col("b").alias("id")))
+            .groupBy("id").agg(F.count("*").cast("bigint").alias("core_degree")))
+
+
 def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int,
                   src: str = "src", dst: str = "dst",
                   id_col: str = "id") -> DataFrame:

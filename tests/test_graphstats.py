@@ -67,3 +67,29 @@ def test_bfs_multi_seed_min_wins(spark):
     seeds = spark.createDataFrame([(0,), (6,)], "id long")
     got = {r["id"]: r["dist"] for r in bfs_distances(edges, seeds, 10).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1, 6: 0}
+
+
+def test_kcore_star_plus_clique(spark):
+    from distributed_webcrawler_spark.operators.graphstats import k_core
+
+    # K5 clique (nodes 0-4, degree 4 each) + star leaves hanging off node
+    # 0 (each leaf degree 1). 3-core: leaves peel in round 1; the clique
+    # survives with its internal degrees intact
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    star = [(0, 100 + i) for i in range(6)]
+    edges = spark.createDataFrame(clique + star, "src long, dst long")
+    got = {r["id"]: r["core_degree"] for r in k_core(edges, k=3).collect()}
+    assert got == {v: 4 for v in range(5)}
+
+
+def test_kcore_cascade_fully_peels(spark):
+    from distributed_webcrawler_spark.operators.graphstats import k_core
+
+    # a path graph has max degree 2: the 3-core is empty, and the peel
+    # must CASCADE (ends first, then their neighbors become ends, ...)
+    path = [(i, i + 1) for i in range(10)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    assert k_core(edges, k=1).count() == 11  # every node survives the 1-core
+    # endpoints have degree 1 -> peel; their neighbors become endpoints ->
+    # the whole path unravels: the 2-core of any tree is empty
+    assert k_core(edges, k=2).count() == 0
