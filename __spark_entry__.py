@@ -5255,6 +5255,130 @@ FROM per
 """
 
 
+# --- cross-host mirror detection -----------------------------------------------
+_MIR_SHIFT, _MIR_MIN_SHARED, _MIR_TH = 250, 20, 0.2
+
+
+def q_host_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host mirror detection — hosts serving the same content
+    digests (mirrors, CDNs, scraped clones): crawl ONE of them, not both.
+    A third of the content (orderkey%3==0) is planted on a second host
+    (suppkey shifted by 250), so real mirror pairs exist to find. The
+    pair join is on DIGEST, and each digest lives on a bounded handful
+    of hosts (here 2; production caps hosts-per-digest before pairing,
+    same guard as co-citation's out-degree cap), so candidate pairs grow
+    linearly with content, never quadratically with hosts. Jaccard over
+    the hosts' digest sets from three exact counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    digest = h64(F.concat(F.lit("c:"), F.col("l_orderkey").cast("string"),
+                          F.lit("-"), F.col("l_linenumber").cast("string")))
+    h1 = F.concat(F.lit("host"), (F.col("l_suppkey") % N_FRONTIER_HOSTS).cast("string"))
+    h2 = F.concat(F.lit("host"),
+                  ((F.col("l_suppkey") + _MIR_SHIFT) % N_FRONTIER_HOSTS).cast("string"))
+    placed = (li.select(digest.alias("digest"), h1.alias("host"))
+              .unionByName(li.where(F.col("l_orderkey") % 3 == 0)
+                           .select(digest.alias("digest"), h2.alias("host")))
+              .distinct())
+    per = placed.groupBy("host").agg(F.count("*").alias("n_digests"))
+    a, b = placed.alias("a"), placed.alias("b")
+    pairs = (a.join(b, (F.col("a.digest") == F.col("b.digest"))
+                    & (F.col("a.host") < F.col("b.host")))
+             .groupBy(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+             .agg(F.count("*").cast("bigint").alias("shared"))
+             .where(F.col("shared") >= _MIR_MIN_SHARED))
+    jac = F.round(F.col("shared")
+                  / (F.col("na") + F.col("nb") - F.col("shared")), 6)
+    return (pairs
+            .join(per.select(F.col("host").alias("host_a"),
+                             F.col("n_digests").alias("na")), "host_a")
+            .join(per.select(F.col("host").alias("host_b"),
+                             F.col("n_digests").alias("nb")), "host_b")
+            .select("host_a", "host_b", "shared",
+                    F.col("na").cast("bigint").alias("n_a"),
+                    F.col("nb").cast("bigint").alias("n_b"),
+                    jac.alias("jaccard"), (jac >= _MIR_TH).alias("mirror")))
+
+
+_Q_MIRROR_SQL = f"""
+WITH placed AS (
+  SELECT DISTINCT digest, host FROM (
+    SELECT {h64_sql("concat('c:', cast(l_orderkey as varchar), '-', cast(l_linenumber as varchar))")} AS digest,
+           concat('host', cast(l_suppkey % {N_FRONTIER_HOSTS} as varchar)) AS host
+    FROM lineitem
+    UNION ALL
+    SELECT {h64_sql("concat('c:', cast(l_orderkey as varchar), '-', cast(l_linenumber as varchar))")} AS digest,
+           concat('host', cast((l_suppkey + {_MIR_SHIFT}) % {N_FRONTIER_HOSTS} as varchar)) AS host
+    FROM lineitem WHERE l_orderkey % 3 = 0)),
+per AS (SELECT host, count(*) AS n_digests FROM placed GROUP BY host),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM placed a JOIN placed b ON a.digest = b.digest AND a.host < b.host
+  GROUP BY 1, 2 HAVING count(*) >= {_MIR_MIN_SHARED})
+SELECT p.host_a, p.host_b, p.shared,
+       cast(pa.n_digests as bigint) AS n_a, cast(pb.n_digests as bigint) AS n_b,
+       round(p.shared * 1.0 / (pa.n_digests + pb.n_digests - p.shared), 6) AS jaccard,
+       round(p.shared * 1.0 / (pa.n_digests + pb.n_digests - p.shared), 6) >= {_MIR_TH} AS mirror
+FROM pairs p JOIN per pa ON pa.host = p.host_a JOIN per pb ON pb.host = p.host_b
+"""
+
+
+# --- event-type co-occurrence PMI ----------------------------------------------
+
+
+def q_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence PMI over per-(user, day) baskets — which
+    behaviors actually travel together (PMI > 0) vs merely being common
+    (the raw-count trap). All inputs are exact integers (basket counts),
+    the single ln() per pair is the only float op, identical IEEE both
+    engines. Bounded everywhere: event-type pairs are a tiny dimension,
+    baskets partition by (user, day)."""
+    ev = _t(spark, sf_dir, "events")
+    baskets = (ev.select("user_id", F.to_date("ts").alias("day"), "event_type")
+               .distinct())
+    n = baskets.select("user_id", "day").distinct().count()
+    per = baskets.groupBy("event_type").agg(F.count("*").alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.day") == F.col("b.day"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("type_a"),
+                      F.col("b.event_type").alias("type_b"))
+             .agg(F.count("*").cast("bigint").alias("c_ab")))
+    return (pairs
+            .join(F.broadcast(per.select(F.col("event_type").alias("type_a"),
+                                         F.col("c").alias("c_a"))), "type_a")
+            .join(F.broadcast(per.select(F.col("event_type").alias("type_b"),
+                                         F.col("c").alias("c_b"))), "type_b")
+            .select("type_a", "type_b", "c_ab",
+                    F.col("c_a").cast("bigint").alias("c_a"),
+                    F.col("c_b").cast("bigint").alias("c_b"),
+                    F.round(F.log(F.col("c_ab").cast("double") * F.lit(float(n))
+                                  / (F.col("c_a") * F.col("c_b"))), 6).alias("pmi")))
+
+
+def _pmi_sql() -> str:
+    # N (total baskets) is embedded as a literal on the Spark side via a
+    # driver count; the oracle computes it as a scalar subquery — both are
+    # the same exact integer, so the float expression is identical
+    return f"""
+WITH baskets AS (
+  SELECT DISTINCT user_id, cast(ts as date) AS day, event_type FROM events),
+nb AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, day FROM baskets)),
+per AS (SELECT event_type, count(*) AS c FROM baskets GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS c_ab
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.c_ab,
+       cast(pa.c as bigint) AS c_a, cast(pb.c as bigint) AS c_b,
+       round(ln(p.c_ab * cast((SELECT n FROM nb) as double)
+                / (pa.c * pb.c)), 6) AS pmi
+FROM pairs p JOIN per pa ON pa.event_type = p.type_a
+             JOIN per pb ON pb.event_type = p.type_b
+"""
+
+
 # --- sitemap coverage gap -------------------------------------------------------
 
 
@@ -6124,6 +6248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_color_profile": q_image_color_profile,
         "sitemap_coverage_gap": q_sitemap_coverage_gap,
         "graph_kcore": q_graph_kcore,
+        "host_mirror_detect": q_host_mirror_detect,
+        "event_pmi": q_event_pmi,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -6271,6 +6397,8 @@ def oracle_sql() -> dict[str, str]:
         "image_color_profile": _dc_sql(),
         "sitemap_coverage_gap": _Q_SMGAP_SQL,
         "graph_kcore": _kcore_sql(),
+        "host_mirror_detect": _Q_MIRROR_SQL,
+        "event_pmi": _pmi_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -122,6 +122,8 @@ HEADLINE = [
     "image_color_profile",
     "sitemap_coverage_gap",
     "graph_kcore",
+    "host_mirror_detect",
+    "event_pmi",
 ]
 
 

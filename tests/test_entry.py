@@ -99,6 +99,37 @@ def test_image_letterbox_semantics(spark):
         assert r["content_h"] == r["h"] - r["top"] - r["bottom"]
 
 
+def test_host_mirror_detect_finds_planted_pairs(spark):
+    rows = E.q_host_mirror_detect(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    mirrors = [r for r in rows if r["mirror"]]
+    assert mirrors, "planted mirror pairs must be detected"
+    for r in rows:
+        ia = int(r["host_a"][4:])
+        ib = int(r["host_b"][4:])
+        # only the planted (h, h+250 mod 500) placements share content
+        assert (ia + E._MIR_SHIFT) % E.N_FRONTIER_HOSTS == ib \
+            or (ib + E._MIR_SHIFT) % E.N_FRONTIER_HOSTS == ia
+        assert r["shared"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_event_pmi_matches_python_reference(spark):
+    import math
+
+    rows = E.q_event_pmi(spark, E.SF001).collect()
+    assert rows
+    ev = spark.read.parquet(f"{E.SF001}/events.parquet")
+    from pyspark.sql import functions as F2
+    baskets = (ev.select("user_id", F2.to_date("ts").alias("day"), "event_type")
+               .distinct())
+    n = baskets.select("user_id", "day").distinct().count()
+    for r in rows:
+        assert r["c_ab"] <= min(r["c_a"], r["c_b"])
+        want = round(math.log(r["c_ab"] * float(n) / (r["c_a"] * r["c_b"])), 6)
+        assert abs(r["pmi"] - want) < 1e-9, (r, want)
+
+
 def test_sitemap_coverage_gap_accounting(spark):
     rows = E.q_sitemap_coverage_gap(spark, E.SF001).collect()
     assert rows
