@@ -192,3 +192,25 @@ def test_dust_canonical_join_is_single_key_shuffle(spark):
     plan = _plan(E.queries()["dust_rule_mining"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_round2c_queries_no_cartesian_or_nl(spark):
+    """The newest report queries are all keyed equi-joins + bounded
+    windows — none may plan a CartesianProduct or BroadcastNestedLoopJoin
+    (the LIKE-join in robots_rfc9309 is host-equi-keyed with the pattern
+    as a residual filter; mirror detection is digest-keyed; PMI is
+    basket-keyed)."""
+    import __spark_entry__ as E
+
+    for name in ("host_cocitation", "host_mirror_detect", "event_pmi",
+                 "sitemap_coverage_gap", "robots_rfc9309",
+                 "robots_generation_diff",
+                 "politeness_audit", "url_template_mining"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+    # crawl_makespan is excluded from the BNLJ assert: its crossJoin
+    # broadcasts a ONE-ROW aggregate (the makespan scalar) — the standard
+    # scalar-broadcast pattern, constant cost at any scale
+    plan = _plan(E.queries()["crawl_makespan"](spark, SF))
+    assert "CartesianProduct" not in plan
