@@ -670,10 +670,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_MH_K, max_chars=_MH_CHARS, min_est=_MH_MIN)
 
 
-def _minhash_cte_body() -> tuple[str, str]:
+def _minhash_cte_body(source: str = "documents") -> tuple[str, str]:
     """Shared CTE chain (pos -> sh -> sig -> bands -> cand) plus the
-    signature-match count expression; used by the pairs oracle and the
-    connected-components oracle so both see identical candidate semantics."""
+    signature-match count expression; used by the pairs oracle, the
+    connected-components oracle, and the planted-recall oracle so all
+    see identical candidate semantics. ``source`` must expose
+    (doc_id, text)."""
     mins = ",\n         ".join(
         f"min(md5(concat('{s}:', sh))) AS mh_{s}" for s in range(_MH_N))
     n_bands = _MH_N // _MH_BAND
@@ -686,7 +688,7 @@ def _minhash_cte_body() -> tuple[str, str]:
     body = f"""pos AS (
   SELECT doc_id AS id, substr(text, 1, {_MH_CHARS}) AS t,
          unnest(generate_series(1, greatest(length(substr(text, 1, {_MH_CHARS})) - {_MH_K - 1}, 0))) AS i
-  FROM documents
+  FROM {source}
 ),
 sh AS (SELECT DISTINCT id, substr(t, cast(i as int), {_MH_K}) AS sh FROM pos),
 sig AS (SELECT id, {mins} FROM sh GROUP BY id),
@@ -5255,6 +5257,86 @@ FROM per
 """
 
 
+# --- planted-mutation dedup recall ---------------------------------------------
+_REC_MOD, _REC_ID_OFF = 5, 1_000_000
+# mutation tiers: how much of the document survives (prefix dropped)
+_REC_TIERS = {0: "6", 1: "greatest(1, length(text) DIV 2)",
+              2: "greatest(1, (length(text) * 2) DIV 3)"}
+
+
+def q_dedup_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup recall vs PLANTED ground truth, swept over mutation
+    strength — the evaluation every near-dup threshold decision needs:
+    every 5th document gets a mutated twin (id + 10^6) whose corruption
+    tier cycles light / medium / heavy (drop 5 chars, drop half, drop
+    two-thirds), the MinHash-LSH detector runs over the union corpus,
+    and each planted (original, mutant) pair is scored found/missed with
+    its estimated similarity; recall PER TIER rides every row. Unlike
+    minhash_calibration (estimator vs exact Jaccard on DETECTED pairs),
+    this measures what the detector FAILED to detect across a corruption
+    curve — light-tier recall should be ~1, heavy-tier visibly lower
+    (the banding sensitivity cliff made measurable). One union scan +
+    the already-gated sub-quadratic LSH pipeline."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tier = (F.col("doc_id") / _REC_MOD).cast("bigint") % 3
+    cut = F.expr(f"""CASE cast(doc_id / {_REC_MOD} as bigint) % 3
+        WHEN 0 THEN {_REC_TIERS[0]} WHEN 1 THEN {_REC_TIERS[1]}
+        ELSE {_REC_TIERS[2]} END""")
+    mut = (docs.where(F.col("doc_id") % _REC_MOD == 0)
+           .select((F.col("doc_id") + _REC_ID_OFF).alias("doc_id"),
+                   F.substring(F.col("text"), cut,
+                               F.lit(2_000_000_000)).alias("text")))
+    corpus = docs.unionByName(mut)
+    pairs = D.minhash_lsh_pairs(corpus, n_hashes=_MH_N, band_size=_MH_BAND,
+                                k=_MH_K, max_chars=_MH_CHARS, min_est=_MH_MIN)
+    planted = (docs.where(F.col("doc_id") % _REC_MOD == 0)
+               .select(F.col("doc_id").alias("orig_id"),
+                       (F.col("doc_id") + _REC_ID_OFF).alias("mut_id"),
+                       tier.cast("int").alias("tier")))
+    hit = (planted.join(pairs.withColumnRenamed("id_a", "orig_id")
+                        .withColumnRenamed("id_b", "mut_id"),
+                        ["orig_id", "mut_id"], "left")
+           .select("orig_id", "mut_id", "tier",
+                   F.col("est_sim").isNotNull().alias("found"),
+                   F.coalesce(F.round("est_sim", 6), F.lit(0.0)).alias("est_sim")))
+    per_tier = (hit.groupBy("tier")
+                .agg(F.round(F.avg(F.col("found").cast("double")), 6)
+                     .alias("tier_recall")))
+    return hit.join(F.broadcast(per_tier), "tier")
+
+
+def _recall_sql() -> str:
+    body, matches = _minhash_cte_body("corpus")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_REC_ID_OFF} AS doc_id,
+         substr(text, cast(CASE (doc_id // {_REC_MOD}) % 3
+                  WHEN 0 THEN 6 WHEN 1 THEN greatest(1, length(text) // 2)
+                  ELSE greatest(1, (length(text) * 2) // 3) END as int)) AS text
+  FROM documents WHERE doc_id % {_REC_MOD} = 0),
+{body},
+found AS (
+  SELECT id_a, id_b, round(({matches}) / 8.0, 6) AS est_sim
+  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+  WHERE round(({matches}) / 8.0, 6) >= {_MH_MIN}),
+planted AS (
+  SELECT doc_id AS orig_id, doc_id + {_REC_ID_OFF} AS mut_id,
+         cast((doc_id // {_REC_MOD}) % 3 as int) AS tier
+  FROM documents WHERE doc_id % {_REC_MOD} = 0),
+hit AS (
+  SELECT p.orig_id, p.mut_id, p.tier, f.est_sim IS NOT NULL AS found,
+         coalesce(round(f.est_sim, 6), 0.0) AS est_sim
+  FROM planted p LEFT JOIN found f ON f.id_a = p.orig_id AND f.id_b = p.mut_id),
+per_tier AS (
+  SELECT tier, round(avg(cast(found as double)), 6) AS tier_recall
+  FROM hit GROUP BY tier)
+SELECT h.tier, h.orig_id, h.mut_id, h.found, h.est_sim, t.tier_recall
+FROM hit h JOIN per_tier t ON t.tier = h.tier
+"""
+
+
 # --- cross-host mirror detection -----------------------------------------------
 _MIR_SHIFT, _MIR_MIN_SHARED, _MIR_TH = 250, 20, 0.2
 
@@ -6250,6 +6332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "host_mirror_detect": q_host_mirror_detect,
         "event_pmi": q_event_pmi,
+        "dedup_recall_planted": q_dedup_recall_planted,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -6399,6 +6482,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_sql(),
         "host_mirror_detect": _Q_MIRROR_SQL,
         "event_pmi": _pmi_sql(),
+        "dedup_recall_planted": _recall_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

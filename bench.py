@@ -124,6 +124,7 @@ HEADLINE = [
     "graph_kcore",
     "host_mirror_detect",
     "event_pmi",
+    "dedup_recall_planted",
 ]
 
 

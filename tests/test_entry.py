@@ -99,6 +99,20 @@ def test_image_letterbox_semantics(spark):
         assert r["content_h"] == r["h"] - r["top"] - r["bottom"]
 
 
+def test_dedup_recall_curve_monotone(spark):
+    rows = E.q_dedup_recall_planted(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    recall = {r["tier"]: r["tier_recall"] for r in rows}
+    assert set(recall) == {0, 1, 2}
+    # light mutations must all be found; recall must fall with corruption
+    assert recall[0] == 1.0
+    assert recall[0] >= recall[1] >= recall[2]
+    assert recall[2] < 1.0  # heavy tier visibly below the cliff
+    for r in rows:
+        if r["found"]:
+            assert r["est_sim"] >= E._MH_MIN
+
+
 def test_host_mirror_detect_finds_planted_pairs(spark):
     rows = E.q_host_mirror_detect(spark, "/root/testdata/sf0.01").collect()
     assert rows
