@@ -5257,6 +5257,59 @@ FROM per
 """
 
 
+# --- UCB host prioritization ----------------------------------------------------
+_UCB_HOSTS, _UCB_C, _UCB_GOOD = 25, 1.5, 50.0
+
+
+def q_host_ucb_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 host prioritization — the explore/exploit scheduler: each
+    host's priority is its observed yield (fraction of fetches that
+    produced useful content) PLUS an exploration bonus
+    c·sqrt(ln(N)/n_i) that grows for under-crawled hosts (Auer et al.
+    2002). A pure-yield ranker starves never-tried hosts forever; UCB is
+    the principled fix, and composes with the politeness budget the same
+    way the PageRank blend does. Inputs are exact integer counts from
+    the fetch log; ln/sqrt run once per host on those exact integers,
+    identical IEEE both engines; scores round to 6 with host ASC as the
+    deterministic tie-break rank."""
+    ev = _t(spark, sf_dir, "events")
+    per = (ev.select(F.concat(F.lit("uh"), (F.col("user_id") % _UCB_HOSTS)
+                              .cast("string")).alias("host"),
+                     (F.col("value") >= _UCB_GOOD).cast("int").alias("good"))
+           .groupBy("host")
+           .agg(F.count("*").alias("n"), F.sum("good").alias("g")))
+    tot = per.agg(F.sum("n").alias("t"))
+    score = F.round(
+        F.col("g") / F.col("n")
+        + F.lit(_UCB_C) * F.sqrt(F.log(F.col("t").cast("double")) / F.col("n")), 6)
+    w = Window.orderBy(F.col("ucb").desc(), F.col("host").asc())  # host dim: tiny
+    return (per.crossJoin(F.broadcast(tot))
+            .select("host", F.col("n").cast("bigint").alias("n_fetches"),
+                    F.col("g").cast("bigint").alias("n_good"),
+                    F.round(F.col("g") / F.col("n"), 6).alias("yield"),
+                    score.alias("ucb"))
+            .withColumn("rank", F.row_number().over(w).cast("int")))
+
+
+_Q_UCB_SQL = f"""
+WITH per AS (
+  SELECT concat('uh', cast(user_id % {_UCB_HOSTS} as varchar)) AS host,
+         count(*) AS n,
+         sum(CASE WHEN value >= {_UCB_GOOD} THEN 1 ELSE 0 END) AS g
+  FROM events GROUP BY 1),
+tot AS (SELECT sum(n) AS t FROM per),
+scored AS (
+  SELECT host, cast(n as bigint) AS n_fetches, cast(g as bigint) AS n_good,
+         round(g * 1.0 / n, 6) AS yield,
+         round(g * 1.0 / n
+               + {_UCB_C} * sqrt(ln(cast((SELECT t FROM tot) as double)) / n), 6) AS ucb
+  FROM per)
+SELECT host, n_fetches, n_good, yield, ucb,
+       cast(row_number() OVER (ORDER BY ucb DESC, host ASC) as int) AS rank
+FROM scored
+"""
+
+
 # --- planted-mutation dedup recall ---------------------------------------------
 _REC_MOD, _REC_ID_OFF = 5, 1_000_000
 # mutation tiers: how much of the document survives (prefix dropped)
@@ -6333,6 +6386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_mirror_detect": q_host_mirror_detect,
         "event_pmi": q_event_pmi,
         "dedup_recall_planted": q_dedup_recall_planted,
+        "host_ucb_priority": q_host_ucb_priority,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -6483,6 +6537,7 @@ def oracle_sql() -> dict[str, str]:
         "host_mirror_detect": _Q_MIRROR_SQL,
         "event_pmi": _pmi_sql(),
         "dedup_recall_planted": _recall_sql(),
+        "host_ucb_priority": _Q_UCB_SQL,
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -125,6 +125,7 @@ HEADLINE = [
     "host_mirror_detect",
     "event_pmi",
     "dedup_recall_planted",
+    "host_ucb_priority",
 ]
 
 

@@ -99,6 +99,22 @@ def test_image_letterbox_semantics(spark):
         assert r["content_h"] == r["h"] - r["top"] - r["bottom"]
 
 
+def test_host_ucb_exploration_bonus(spark):
+    import math
+
+    rows = E.q_host_ucb_priority(spark, E.SF001).collect()
+    assert rows
+    n_total = sum(r["n_fetches"] for r in rows)
+    for r in rows:
+        # ucb = yield + c*sqrt(ln(N)/n), recomputed from the row's ints
+        want = round(r["n_good"] / r["n_fetches"]
+                     + E._UCB_C * math.sqrt(math.log(n_total) / r["n_fetches"]), 6)
+        assert abs(r["ucb"] - want) < 1e-9
+        assert r["ucb"] >= r["yield"]  # the bonus never demotes
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+
+
 def test_dedup_recall_curve_monotone(spark):
     rows = E.q_dedup_recall_planted(spark, "/root/testdata/sf0.01").collect()
     assert rows
