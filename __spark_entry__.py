@@ -2264,6 +2264,96 @@ WHERE rk <= {_IVF_K}
 """
 
 
+_NP_SWEEP = [1, 2, 4]
+
+
+def q_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe recall sweep — the tuning curve real IVF deployments
+    read before picking nprobe: recall@3 of the bucketed search vs exact
+    brute force, at nprobe = 1, 2, 4, per query and averaged per level.
+    More probed cells -> monotonically higher recall at linearly higher
+    search cost; this query MEASURES that tradeoff under the gate
+    instead of asserting it. Exact side computed once (broadcast query
+    side); each sweep level reuses the same broadcast-assigned corpus —
+    the per-level delta is only the probe explode."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    corpus = S.ivf_assign_broadcast(emb, cents)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = (S.brute_force_topk(queries, emb, k=_IVF_K)
+             .select("query_id", "neighbor_id").localCheckpoint(eager=True))
+    outs = []
+    for np_ in _NP_SWEEP:
+        probes = S.ivf_assign_broadcast(queries, cents, nprobe=np_)
+        if np_ == 1:  # topk_nprobe expects the cells array form
+            probes = probes.select("id", "v", F.array("cell").alias("cells"))
+        ivf = (S.ivf_topk_nprobe(corpus, probes, k=_IVF_K)
+               .select("query_id", "neighbor_id", F.lit(1).alias("hit")))
+        per_q = (exact.join(ivf, ["query_id", "neighbor_id"], "left")
+                 .groupBy("query_id")
+                 .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                      .cast("bigint").alias("n_hit")))
+        outs.append(per_q.select(F.lit(np_).alias("nprobe"), "query_id", "n_hit",
+                                 F.round(F.col("n_hit") / F.lit(float(_IVF_K)), 6)
+                                 .alias("recall")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    lvl = (res.groupBy("nprobe")
+           .agg(F.round(F.avg("recall"), 6).alias("avg_recall")))
+    return (res.join(F.broadcast(lvl), "nprobe")
+            .select(F.col("nprobe").cast("int").alias("nprobe"), "query_id",
+                    "n_hit", "recall", "avg_recall"))
+
+
+def _np_sweep_sql() -> str:
+    per_np = []
+    for np_ in _NP_SWEEP:
+        per_np.append(f"""(
+  SELECT {np_} AS nprobe, x.query_id, x.n_hit,
+         round(x.n_hit * 1.0 / {_IVF_K}, 6) AS recall
+  FROM (
+    SELECT e.query_id,
+           cast(coalesce(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) as bigint) AS n_hit
+    FROM exact e
+    LEFT JOIN (
+      SELECT DISTINCT q.id AS query_id, n.id AS neighbor_id
+      FROM (SELECT id, v, cell FROM ranked WHERE crk <= {np_} AND id % 50 = 0) q
+      JOIN asg n ON q.cell = n.cell AND q.id <> n.id) p
+      ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id) x)""")
+    union = "\nUNION ALL\n".join(per_np)
+    return f"""
+WITH cent AS MATERIALIZED (
+  SELECT vec_id AS cell, cast(embedding AS double[]) AS cv
+  FROM embeddings WHERE vec_id % {_IVF_MOD} = 0),
+sc AS MATERIALIZED (
+  SELECT e.vec_id AS id, cast(e.embedding AS double[]) AS v, c.cell,
+         round(list_cosine_similarity(cast(e.embedding AS double[]), c.cv), 6) AS csim
+  FROM embeddings e CROSS JOIN cent c),
+ranked AS MATERIALIZED (
+  SELECT id, v, cell,
+         row_number() OVER (PARTITION BY id ORDER BY csim DESC, cell ASC) AS crk
+  FROM sc),
+asg AS MATERIALIZED (SELECT id, v, cell FROM ranked WHERE crk = 1),
+exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_cosine_similarity(cast(q.embedding as double[]),
+                                                                    cast(c.embedding as double[])), 6) DESC,
+                                       c.vec_id ASC) AS rk
+    FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+    JOIN embeddings c ON c.vec_id <> q.vec_id) t
+  WHERE rk <= {_IVF_K}),
+lv AS ({union})
+SELECT cast(l.nprobe as int) AS nprobe, l.query_id, l.n_hit, l.recall,
+       a.avg_recall
+FROM lv l JOIN (SELECT nprobe, round(avg(recall), 6) AS avg_recall
+                FROM lv GROUP BY nprobe) a ON a.nprobe = l.nprobe
+"""
+
+
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: one crawl-scheduling round on the sf0.001 synthetic frontier."""
@@ -6387,6 +6477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pmi": q_event_pmi,
         "dedup_recall_planted": q_dedup_recall_planted,
         "host_ucb_priority": q_host_ucb_priority,
+        "ann_nprobe_sweep": q_ann_nprobe_sweep,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -6538,6 +6629,7 @@ def oracle_sql() -> dict[str, str]:
         "event_pmi": _pmi_sql(),
         "dedup_recall_planted": _recall_sql(),
         "host_ucb_priority": _Q_UCB_SQL,
+        "ann_nprobe_sweep": _np_sweep_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

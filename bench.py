@@ -126,6 +126,7 @@ HEADLINE = [
     "event_pmi",
     "dedup_recall_planted",
     "host_ucb_priority",
+    "ann_nprobe_sweep",
 ]
 
 

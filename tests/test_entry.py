@@ -99,6 +99,18 @@ def test_image_letterbox_semantics(spark):
         assert r["content_h"] == r["h"] - r["top"] - r["bottom"]
 
 
+def test_ann_nprobe_recall_monotone(spark):
+    rows = E.q_ann_nprobe_sweep(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    avg = {r["nprobe"]: r["avg_recall"] for r in rows}
+    assert set(avg) == set(E._NP_SWEEP)
+    # probing more cells can only add candidates -> recall is monotone
+    assert avg[1] <= avg[2] <= avg[4]
+    assert avg[4] > avg[1]  # and the lever actually moves on this corpus
+    for r in rows:
+        assert 0 <= r["n_hit"] <= E._IVF_K
+
+
 def test_host_ucb_exploration_bonus(spark):
     import math
 
