@@ -838,7 +838,11 @@ def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=_SH64_BITS, n_bands=_SH64_BANDS, max_chars=_SIM_CHARS)
 
 
-def _simhash64_sql() -> str:
+def _simhash64_cte_body(source: str = "documents", p: str = "") -> str:
+    """CTE chain ending in ``{p}cand`` (id_a, id_b, sig_a, sig_b); all CTE
+    names carry the ``p`` prefix so two detector bodies can coexist in one
+    oracle (the method-recall comparison). ``source`` exposes
+    (doc_id, text)."""
     band_bits = _SH64_BITS // _SH64_BANDS
     mask = (1 << band_bits) - 1
     sums = ",\n         ".join(
@@ -847,22 +851,26 @@ def _simhash64_sql() -> str:
     sig = " + ".join(
         f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SH64_BITS))
     band_vals = ",".join(f"({b})" for b in range(_SH64_BANDS))
-    return f"""
-WITH pos AS (
+    return f"""{p}pos AS (
   SELECT doc_id AS id, substr(text, 1, {_SIM_CHARS}) AS t,
          unnest(generate_series(1, greatest(length(substr(text, 1, {_SIM_CHARS})) - 3, 0))) AS i
-  FROM documents
+  FROM {source}
 ),
-sh AS (SELECT id, substr(t, cast(i as int), 4) AS sh FROM pos),
-h AS (SELECT id, {h64_sql('sh')} AS h FROM sh),
-bits AS (SELECT id, {sums} FROM h GROUP BY id),
-sig AS (SELECT id, cast({sig} as bigint) AS simhash FROM bits),
-bands AS (
+{p}sh AS (SELECT id, substr(t, cast(i as int), 4) AS sh FROM {p}pos),
+{p}h AS (SELECT id, {h64_sql('sh')} AS h FROM {p}sh),
+{p}bits AS (SELECT id, {sums} FROM {p}h GROUP BY id),
+{p}sig AS (SELECT id, cast({sig} as bigint) AS simhash FROM {p}bits),
+{p}bands AS (
   SELECT id, simhash, band, (simhash >> (band * {band_bits})) & {mask} AS slice
-  FROM sig, (VALUES {band_vals}) b(band)),
-cand AS (
+  FROM {p}sig, (VALUES {band_vals}) b(band)),
+{p}cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sig_a, b.simhash AS sig_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.slice = b.slice AND a.id < b.id)
+  FROM {p}bands a JOIN {p}bands b ON a.band = b.band AND a.slice = b.slice AND a.id < b.id)"""
+
+
+def _simhash64_sql() -> str:
+    return f"""
+WITH {_simhash64_cte_body()}
 SELECT id_a, id_b, cast(bit_count(xor(sig_a, sig_b)) as int) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SH64_HAM}
 """
@@ -5420,22 +5428,9 @@ def q_dedup_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve — light-tier recall should be ~1, heavy-tier visibly lower
     (the banding sensitivity cliff made measurable). One union scan +
     the already-gated sub-quadratic LSH pipeline."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    tier = (F.col("doc_id") / _REC_MOD).cast("bigint") % 3
-    cut = F.expr(f"""CASE cast(doc_id / {_REC_MOD} as bigint) % 3
-        WHEN 0 THEN {_REC_TIERS[0]} WHEN 1 THEN {_REC_TIERS[1]}
-        ELSE {_REC_TIERS[2]} END""")
-    mut = (docs.where(F.col("doc_id") % _REC_MOD == 0)
-           .select((F.col("doc_id") + _REC_ID_OFF).alias("doc_id"),
-                   F.substring(F.col("text"), cut,
-                               F.lit(2_000_000_000)).alias("text")))
-    corpus = docs.unionByName(mut)
+    corpus, planted = _planted_corpus(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(corpus, n_hashes=_MH_N, band_size=_MH_BAND,
                                 k=_MH_K, max_chars=_MH_CHARS, min_est=_MH_MIN)
-    planted = (docs.where(F.col("doc_id") % _REC_MOD == 0)
-               .select(F.col("doc_id").alias("orig_id"),
-                       (F.col("doc_id") + _REC_ID_OFF).alias("mut_id"),
-                       tier.cast("int").alias("tier")))
     hit = (planted.join(pairs.withColumnRenamed("id_a", "orig_id")
                         .withColumnRenamed("id_b", "mut_id"),
                         ["orig_id", "mut_id"], "left")
@@ -5448,26 +5443,116 @@ def q_dedup_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.join(F.broadcast(per_tier), "tier")
 
 
-def _recall_sql() -> str:
-    body, matches = _minhash_cte_body("corpus")
-    return f"""
-WITH corpus AS (
+def _planted_corpus(spark: SparkSession, sf_dir: str):
+    """(corpus, planted) for the recall evals: documents plus tiered
+    mutated twins, and the (orig_id, mut_id, tier) ground-truth pairs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tier = (F.col("doc_id") / _REC_MOD).cast("bigint") % 3
+    cut = F.expr(f"""CASE cast(doc_id / {_REC_MOD} as bigint) % 3
+        WHEN 0 THEN {_REC_TIERS[0]} WHEN 1 THEN {_REC_TIERS[1]}
+        ELSE {_REC_TIERS[2]} END""")
+    mut = (docs.where(F.col("doc_id") % _REC_MOD == 0)
+           .select((F.col("doc_id") + _REC_ID_OFF).alias("doc_id"),
+                   F.substring(F.col("text"), cut,
+                               F.lit(2_000_000_000)).alias("text")))
+    planted = (docs.where(F.col("doc_id") % _REC_MOD == 0)
+               .select(F.col("doc_id").alias("orig_id"),
+                       (F.col("doc_id") + _REC_ID_OFF).alias("mut_id"),
+                       tier.cast("int").alias("tier")))
+    return docs.unionByName(mut), planted
+
+
+_PLANTED_CORPUS_SQL = f"""
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {_REC_ID_OFF} AS doc_id,
          substr(text, cast(CASE (doc_id // {_REC_MOD}) % 3
                   WHEN 0 THEN 6 WHEN 1 THEN greatest(1, length(text) // 2)
                   ELSE greatest(1, (length(text) * 2) // 3) END as int)) AS text
-  FROM documents WHERE doc_id % {_REC_MOD} = 0),
+  FROM documents WHERE doc_id % {_REC_MOD} = 0
+"""
+
+_PLANTED_PAIRS_SQL = f"""
+  SELECT doc_id AS orig_id, doc_id + {_REC_ID_OFF} AS mut_id,
+         cast((doc_id // {_REC_MOD}) % 3 as int) AS tier
+  FROM documents WHERE doc_id % {_REC_MOD} = 0
+"""
+
+
+def q_dedup_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector shoot-out on the SAME planted ground truth — MinHash-LSH
+    vs banded 64-bit SimHash, per corruption tier: the comparison that
+    actually picks a production detector (agreement matrices compare
+    detectors on what they FOUND; this compares them on what was
+    PLANTED). Per (method, tier): recall over the planted pairs; both
+    detectors run over the identical mutated union corpus through their
+    already-gated sub-quadratic pipelines."""
+    corpus, planted = _planted_corpus(spark, sf_dir)
+    mh = D.minhash_lsh_pairs(corpus, n_hashes=_MH_N, band_size=_MH_BAND,
+                             k=_MH_K, max_chars=_MH_CHARS,
+                             min_est=_MH_MIN).select("id_a", "id_b")
+    sh = D.simhash_banded_pairs(corpus, max_hamming=_SH64_HAM,
+                                n_bits=_SH64_BITS, n_bands=_SH64_BANDS,
+                                max_chars=_SIM_CHARS).select("id_a", "id_b")
+    outs = []
+    for method, prs in (("minhash", mh), ("simhash64", sh)):
+        hit = (planted.join(prs.withColumnRenamed("id_a", "orig_id")
+                            .withColumnRenamed("id_b", "mut_id")
+                            .withColumn("f", F.lit(1)),
+                            ["orig_id", "mut_id"], "left")
+               .select(F.lit(method).alias("method"), "tier", "orig_id",
+                       "mut_id", F.col("f").isNotNull().alias("found")))
+        outs.append(hit)
+    hits = outs[0].unionByName(outs[1])
+    per = (hits.groupBy("method", "tier")
+           .agg(F.round(F.avg(F.col("found").cast("double")), 6)
+                .alias("tier_recall")))
+    return hits.join(F.broadcast(per), ["method", "tier"])
+
+
+def _method_recall_sql() -> str:
+    mh_body, matches = _minhash_cte_body("corpus")
+    sh_body = _simhash64_cte_body("corpus", "sx_")
+    return f"""
+WITH corpus AS ({_PLANTED_CORPUS_SQL}),
+{mh_body},
+mh_pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+  WHERE round(({matches}) / 8.0, 6) >= {_MH_MIN}),
+{sh_body},
+sh_pairs AS (
+  SELECT id_a, id_b FROM sx_cand
+  WHERE bit_count(xor(sig_a, sig_b)) <= {_SH64_HAM}),
+planted AS ({_PLANTED_PAIRS_SQL}),
+hits AS (
+  SELECT 'minhash' AS method, p.tier, p.orig_id, p.mut_id,
+         f.id_a IS NOT NULL AS found
+  FROM planted p LEFT JOIN mh_pairs f
+    ON f.id_a = p.orig_id AND f.id_b = p.mut_id
+  UNION ALL
+  SELECT 'simhash64', p.tier, p.orig_id, p.mut_id,
+         f.id_a IS NOT NULL AS found
+  FROM planted p LEFT JOIN sh_pairs f
+    ON f.id_a = p.orig_id AND f.id_b = p.mut_id),
+per AS (
+  SELECT method, tier, round(avg(cast(found as double)), 6) AS tier_recall
+  FROM hits GROUP BY method, tier)
+SELECT h.method, h.tier, h.orig_id, h.mut_id, h.found, t.tier_recall
+FROM hits h JOIN per t ON t.method = h.method AND t.tier = h.tier
+"""
+
+
+def _recall_sql() -> str:
+    body, matches = _minhash_cte_body("corpus")
+    return f"""
+WITH corpus AS ({_PLANTED_CORPUS_SQL}),
 {body},
 found AS (
   SELECT id_a, id_b, round(({matches}) / 8.0, 6) AS est_sim
   FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
   WHERE round(({matches}) / 8.0, 6) >= {_MH_MIN}),
-planted AS (
-  SELECT doc_id AS orig_id, doc_id + {_REC_ID_OFF} AS mut_id,
-         cast((doc_id // {_REC_MOD}) % 3 as int) AS tier
-  FROM documents WHERE doc_id % {_REC_MOD} = 0),
+planted AS ({_PLANTED_PAIRS_SQL}),
 hit AS (
   SELECT p.orig_id, p.mut_id, p.tier, f.est_sim IS NOT NULL AS found,
          coalesce(round(f.est_sim, 6), 0.0) AS est_sim
@@ -6478,6 +6563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_planted": q_dedup_recall_planted,
         "host_ucb_priority": q_host_ucb_priority,
         "ann_nprobe_sweep": q_ann_nprobe_sweep,
+        "dedup_method_recall": q_dedup_method_recall,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -6630,6 +6716,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_recall_planted": _recall_sql(),
         "host_ucb_priority": _Q_UCB_SQL,
         "ann_nprobe_sweep": _np_sweep_sql(),
+        "dedup_method_recall": _method_recall_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

@@ -127,6 +127,7 @@ HEADLINE = [
     "dedup_recall_planted",
     "host_ucb_priority",
     "ann_nprobe_sweep",
+    "dedup_method_recall",
 ]
 
 

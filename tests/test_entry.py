@@ -111,6 +111,19 @@ def test_ann_nprobe_recall_monotone(spark):
         assert 0 <= r["n_hit"] <= E._IVF_K
 
 
+def test_dedup_method_recall_comparison(spark):
+    rows = E.q_dedup_method_recall(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    rec = {(r["method"], r["tier"]): r["tier_recall"] for r in rows}
+    assert set(rec) == {(m, t) for m in ("minhash", "simhash64")
+                        for t in (0, 1, 2)}
+    # shingle-set minhash is robust to prefix drops; bitwise simhash at
+    # Hamming<=3 is not — the comparison must show it at every tier
+    for t in (0, 1, 2):
+        assert rec[("minhash", t)] >= rec[("simhash64", t)]
+    assert rec[("minhash", 0)] == 1.0
+
+
 def test_host_ucb_exploration_bonus(spark):
     import math
 
