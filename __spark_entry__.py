@@ -5355,6 +5355,101 @@ FROM per
 """
 
 
+# --- image phash recall on planted corruptions ----------------------------------
+_IPR_N, _IPR_OFF = 90, "v-"
+
+
+def _ipr_payloads() -> tuple[list, list]:
+    """(payloads, planted): originals (PNG) plus one corrupted variant
+    each, corruption tier cycling by index — 0: jpeg re-encode (6-bit
+    quantize), 1: webp re-encode (7-bit), 2: crop 3 border rows/cols then
+    re-encode jpeg. planted = (orig_id, var_id, tier)."""
+    import hashlib
+
+    import numpy as np
+
+    from distributed_webcrawler_spark.sources import codec
+
+    payloads, planted = [], []
+    for i in range(_IPR_N):
+        hw = int(hashlib.md5(f"iprw:{i}".encode()).hexdigest()[:8], 16)
+        hh = int(hashlib.md5(f"iprh:{i}".encode()).hexdigest()[:8], 16)
+        w, h = 24 + hw % 25, 24 + hh % 25
+        oid, vid = f"ip-{i:05d}", f"{_IPR_OFF}ip-{i:05d}"
+        px = codec.synth_pixels(oid, w, h)
+        payloads.append((oid, codec.encode_image(px, "png")))
+        tier = i % 3
+        if tier == 0:
+            var = codec.encode_image(px, "jpeg")
+        elif tier == 1:
+            var = codec.encode_image(px, "webp")
+        else:
+            var = codec.encode_image(np.ascontiguousarray(px[3:-3, 3:-3]), "jpeg")
+        payloads.append((vid, var))
+        planted.append((oid, vid, tier))
+    return payloads, planted
+
+
+def q_image_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup recall on PLANTED image corruptions — the
+    image-side twin of dedup_method_recall: every original gets one
+    corrupted variant (lossy jpeg / lossy webp / border-crop+jpeg), the
+    banded-Hamming phash detector runs over the union, and each planted
+    pair is scored found/missed with its Hamming distance; per-tier
+    recall rides every row. Expectation the gate certifies: re-encodes
+    are phash-stable (quantization barely moves the DCT signs), crops
+    shift the whole grid — the corruption class phash dedup is known to
+    miss, now MEASURED instead of asserted. Banding is
+    pigeonhole-complete for Hamming <= 3, so the oracle's expected rows
+    are computable exactly from the codec driver-side."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import phash_near_dup_pairs
+
+    payloads, planted = _ipr_payloads()
+    pdf = pd.DataFrame(payloads, columns=["image_id", "bytes"])
+    pairs = phash_near_dup_pairs(spark.createDataFrame(pdf).repartition(8),
+                                 max_hamming=3)
+    pl = spark.createDataFrame(planted, "orig_id string, var_id string, tier int")
+    # banded pairs order ids lexicographically; 'ip-*' < 'v-ip-*' always
+    hit = (pl.join(pairs.withColumnRenamed("id_a", "orig_id")
+                   .withColumnRenamed("id_b", "var_id"),
+                   ["orig_id", "var_id"], "left")
+           .select("tier", "orig_id", "var_id",
+                   F.col("hamming").isNotNull().alias("found"),
+                   F.coalesce(F.col("hamming"), F.lit(-1)).cast("int")
+                   .alias("hamming")))
+    per = (hit.groupBy("tier")
+           .agg(F.round(F.avg(F.col("found").cast("double")), 6)
+                .alias("tier_recall")))
+    return hit.join(F.broadcast(per), "tier")
+
+
+def _ipr_sql() -> str:
+    from distributed_webcrawler_spark.sources import codec
+
+    payloads, planted = _ipr_payloads()
+    ph = {iid: codec.phash64(codec.decode_image(data)[0])
+          for iid, data in payloads}
+    rows, per_tier = [], {0: [], 1: [], 2: []}
+    for oid, vid, tier in planted:
+        d = bin(ph[oid] ^ ph[vid]).count("1")
+        found = d <= 3
+        per_tier[tier].append(found)
+        rows.append((tier, oid, vid, found, d if found else -1))
+    recall = {t: round(sum(v) / len(v), 6) for t, v in per_tier.items()}
+    vals = ",\n".join(
+        f"({t}, '{o}', '{v}', {str(f).upper()}, {d}, {recall[t]!r})"
+        for t, o, v, f, d in rows)
+    return f"""
+SELECT cast(tier as int) AS tier, orig_id, var_id, found,
+       cast(hamming as int) AS hamming, cast(tier_recall as double) AS tier_recall
+FROM (VALUES
+{vals}
+) AS t(tier, orig_id, var_id, found, hamming, tier_recall)
+"""
+
+
 # --- UCB host prioritization ----------------------------------------------------
 _UCB_HOSTS, _UCB_C, _UCB_GOOD = 25, 1.5, 50.0
 
@@ -6564,6 +6659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_ucb_priority": q_host_ucb_priority,
         "ann_nprobe_sweep": q_ann_nprobe_sweep,
         "dedup_method_recall": q_dedup_method_recall,
+        "image_phash_recall": q_image_phash_recall,
         "weighted_sample": q_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash64": q_dedup_simhash64,
@@ -6717,6 +6813,7 @@ def oracle_sql() -> dict[str, str]:
         "host_ucb_priority": _Q_UCB_SQL,
         "ann_nprobe_sweep": _np_sweep_sql(),
         "dedup_method_recall": _method_recall_sql(),
+        "image_phash_recall": _ipr_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

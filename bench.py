@@ -128,6 +128,7 @@ HEADLINE = [
     "host_ucb_priority",
     "ann_nprobe_sweep",
     "dedup_method_recall",
+    "image_phash_recall",
 ]
 
 

@@ -111,6 +111,20 @@ def test_ann_nprobe_recall_monotone(spark):
         assert 0 <= r["n_hit"] <= E._IVF_K
 
 
+def test_image_phash_recall_crop_blind_spot(spark):
+    rows = E.q_image_phash_recall(spark, E.SF001).collect()
+    assert rows
+    rec = {r["tier"]: r["tier_recall"] for r in rows}
+    # lossy re-encodes are phash-stable; border crops shift the DCT grid
+    assert rec[0] == 1.0 and rec[1] == 1.0
+    assert rec[2] < rec[0]
+    for r in rows:
+        if r["found"]:
+            assert 0 <= r["hamming"] <= 3
+        else:
+            assert r["hamming"] == -1
+
+
 def test_dedup_method_recall_comparison(spark):
     rows = E.q_dedup_method_recall(spark, "/root/testdata/sf0.01").collect()
     assert rows
