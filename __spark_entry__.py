@@ -5341,6 +5341,57 @@ def q_crawl_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("makespan_rounds").cast("int").alias("makespan_rounds")))
 
 
+_BUDGET_SWEEP = [25, 50, 100, 200]
+
+
+def q_budget_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-budget sensitivity — the what-if the makespan forecast
+    exists to answer: at budgets 25/50/100/200 fetches/host/round, how
+    long does the frontier take to drain (makespan = slowest host), how
+    many rounds does the AVERAGE host need, and how many hosts sit on
+    the critical path? The curve shows where extra budget stops helping
+    (once every host drains in one round, politeness — not capacity — is
+    the binding constraint). One groupBy(host), then pure integer math
+    per sweep level over the 500-row host dimension."""
+    fr = _frontier(spark, sf_dir)
+    per = fr.groupBy("host").agg(F.count("*").alias("pending"))
+    outs = []
+    for b in _BUDGET_SWEEP:
+        d = per.select(F.expr(f"CAST((pending + {b - 1}) DIV {b} AS INT)")
+                       .alias("drain"))
+        agg = d.agg(
+            F.max("drain").alias("makespan_rounds"),
+            F.round(F.avg(F.col("drain").cast("double")), 6).alias("mean_drain"),
+        )
+        crit = (d.crossJoin(F.broadcast(agg.select("makespan_rounds")))
+                .where(F.col("drain") == F.col("makespan_rounds"))
+                .agg(F.count("*").cast("bigint").alias("n_critical_hosts")))
+        outs.append(agg.crossJoin(F.broadcast(crit))
+                    .select(F.lit(b).alias("budget"),
+                            F.col("makespan_rounds").cast("int").alias("makespan_rounds"),
+                            "mean_drain", "n_critical_hosts"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _budget_sweep_sql() -> str:
+    sel = "\nUNION ALL\n".join(f"""
+SELECT {b} AS budget,
+       cast(max((pending + {b - 1}) // {b}) as int) AS makespan_rounds,
+       round(avg(cast((pending + {b - 1}) // {b} as double)), 6) AS mean_drain,
+       (SELECT cast(count(*) as bigint) FROM per p2
+        WHERE (p2.pending + {b - 1}) // {b} =
+              (SELECT max((p3.pending + {b - 1}) // {b}) FROM per p3)) AS n_critical_hosts
+FROM per""" for b in _BUDGET_SWEEP)
+    return f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+per AS MATERIALIZED (SELECT host, count(*) AS pending FROM frontier GROUP BY host)
+{sel}
+"""
+
+
 _Q_MAKESPAN_SQL = f"""
 WITH frontier AS ({_FRONTIER_SQL}),
 per AS (
@@ -6641,6 +6692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_template_mining": q_url_template_mining,
         "host_cocitation": q_host_cocitation,
         "crawl_makespan": q_crawl_makespan,
+        "budget_sensitivity": q_budget_sensitivity,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -6795,6 +6847,7 @@ def oracle_sql() -> dict[str, str]:
         "url_template_mining": _Q_TMPL_SQL,
         "host_cocitation": _Q_COCITE_SQL,
         "crawl_makespan": _Q_MAKESPAN_SQL,
+        "budget_sensitivity": _budget_sweep_sql(),
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

@@ -129,6 +129,7 @@ HEADLINE = [
     "ann_nprobe_sweep",
     "dedup_method_recall",
     "image_phash_recall",
+    "budget_sensitivity",
 ]
 
 

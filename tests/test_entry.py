@@ -52,6 +52,20 @@ def test_host_cocitation_invariants(spark):
         assert 0.0 < r["cosine"] <= 1.0
 
 
+def test_budget_sensitivity_monotone(spark):
+    rows = {r["budget"]: r
+            for r in E.q_budget_sensitivity(spark, E.SF001).collect()}
+    assert set(rows) == set(E._BUDGET_SWEEP)
+    bs = sorted(rows)
+    for lo, hi in zip(bs, bs[1:]):
+        # more budget can only shorten the crawl
+        assert rows[hi]["makespan_rounds"] <= rows[lo]["makespan_rounds"]
+        assert rows[hi]["mean_drain"] <= rows[lo]["mean_drain"]
+    for r in rows.values():
+        assert r["n_critical_hosts"] >= 1
+        assert r["mean_drain"] <= r["makespan_rounds"]
+
+
 def test_crawl_makespan_integer_math(spark):
     rows = E.q_crawl_makespan(spark, E.SF001).collect()
     assert rows
