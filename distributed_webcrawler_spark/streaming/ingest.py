@@ -122,6 +122,45 @@ def politeness_gate_stream(links: DataFrame, budget_per_host: int):
     )
 
 
+_VIOL_OUT = ("host string, t_us long, gap_us long, violation boolean")
+_VIOL_STATE = "last_us long"
+
+
+def politeness_violation_stream(fetches: DataFrame, min_gap_us: int):
+    """Streaming twin of the batch politeness audit: per host, track the
+    last fetch timestamp in keyed state and emit one row per fetch with
+    its inter-fetch gap and a violation flag (gap < min_gap_us). The
+    batch audit proves the budget held after the fact; this stream
+    raises the flag WHILE the crawl runs. State per host is one long —
+    the cheapest stateful operator there is. Rows inside one micro-batch
+    are ordered by (t_us, event_id) before gap computation so results
+    are batch-boundary-invariant for a time-ordered source (the test
+    asserts row-for-row equality with the batch lag-window audit)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def audit(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["t_us", "event_id"])
+            for t in pdf["t_us"]:
+                t = int(t)
+                gap = None if last is None else t - last
+                rows.append((key[0], t, gap,
+                             gap is not None and gap < min_gap_us))
+                last = t
+        state.update((last if last is not None else -1,))
+        out = pd.DataFrame(rows, columns=["host", "t_us", "gap_us", "violation"])
+        out["gap_us"] = pd.array(out["gap_us"], dtype="Int64")
+        yield out
+
+    return (fetches.groupBy("host")
+            .applyInPandasWithState(
+                audit, outputStructType=_VIOL_OUT, stateStructType=_VIOL_STATE,
+                outputMode="append", timeoutConf="NoTimeout"))
+
+
 def run_to_completion(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
     """Drain a bounded stream with Trigger.AvailableNow into parquet."""
     q = (

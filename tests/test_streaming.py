@@ -165,3 +165,50 @@ def test_hll_cardinality_stream_matches_batch(spark, tmpdir):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
     assert (hll_estimate(got).first()["hll_estimate"]
             == hll_estimate(want).first()["hll_estimate"])
+
+
+def test_politeness_violation_stream_matches_batch(spark, tmpdir):
+    """The stateful violation stream must emit the same per-fetch gaps and
+    flags as the batch lag-window audit on the same (time-ordered) input."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    gap = 1_000_000  # 1s politeness floor
+    rows = []
+    eid = 0
+    for h, times in (("ha", [0, 1, 3, 3.4, 9]),
+                     ("hb", [0.5, 0.9, 5]),
+                     ("hc", [2])):
+        for t in times:
+            rows.append((h, int(t * 1_000_000), eid))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["host", "t_us", "event_id"])
+    src = f"{tmpdir}/fetches"
+    spark.createDataFrame(pdf).repartition(2).write.parquet(src)
+
+    stream = (spark.readStream
+              .schema(T.StructType([
+                  T.StructField("host", T.StringType()),
+                  T.StructField("t_us", T.LongType()),
+                  T.StructField("event_id", T.LongType())]))
+              .parquet(src))
+    out, ckpt = f"{tmpdir}/viol", f"{tmpdir}/vckpt"
+    I.run_to_completion(I.politeness_violation_stream(stream, gap), out, ckpt)
+    got = {(r["host"], r["t_us"]): (r["gap_us"], r["violation"])
+           for r in spark.read.parquet(out).collect()}
+
+    w = Window.partitionBy("host").orderBy("t_us", "event_id")
+    batch = (spark.read.parquet(src)
+             .select("host", "t_us",
+                     (F.col("t_us") - F.lag("t_us").over(w)).alias("gap_us"))
+             .select("host", "t_us", "gap_us",
+                     F.coalesce(F.col("gap_us") < gap, F.lit(False))
+                     .alias("violation")))
+    want = {(r["host"], r["t_us"]): (r["gap_us"], r["violation"])
+            for r in batch.collect()}
+    assert got == want
+    # ha: gaps 1.0s (not < floor), 2.0s, 0.4s (violation), 5.6s;
+    # hb: 0.4s (violation), 4.1s; hc: single fetch, no gap
+    assert sum(1 for _, v in got.values() if v) == 2
