@@ -5341,6 +5341,57 @@ def q_crawl_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("makespan_rounds").cast("int").alias("makespan_rounds")))
 
 
+# bloom shard health: per-bucket sizing at the reference's declared tier
+# (10^7 insertions / fpp 0.01, application.properties:33-34) split over the
+# 64 host_buckets -> per-shard m bits / k hashes from the standard formulas
+_BFH_SHARDS = 64
+_BFH_CAP = 10_000_000 // _BFH_SHARDS
+_BFH_M = 1_497_651  # ceil(cap * -ln(0.01) / ln(2)^2) per shard
+_BFH_K = 7          # round(m/n * ln 2)
+
+
+def q_bloom_shard_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom shard health forecast — the gauge the sharded URL-seen
+    filter needs before a round goes bad: per host_bucket shard, the
+    EXACT number of distinct URLs routed to it, its fill ratio n/cap,
+    and the predicted false-positive rate (1 - e^(-k·n/m))^k at the
+    declared 10^7/0.01 tier sizing. A skewed bucket quietly saturates
+    its shard (fpp explodes -> the prefilter stops filtering) long
+    before the total count looks dangerous — exactly the failure
+    host_bucket_balance's load factor hints at, here converted into the
+    quantity that actually matters. Integer counts -> one exp/pow per
+    shard, identical IEEE both engines."""
+    fr = _frontier(spark, sf_dir)
+    per = (fr.select(F.pmod(h64(F.col("url")), F.lit(_BFH_SHARDS)).cast("int")
+                     .alias("shard"), "url")
+           .groupBy("shard")
+           .agg(F.countDistinct("url").alias("n")))
+    fpp = F.round(
+        F.pow(F.lit(1.0) - F.exp((F.lit(float(-_BFH_K)) * F.col("n"))
+                                 / F.lit(float(_BFH_M))), F.lit(float(_BFH_K))), 9)
+    return per.select(
+        "shard", F.col("n").cast("bigint").alias("n_urls"),
+        F.round(F.col("n") / F.lit(float(_BFH_CAP)), 6).alias("fill_ratio"),
+        fpp.alias("fpp_est"),
+        (fpp > F.lit(0.01)).alias("over_budget"))
+
+
+_Q_BFH_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+per AS (
+  SELECT cast({h64_sql("url")} % {_BFH_SHARDS} as int) AS shard,
+         count(DISTINCT url) AS n
+  FROM frontier GROUP BY 1)
+SELECT shard, cast(n as bigint) AS n_urls,
+       round(n / {float(_BFH_CAP)!r}, 6) AS fill_ratio,
+       round(pow(1.0 - exp(({float(-_BFH_K)!r} * n) / {float(_BFH_M)!r}),
+                 {float(_BFH_K)!r}), 9) AS fpp_est,
+       round(pow(1.0 - exp(({float(-_BFH_K)!r} * n) / {float(_BFH_M)!r}),
+                 {float(_BFH_K)!r}), 9) > 0.01 AS over_budget
+FROM per
+"""
+
+
 _BUDGET_SWEEP = [25, 50, 100, 200]
 
 
@@ -6693,6 +6744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cocitation": q_host_cocitation,
         "crawl_makespan": q_crawl_makespan,
         "budget_sensitivity": q_budget_sensitivity,
+        "bloom_shard_health": q_bloom_shard_health,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -6848,6 +6900,7 @@ def oracle_sql() -> dict[str, str]:
         "host_cocitation": _Q_COCITE_SQL,
         "crawl_makespan": _Q_MAKESPAN_SQL,
         "budget_sensitivity": _budget_sweep_sql(),
+        "bloom_shard_health": _Q_BFH_SQL,
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

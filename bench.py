@@ -130,6 +130,7 @@ HEADLINE = [
     "dedup_method_recall",
     "image_phash_recall",
     "budget_sensitivity",
+    "bloom_shard_health",
 ]
 
 

@@ -52,6 +52,20 @@ def test_host_cocitation_invariants(spark):
         assert 0.0 < r["cosine"] <= 1.0
 
 
+def test_bloom_shard_health_formula(spark):
+    import math
+
+    rows = E.q_bloom_shard_health(spark, E.SF001).collect()
+    assert len(rows) > 0
+    for r in rows:
+        want = round((1.0 - math.exp((-float(E._BFH_K) * r["n_urls"])
+                                     / float(E._BFH_M))) ** float(E._BFH_K), 9)
+        assert abs(r["fpp_est"] - want) < 1e-12
+        assert r["over_budget"] == (r["fpp_est"] > 0.01)
+        # tiny sf: every shard far under capacity, fpp far under budget
+        assert r["fill_ratio"] < 1.0 and not r["over_budget"]
+
+
 def test_budget_sensitivity_monotone(spark):
     rows = {r["budget"]: r
             for r in E.q_budget_sensitivity(spark, E.SF001).collect()}
