@@ -5341,6 +5341,51 @@ def q_crawl_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("makespan_rounds").cast("int").alias("makespan_rounds")))
 
 
+def q_corr_length_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pearson correlation between document length (chars)
+    and whitespace token count — the generic two-variable corpus stat,
+    done under the engine's float discipline: every regression sum (Σx,
+    Σy, Σxy, Σx², Σy²) is an EXACT integer aggregate (both variables are
+    integers), so no summation order exists to drift; r is one identical
+    IEEE expression per group, rounded to 6. The same recipe computes
+    any metric-vs-metric correlation at 10^10 rows with one map-side
+    partial agg — never a corr() built-in whose internal accumulation
+    order differs between engines."""
+    d = _t(spark, sf_dir, "documents")
+    xy = d.select(
+        "lang", F.col("n_chars").alias("x"),
+        (F.size(F.split(F.trim(F.col("text")), "\\s+"))).alias("y"))
+    s = xy.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # each variance term fits bigint; their PRODUCT does not — go double
+    # exactly once, in the same order as the oracle's (A * 1.0) * B
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 .cast("double")
+                 * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+    return s.select("lang", F.col("n").cast("bigint").alias("n_docs"),
+                    F.round(num / den, 6).alias("pearson_r"))
+
+
+_Q_CORR_SQL = """
+WITH xy AS (
+  SELECT lang, n_chars AS x,
+         length(regexp_split_to_array(trim(text), '\\s+')) AS y
+  FROM documents),
+s AS (
+  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy GROUP BY lang)
+SELECT lang, cast(n as bigint) AS n_docs,
+       round((n * sxy - sx * sy) * 1.0
+             / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6) AS pearson_r
+FROM s
+"""
+
+
 # bloom shard health: per-bucket sizing at the reference's declared tier
 # (10^7 insertions / fpp 0.01, application.properties:33-34) split over the
 # 64 host_buckets -> per-shard m bits / k hashes from the standard formulas
@@ -6745,6 +6790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_makespan": q_crawl_makespan,
         "budget_sensitivity": q_budget_sensitivity,
         "bloom_shard_health": q_bloom_shard_health,
+        "corr_length_tokens": q_corr_length_tokens,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -6901,6 +6947,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_makespan": _Q_MAKESPAN_SQL,
         "budget_sensitivity": _budget_sweep_sql(),
         "bloom_shard_health": _Q_BFH_SQL,
+        "corr_length_tokens": _Q_CORR_SQL,
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

@@ -131,6 +131,7 @@ HEADLINE = [
     "image_phash_recall",
     "budget_sensitivity",
     "bloom_shard_health",
+    "corr_length_tokens",
 ]
 
 

@@ -52,6 +52,15 @@ def test_host_cocitation_invariants(spark):
         assert 0.0 < r["cosine"] <= 1.0
 
 
+def test_corr_length_tokens_sane(spark):
+    rows = E.q_corr_length_tokens(spark, E.SF001).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["pearson_r"] <= 1.0
+        # longer documents hold more whitespace tokens: strongly positive
+        assert r["pearson_r"] > 0.5, r
+
+
 def test_bloom_shard_health_formula(spark):
     import math
 
