@@ -5341,6 +5341,67 @@ def q_crawl_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("makespan_rounds").cast("int").alias("makespan_rounds")))
 
 
+def q_image_transcode_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive transcode planning — decode the payload batch once,
+    re-encode everything to webp (the format with the best
+    quality/size point in the DWS1 codec family), and report per
+    ORIGINAL FORMAT: images, current bytes, transcoded bytes, and the
+    savings fraction. The report a 10^10-image archive reads before
+    deciding a migration (a few percent is petabytes); lossless PNGs
+    show real savings, already-lossy formats show the (small or
+    negative) residual. Decode-once mapInPandas
+    (operators/multimodal.py transcode_size_stats): both byte strings
+    stay inside the task, only two ints ship per image."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import transcode_size_stats
+    from distributed_webcrawler_spark.sources import codec
+
+    pdf = pd.DataFrame(
+        [(iid, codec.encode_image(codec.synth_pixels(iid, w, h), fmt))
+         for iid, w, h, fmt in _mm_specs()],
+        columns=["image_id", "bytes"])
+    st = transcode_size_stats(spark.createDataFrame(pdf).repartition(8))
+    return (st.where(F.col("ok"))
+            .groupBy("orig_fmt")
+            .agg(F.count("*").cast("bigint").alias("n_images"),
+                 F.sum("orig_bytes").cast("bigint").alias("bytes_now"),
+                 F.sum("new_bytes").cast("bigint").alias("bytes_webp"))
+            .select("orig_fmt", "n_images", "bytes_now", "bytes_webp",
+                    F.round((F.col("bytes_now") - F.col("bytes_webp"))
+                            / F.col("bytes_now"), 6).alias("savings_frac")))
+
+
+def _transcode_sql() -> str:
+    from collections import defaultdict
+
+    from distributed_webcrawler_spark.sources import codec
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for iid, w, h, fmt in _mm_specs():
+        data = codec.encode_image(codec.synth_pixels(iid, w, h), fmt)
+        px, dfmt = codec.decode_image(data)
+        a = agg[dfmt]
+        a[0] += 1
+        a[1] += len(data)
+        a[2] += len(codec.encode_image(px, "webp"))
+    vals = ",\n".join(
+        f"('{fmt}', {n}, {bn}, {bw})"
+        for fmt, (n, bn, bw) in sorted(agg.items()))
+    # savings computed in SQL from the exact integer sums, with the SAME
+    # round() as the Spark side — python round() (banker's) is never the
+    # authority for a gated float
+    return f"""
+SELECT orig_fmt, cast(n_images as bigint) AS n_images,
+       cast(bytes_now as bigint) AS bytes_now,
+       cast(bytes_webp as bigint) AS bytes_webp,
+       round((bytes_now - bytes_webp) * 1.0 / bytes_now, 6) AS savings_frac
+FROM (VALUES
+{vals}
+) AS t(orig_fmt, n_images, bytes_now, bytes_webp)
+"""
+
+
 def q_corr_length_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language Pearson correlation between document length (chars)
     and whitespace token count — the generic two-variable corpus stat,
@@ -6791,6 +6852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_sensitivity": q_budget_sensitivity,
         "bloom_shard_health": q_bloom_shard_health,
         "corr_length_tokens": q_corr_length_tokens,
+        "image_transcode_savings": q_image_transcode_savings,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -6948,6 +7010,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_sensitivity": _budget_sweep_sql(),
         "bloom_shard_health": _Q_BFH_SQL,
         "corr_length_tokens": _Q_CORR_SQL,
+        "image_transcode_savings": _transcode_sql(),
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

@@ -132,6 +132,7 @@ HEADLINE = [
     "budget_sensitivity",
     "bloom_shard_health",
     "corr_length_tokens",
+    "image_transcode_savings",
 ]
 
 

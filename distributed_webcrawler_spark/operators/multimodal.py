@@ -357,6 +357,41 @@ def letterbox_stats(payloads: DataFrame, min_margin: int = 2,
         batches, schema=LETTERBOX_SCHEMA)
 
 
+TRANSCODE_SCHEMA = ("image_id string, ok boolean, orig_fmt string, "
+                    "orig_bytes int, new_bytes int")
+
+
+def transcode_size_stats(payloads: DataFrame, to_fmt: str = "webp",
+                         id_col: str = "image_id",
+                         bytes_col: str = "bytes") -> DataFrame:
+    """Storage-planning probe: decode each payload once and re-encode to
+    ``to_fmt``, reporting original vs transcoded byte sizes — the input
+    to "should we transcode the archive" (at 10^10 images a few percent
+    is petabytes). Same decode-once Arrow discipline: both byte strings
+    live and die inside the task; only the two integers ship."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(data)
+                try:
+                    px, fmt = codec.decode_image(data)
+                except codec.CodecError:
+                    rows.append((iid, False, None, None, None))
+                    continue
+                rows.append((iid, True, fmt, len(data),
+                             len(codec.encode_image(px, to_fmt))))
+            names = ["image_id", "ok", "orig_fmt", "orig_bytes", "new_bytes"]
+            out = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+            for n in ("orig_bytes", "new_bytes"):
+                out[n] = pd.array(out[n], dtype="Int32")
+            yield pd.DataFrame(out)
+
+    return payloads.select(id_col, bytes_col).mapInPandas(
+        batches, schema=TRANSCODE_SCHEMA)
+
+
 COLOR_PROFILE_SCHEMA = ("image_id string, ok boolean, dom_color int, "
                         "dom_share double, gray_frac double, is_gray boolean")
 

@@ -52,6 +52,18 @@ def test_host_cocitation_invariants(spark):
         assert 0.0 < r["cosine"] <= 1.0
 
 
+def test_image_transcode_savings_directions(spark):
+    rows = {r["orig_fmt"]: r
+            for r in E.q_image_transcode_savings(spark, E.SF001).collect()}
+    assert set(rows) == {"png", "jpeg", "webp"}
+    # lossless png -> 7-bit webp always shrinks; webp -> webp round-trips
+    # to (near) identical size; totals are exact integer sums
+    assert rows["png"]["savings_frac"] > 0
+    assert abs(rows["webp"]["savings_frac"]) < 0.05
+    for r in rows.values():
+        assert r["bytes_now"] > 0 and r["bytes_webp"] > 0
+
+
 def test_corr_length_tokens_sane(spark):
     rows = E.q_corr_length_tokens(spark, E.SF001).collect()
     assert rows
