@@ -5341,6 +5341,71 @@ def q_crawl_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("makespan_rounds").cast("int").alias("makespan_rounds")))
 
 
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings — the KPI a training-data owner actually reports:
+    per language, documents and tokens BEFORE vs AFTER near-dup removal
+    (MinHash-LSH pairs -> connected components -> keep the min-id
+    representative per cluster, the engine's first-wins rule), plus the
+    token reduction fraction. Composes three already-gated pieces
+    (minhash pairs, components, token counts) into the number that
+    justifies running them at 10^10 docs."""
+    from distributed_webcrawler_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, n_hashes=_MH_N, band_size=_MH_BAND,
+                                k=_MH_K, max_chars=_MH_CHARS, min_est=_MH_MIN)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    drop = (comp.where(F.col("id") != F.col("component"))
+            .select(F.col("id").alias("doc_id")))
+    base = docs.withColumn("tc", X.token_count("text"))
+    kept = base.join(drop, "doc_id", "left_anti")
+    b = base.groupBy("lang").agg(F.count("*").alias("n_docs"),
+                                 F.sum("tc").alias("n_tokens"))
+    k = kept.groupBy("lang").agg(F.count("*").alias("n_docs_kept"),
+                                 F.sum("tc").alias("n_tokens_kept"))
+    return (b.join(k, "lang")
+            .select("lang", F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("n_docs_kept").cast("bigint").alias("n_docs_kept"),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.col("n_tokens_kept").cast("bigint").alias("n_tokens_kept"),
+                    F.round((F.col("n_tokens") - F.col("n_tokens_kept"))
+                            / F.col("n_tokens"), 6).alias("token_reduction")))
+
+
+def _dedup_savings_sql() -> str:
+    body, matches = _minhash_cte_body()
+    return f"""
+WITH RECURSIVE {body},
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+  WHERE round(({matches}) / 8.0, 6) >= {_MH_MIN}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+drop_ AS (SELECT id AS doc_id FROM comp WHERE id <> component),
+base AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tc
+  FROM documents),
+b AS (SELECT lang, count(*) AS n_docs, sum(tc) AS n_tokens
+      FROM base GROUP BY lang),
+k AS (SELECT lang, count(*) AS n_docs_kept, sum(tc) AS n_tokens_kept
+      FROM base WHERE doc_id NOT IN (SELECT doc_id FROM drop_) GROUP BY lang)
+SELECT b.lang, cast(b.n_docs as bigint) AS n_docs,
+       cast(k.n_docs_kept as bigint) AS n_docs_kept,
+       cast(b.n_tokens as bigint) AS n_tokens,
+       cast(k.n_tokens_kept as bigint) AS n_tokens_kept,
+       round((b.n_tokens - k.n_tokens_kept) * 1.0 / b.n_tokens, 6) AS token_reduction
+FROM b JOIN k ON k.lang = b.lang
+"""
+
+
 def q_image_transcode_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive transcode planning — decode the payload batch once,
     re-encode everything to webp (the format with the best
@@ -6853,6 +6918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_shard_health": q_bloom_shard_health,
         "corr_length_tokens": q_corr_length_tokens,
         "image_transcode_savings": q_image_transcode_savings,
+        "dedup_savings_report": q_dedup_savings_report,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -7011,6 +7077,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_shard_health": _Q_BFH_SQL,
         "corr_length_tokens": _Q_CORR_SQL,
         "image_transcode_savings": _transcode_sql(),
+        "dedup_savings_report": _dedup_savings_sql(),
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

@@ -133,6 +133,7 @@ HEADLINE = [
     "bloom_shard_health",
     "corr_length_tokens",
     "image_transcode_savings",
+    "dedup_savings_report",
 ]
 
 

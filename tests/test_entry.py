@@ -52,6 +52,17 @@ def test_host_cocitation_invariants(spark):
         assert 0.0 < r["cosine"] <= 1.0
 
 
+def test_dedup_savings_accounting(spark):
+    rows = E.q_dedup_savings_report(spark, E.SF001).collect()
+    assert rows
+    assert any(r["n_docs_kept"] < r["n_docs"] for r in rows), \
+        "near-dups must exist somewhere at sf0.001"
+    for r in rows:
+        assert 0 < r["n_docs_kept"] <= r["n_docs"]
+        assert 0 < r["n_tokens_kept"] <= r["n_tokens"]
+        assert 0.0 <= r["token_reduction"] < 1.0
+
+
 def test_image_transcode_savings_directions(spark):
     rows = {r["orig_fmt"]: r
             for r in E.q_image_transcode_savings(spark, E.SF001).collect()}
