@@ -5341,6 +5341,51 @@ def q_crawl_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("makespan_rounds").cast("int").alias("makespan_rounds")))
 
 
+_OOV_VOCAB = 20
+
+
+def q_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit report — out-of-vocabulary rate per source against a
+    corpus-derived vocabulary (the top-20 terms by frequency, ties by
+    term ASC): the health check run before committing a tokenizer/vocab
+    to a 10^10-token corpus (a source whose OOV rate spikes is a
+    different register/language than the vocab was fit on). The vocab is
+    a bounded TakeOrderedAndProject broadcast; token membership is one
+    broadcast left join; counts are exact integers."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .alias("term"))
+    vocab = K.global_topk(
+        toks.groupBy("term").agg(F.count("*").alias("freq")),
+        [F.col("freq").desc(), F.col("term").asc()], _OOV_VOCAB).select("term")
+    j = toks.join(F.broadcast(vocab.withColumn("iv", F.lit(1))), "term", "left")
+    return (j.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_oov"))
+            .select("source", "n_tokens", "n_oov",
+                    F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+                    .alias("oov_rate")))
+
+
+_Q_OOV_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS freq FROM toks GROUP BY term)
+  ORDER BY freq DESC, term ASC LIMIT {_OOV_VOCAB})
+SELECT source, cast(count(*) as bigint) AS n_tokens,
+       cast(coalesce(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END), 0) as bigint) AS n_oov,
+       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.term = t.term
+GROUP BY source
+"""
+
+
 def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup savings — the KPI a training-data owner actually reports:
     per language, documents and tokens BEFORE vs AFTER near-dup removal
@@ -6919,6 +6964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_length_tokens": q_corr_length_tokens,
         "image_transcode_savings": q_image_transcode_savings,
         "dedup_savings_report": q_dedup_savings_report,
+        "tokenizer_oov_rate": q_tokenizer_oov_rate,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -7078,6 +7124,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_length_tokens": _Q_CORR_SQL,
         "image_transcode_savings": _transcode_sql(),
         "dedup_savings_report": _dedup_savings_sql(),
+        "tokenizer_oov_rate": _Q_OOV_SQL,
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

@@ -134,6 +134,7 @@ HEADLINE = [
     "corr_length_tokens",
     "image_transcode_savings",
     "dedup_savings_report",
+    "tokenizer_oov_rate",
 ]
 
 

@@ -52,6 +52,16 @@ def test_host_cocitation_invariants(spark):
         assert 0.0 < r["cosine"] <= 1.0
 
 
+def test_tokenizer_oov_rate_bounds(spark):
+    rows = E.q_tokenizer_oov_rate(spark, E.SF001).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+    # a 20-term vocab over a real corpus must leave SOME tokens out
+    assert any(r["n_oov"] > 0 for r in rows)
+
+
 def test_dedup_savings_accounting(spark):
     rows = E.q_dedup_savings_report(spark, E.SF001).collect()
     assert rows
