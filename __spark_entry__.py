@@ -5341,6 +5341,49 @@ def q_crawl_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("makespan_rounds").cast("int").alias("makespan_rounds")))
 
 
+def q_recrawl_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate estimation for freshness-optimal recrawl — the
+    Cho & Garcia-Molina (TOIT 2003) estimator, public literature: pages
+    change as a Poisson process, and from ONE revisit that found
+    changed/unchanged you estimate λ̂ = -ln(1 - X/n) changes per revisit
+    interval (the naive X/n underestimates because a page can change
+    twice between visits). Per source over the same two synthesized
+    capture generations as snapshot_diff (pages present in both):
+    n pages, changed count, naive fraction, λ̂, and the suggested
+    revisit interval 1/λ̂ in units of the capture gap. Exact integer
+    counts; one ln per source."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    both = (docs.where((d % 10 != 0) & (d % 7 != 0))
+            .select("doc_id", "source", (d % 3 == 0).alias("changed")))
+    per = (both.groupBy("source")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("changed").cast("int")).alias("x")))
+    frac = F.col("x") / F.col("n")
+    lam = -F.log(F.lit(1.0) - frac)
+    return per.select(
+        "source", F.col("n").cast("bigint").alias("n_pages"),
+        F.col("x").cast("bigint").alias("n_changed"),
+        F.round(frac, 6).alias("change_frac"),
+        F.round(lam, 6).alias("lambda_hat"),
+        F.round(F.lit(1.0) / lam, 6).alias("revisit_interval"))
+
+
+_Q_LAMBDA_SQL = """
+WITH both_ AS (
+  SELECT doc_id, source, (doc_id % 3 = 0) AS changed
+  FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0),
+per AS (
+  SELECT source, count(*) AS n, sum(CASE WHEN changed THEN 1 ELSE 0 END) AS x
+  FROM both_ GROUP BY source)
+SELECT source, cast(n as bigint) AS n_pages, cast(x as bigint) AS n_changed,
+       round(x * 1.0 / n, 6) AS change_frac,
+       round(-ln(1.0 - x * 1.0 / n), 6) AS lambda_hat,
+       round(1.0 / (-ln(1.0 - x * 1.0 / n)), 6) AS revisit_interval
+FROM per
+"""
+
+
 _OOV_VOCAB = 20
 
 
@@ -6965,6 +7008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_transcode_savings": q_image_transcode_savings,
         "dedup_savings_report": q_dedup_savings_report,
         "tokenizer_oov_rate": q_tokenizer_oov_rate,
+        "recrawl_lambda": q_recrawl_lambda,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -7125,6 +7169,7 @@ def oracle_sql() -> dict[str, str]:
         "image_transcode_savings": _transcode_sql(),
         "dedup_savings_report": _dedup_savings_sql(),
         "tokenizer_oov_rate": _Q_OOV_SQL,
+        "recrawl_lambda": _Q_LAMBDA_SQL,
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

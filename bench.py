@@ -135,6 +135,7 @@ HEADLINE = [
     "image_transcode_savings",
     "dedup_savings_report",
     "tokenizer_oov_rate",
+    "recrawl_lambda",
 ]
 
 

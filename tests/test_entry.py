@@ -52,6 +52,22 @@ def test_host_cocitation_invariants(spark):
         assert 0.0 < r["cosine"] <= 1.0
 
 
+def test_recrawl_lambda_estimator(spark):
+    import math
+
+    rows = E.q_recrawl_lambda(spark, E.SF001).collect()
+    assert rows
+    for r in rows:
+        frac = r["n_changed"] / r["n_pages"]
+        assert 0.0 < frac < 1.0
+        want = round(-math.log(1.0 - frac), 6)
+        assert abs(r["lambda_hat"] - want) < 1e-9
+        # the Poisson correction always estimates MORE change than the
+        # naive fraction (a page can flip twice between visits)
+        assert r["lambda_hat"] > r["change_frac"]
+        assert r["revisit_interval"] > 0
+
+
 def test_tokenizer_oov_rate_bounds(spark):
     rows = E.q_tokenizer_oov_rate(spark, E.SF001).collect()
     assert rows
