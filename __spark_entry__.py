@@ -5341,6 +5341,54 @@ def q_crawl_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("makespan_rounds").cast("int").alias("makespan_rounds")))
 
 
+_ENORM_SCALE, _ENORM_BIN = 1_000_000_000_000, 0.25
+
+
+def q_embedding_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene histogram — per label, the distribution of
+    vector L2 norms in 0.25-wide bins plus the zero-vector count: the
+    check run before ANY cosine operator (a zero vector poisons cosine
+    with NaN; a norm outlier usually means a truncated or unnormalized
+    batch). Float discipline: each element's x² is scaled to a 10^12
+    fixed-point bigint per element (identical per-element IEEE ops both
+    engines), so the per-vector sum is an EXACT integer in any order —
+    the only norm float op is one sqrt of that integer. Constant-width
+    (label × bin) shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    s_int = F.expr(
+        f"aggregate(transform(embedding, x -> cast(round(cast(x as double)"
+        f" * cast(x as double) * {float(_ENORM_SCALE)!r}) as bigint)),"
+        f" cast(0 as bigint), (a, i) -> a + i)")
+    norm = F.sqrt(s_int / F.lit(float(_ENORM_SCALE)))
+    rows = emb.select("label", s_int.alias("s"), norm.alias("norm"))
+    return (rows.groupBy("label",
+                         F.floor(F.col("norm") / _ENORM_BIN).cast("int")
+                         .alias("norm_bin"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum((F.col("s") == 0).cast("int")).cast("bigint")
+                 .alias("n_zero"))
+            .select(F.col("label").cast("int").alias("label"),
+                    "norm_bin", "n", "n_zero"))
+
+
+_Q_ENORM_SQL = f"""
+WITH el AS (
+  SELECT vec_id, label,
+         cast(round(cast(x as double) * cast(x as double)
+                    * {float(_ENORM_SCALE)!r}) as bigint) AS xi
+  FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)),
+pv AS (
+  SELECT vec_id, label, sum(xi) AS s,
+         sqrt(sum(xi) / {float(_ENORM_SCALE)!r}) AS norm
+  FROM el GROUP BY vec_id, label)
+SELECT cast(label as int) AS label,
+       cast(floor(norm / {_ENORM_BIN!r}) as int) AS norm_bin,
+       cast(count(*) as bigint) AS n,
+       cast(coalesce(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END), 0) as bigint) AS n_zero
+FROM pv GROUP BY 1, 2
+"""
+
+
 def q_recrawl_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-rate estimation for freshness-optimal recrawl — the
     Cho & Garcia-Molina (TOIT 2003) estimator, public literature: pages
@@ -7009,6 +7057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings_report": q_dedup_savings_report,
         "tokenizer_oov_rate": q_tokenizer_oov_rate,
         "recrawl_lambda": q_recrawl_lambda,
+        "embedding_norm_hist": q_embedding_norm_hist,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -7170,6 +7219,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_savings_report": _dedup_savings_sql(),
         "tokenizer_oov_rate": _Q_OOV_SQL,
         "recrawl_lambda": _Q_LAMBDA_SQL,
+        "embedding_norm_hist": _Q_ENORM_SQL,
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

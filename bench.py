@@ -136,6 +136,7 @@ HEADLINE = [
     "dedup_savings_report",
     "tokenizer_oov_rate",
     "recrawl_lambda",
+    "embedding_norm_hist",
 ]
 
 

@@ -381,3 +381,20 @@ def test_budget_apportion_sums_exactly(spark):
     total = sum(r["quota"] for r in rows)
     assert total == E._APPORTION_BUDGET
     assert all(r["quota"] >= 0 for r in rows)
+
+
+def test_embedding_norm_hist_matches_numpy(spark):
+    import numpy as np
+
+    rows = E.q_embedding_norm_hist(spark, E.SF001).collect()
+    assert rows
+    emb = spark.read.parquet(f"{E.SF001}/embeddings.parquet").collect()
+    want = {}
+    for r in emb:
+        v = np.array(r["embedding"], dtype=np.float64)
+        s = int(sum(int(round(float(x) * float(x) * E._ENORM_SCALE))
+                    for x in v))
+        b = int(np.floor(np.sqrt(s / float(E._ENORM_SCALE)) / E._ENORM_BIN))
+        want[(r["label"], b)] = want.get((r["label"], b), 0) + 1
+    got = {(r["label"], r["norm_bin"]): r["n"] for r in rows}
+    assert got == want
