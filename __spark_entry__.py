@@ -5341,6 +5341,58 @@ def q_crawl_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("makespan_rounds").cast("int").alias("makespan_rounds")))
 
 
+_TMIX_ALPHAS = [0.3, 0.7, 1.0]
+_TMIX_SCALE = 1_000_000_000_000
+
+
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing — the α-smoothing every
+    multilingual/multi-source pretraining recipe applies (XLM-R §3.1,
+    public literature): sampling weight w_s ∝ p_s^α, swept at α = 0.3 /
+    0.7 / 1.0, with the expected per-source document draw for a corpus-
+    sized sample. α=1 reproduces the natural mix; α<1 up-weights tail
+    sources (the whole point). Float discipline: p^α is one identical
+    pow() per source, then fixed-point-scaled to bigint so the
+    normalizing sum is exact in any order; the weight division is the
+    only remaining float op."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = per.agg(F.sum("n").alias("t"))
+    outs = []
+    for a in _TMIX_ALPHAS:
+        xi = F.round(F.pow(F.col("n") / F.col("t"), F.lit(a))
+                     * F.lit(float(_TMIX_SCALE))).cast("bigint")
+        base = (per.crossJoin(F.broadcast(tot)).select(
+            F.lit(a).alias("alpha"), "lang",
+            F.col("n").cast("bigint").alias("n_docs"), "t", xi.alias("xi")))
+        z = base.agg(F.sum("xi").alias("z"))
+        outs.append(base.crossJoin(F.broadcast(z)).select(
+            "alpha", "lang", "n_docs",
+            F.round(F.col("xi") / F.col("z"), 6).alias("weight"),
+            F.round(F.col("xi") / F.col("z") * F.col("t")).cast("bigint")
+            .alias("expected_docs")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _tmix_sql() -> str:
+    sel = "\nUNION ALL\n".join(f"""
+SELECT {a!r} AS alpha, lang, cast(n as bigint) AS n_docs,
+       round(xi * 1.0 / (sum(xi) OVER ()), 6) AS weight,
+       cast(round(xi * 1.0 / (sum(xi) OVER ()) * t) as bigint) AS expected_docs
+FROM (
+  SELECT lang, n, t,
+         cast(round(pow(n * 1.0 / t, {a!r}) * {float(_TMIX_SCALE)!r}) as bigint) AS xi
+  FROM per CROSS JOIN tot)""" for a in _TMIX_ALPHAS)
+    return f"""
+WITH per AS MATERIALIZED (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT sum(n) AS t FROM per)
+{sel}
+"""
+
+
 _ENORM_SCALE, _ENORM_BIN = 1_000_000_000_000, 0.25
 
 
@@ -7058,6 +7110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_oov_rate": q_tokenizer_oov_rate,
         "recrawl_lambda": q_recrawl_lambda,
         "embedding_norm_hist": q_embedding_norm_hist,
+        "corpus_temperature_mix": q_corpus_temperature_mix,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -7220,6 +7273,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_oov_rate": _Q_OOV_SQL,
         "recrawl_lambda": _Q_LAMBDA_SQL,
         "embedding_norm_hist": _Q_ENORM_SQL,
+        "corpus_temperature_mix": _tmix_sql(),
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

@@ -137,6 +137,7 @@ HEADLINE = [
     "tokenizer_oov_rate",
     "recrawl_lambda",
     "embedding_norm_hist",
+    "corpus_temperature_mix",
 ]
 
 

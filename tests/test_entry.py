@@ -398,3 +398,23 @@ def test_embedding_norm_hist_matches_numpy(spark):
         want[(r["label"], b)] = want.get((r["label"], b), 0) + 1
     got = {(r["label"], r["norm_bin"]): r["n"] for r in rows}
     assert got == want
+
+
+def test_corpus_temperature_mix_flattens_tail(spark):
+    rows = E.q_corpus_temperature_mix(spark, E.SF001).collect()
+    assert rows
+    by_alpha = {}
+    for r in rows:
+        by_alpha.setdefault(r["alpha"], {})[r["lang"]] = r
+    assert set(by_alpha) == set(E._TMIX_ALPHAS)
+    for a, per in by_alpha.items():
+        s = sum(r["weight"] for r in per.values())
+        assert abs(s - 1.0) < 1e-4  # weights normalize
+    # alpha=1 reproduces the natural mix; alpha<1 up-weights the
+    # smallest language and down-weights the largest (lang counts are
+    # genuinely skewed: en dominates)
+    nat = by_alpha[1.0]
+    small = min(nat.values(), key=lambda r: r["n_docs"])["lang"]
+    big = max(nat.values(), key=lambda r: r["n_docs"])["lang"]
+    assert by_alpha[0.3][small]["weight"] > nat[small]["weight"]
+    assert by_alpha[0.3][big]["weight"] < nat[big]["weight"]
