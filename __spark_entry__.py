@@ -6814,6 +6814,70 @@ FROM deg d LEFT JOIN tri t ON t.id = d.id
 """
 
 
+def q_graph_mixing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row host-graph mixing summary: reciprocity (fraction of
+    directed edges whose reverse also exists — high between mirrored /
+    federated sites, near zero for pure hub-and-spoke link farms) and
+    degree assortativity (Newman 2002: Pearson correlation of endpoint
+    total-degrees over edges — the web is famously DISassortative, hubs
+    link to leaves). Both from exact integer sums: degrees are integers,
+    so every regression sum is exact; only the final r expression is
+    float (variance product cast double once, the corr recipe). One
+    degree agg + two edge joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (li.select(
+        (F.col("l_suppkey") % N_FRONTIER_HOSTS).alias("src"),
+        (F.col("l_partkey") % N_FRONTIER_HOSTS).alias("dst"))
+        .where(F.col("src") != F.col("dst")).distinct())
+    rev = edges.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    recip = (edges.join(rev, ["src", "dst"], "left_semi")
+             .agg(F.count("*").alias("n_recip")))
+    deg = (edges.select(F.col("src").alias("id"))
+           .unionAll(edges.select(F.col("dst").alias("id")))
+           .groupBy("id").agg(F.count("*").alias("deg")))
+    ed = (edges
+          .join(deg.select(F.col("id").alias("src"), F.col("deg").alias("x")), "src")
+          .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("y")), "dst"))
+    s = ed.agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+               F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"),
+               F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 .cast("double")
+                 * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+    return (s.crossJoin(F.broadcast(recip))
+            .select(F.col("n").cast("bigint").alias("n_edges"),
+                    F.round(F.col("n_recip") / F.col("n"), 6).alias("reciprocity"),
+                    F.round(num / den, 6).alias("assortativity")))
+
+
+_Q_MIXING_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT l_suppkey % {N_FRONTIER_HOSTS} AS src,
+                  l_partkey % {N_FRONTIER_HOSTS} AS dst
+  FROM lineitem WHERE l_suppkey % {N_FRONTIER_HOSTS} <> l_partkey % {N_FRONTIER_HOSTS}),
+recip AS (
+  SELECT count(*) AS n_recip FROM e
+  WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)),
+deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id),
+ed AS (
+  SELECT dx.deg AS x, dy.deg AS y
+  FROM e JOIN deg dx ON dx.id = e.src JOIN deg dy ON dy.id = e.dst),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM ed)
+SELECT cast(n as bigint) AS n_edges,
+       round((SELECT n_recip FROM recip) * 1.0 / n, 6) AS reciprocity,
+       round((n * sxy - sx * sy) * 1.0
+             / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6) AS assortativity
+FROM s
+"""
+
+
 # --- k-core ------------------------------------------------------------------
 _KCORE_K, _KCORE_ROUNDS = 20, 12
 
@@ -7111,6 +7175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_lambda": q_recrawl_lambda,
         "embedding_norm_hist": q_embedding_norm_hist,
         "corpus_temperature_mix": q_corpus_temperature_mix,
+        "graph_mixing_stats": q_graph_mixing_stats,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -7274,6 +7339,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_lambda": _Q_LAMBDA_SQL,
         "embedding_norm_hist": _Q_ENORM_SQL,
         "corpus_temperature_mix": _tmix_sql(),
+        "graph_mixing_stats": _Q_MIXING_SQL,
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

@@ -138,6 +138,7 @@ HEADLINE = [
     "recrawl_lambda",
     "embedding_norm_hist",
     "corpus_temperature_mix",
+    "graph_mixing_stats",
 ]
 
 

@@ -418,3 +418,10 @@ def test_corpus_temperature_mix_flattens_tail(spark):
     big = max(nat.values(), key=lambda r: r["n_docs"])["lang"]
     assert by_alpha[0.3][small]["weight"] > nat[small]["weight"]
     assert by_alpha[0.3][big]["weight"] < nat[big]["weight"]
+
+
+def test_graph_mixing_stats_bounds(spark):
+    r = E.q_graph_mixing_stats(spark, E.SF001).first()
+    assert r["n_edges"] > 0
+    assert 0.0 <= r["reciprocity"] <= 1.0
+    assert -1.0 <= r["assortativity"] <= 1.0
