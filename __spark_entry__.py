@@ -6814,6 +6814,40 @@ FROM deg d LEFT JOIN tri t ON t.id = d.id
 """
 
 
+def q_frontier_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the frontier's per-host URL distribution —
+    the single-number inequality gauge beside the skew report's entropy:
+    0 = perfectly balanced hosts, ->1 = one host owns the frontier (and
+    your politeness budget owns your makespan). Computed from the
+    rank-weighted integer sum G = 2·Σ(rank·n)/(H·N) − (H+1)/H with hosts
+    ranked by (count ASC, host ASC): every sum is an exact integer (the
+    rank window runs over the bounded HOST dimension), so the one float
+    expression is identical on both engines."""
+    fr = _frontier(spark, sf_dir)
+    per = fr.groupBy("host").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").asc(), F.col("host").asc())  # host dim: bounded
+    ranked = per.withColumn("rk", F.row_number().over(w))
+    s = ranked.agg(F.count("*").alias("h"), F.sum("n").alias("t"),
+                   F.sum(F.col("rk") * F.col("n")).alias("s"))
+    gini = (F.lit(2.0) * F.col("s") / (F.col("h") * F.col("t"))
+            - (F.col("h") + 1) / F.col("h"))
+    return s.select(F.col("h").cast("bigint").alias("n_hosts"),
+                    F.col("t").cast("bigint").alias("n_urls"),
+                    F.round(gini, 6).alias("gini"))
+
+
+_Q_GINI_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+per AS (SELECT host, count(*) AS n FROM frontier GROUP BY host),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n ASC, host ASC) AS rk FROM per),
+s AS (SELECT count(*) AS h, sum(n) AS t, sum(rk * n) AS s FROM ranked)
+SELECT cast(h as bigint) AS n_hosts, cast(t as bigint) AS n_urls,
+       round(2.0 * s / (h * t) - (h + 1) * 1.0 / h, 6) AS gini
+FROM s
+"""
+
+
 def q_graph_mixing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row host-graph mixing summary: reciprocity (fraction of
     directed edges whose reverse also exists — high between mirrored /
@@ -7176,6 +7210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_hist": q_embedding_norm_hist,
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "graph_mixing_stats": q_graph_mixing_stats,
+        "frontier_gini": q_frontier_gini,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -7340,6 +7375,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm_hist": _Q_ENORM_SQL,
         "corpus_temperature_mix": _tmix_sql(),
         "graph_mixing_stats": _Q_MIXING_SQL,
+        "frontier_gini": _Q_GINI_SQL,
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

@@ -139,6 +139,7 @@ HEADLINE = [
     "embedding_norm_hist",
     "corpus_temperature_mix",
     "graph_mixing_stats",
+    "frontier_gini",
 ]
 
 

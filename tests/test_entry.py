@@ -425,3 +425,18 @@ def test_graph_mixing_stats_bounds(spark):
     assert r["n_edges"] > 0
     assert 0.0 <= r["reciprocity"] <= 1.0
     assert -1.0 <= r["assortativity"] <= 1.0
+
+
+def test_frontier_gini_reference(spark):
+    r = E.q_frontier_gini(spark, E.SF001).first()
+    assert 0.0 <= r["gini"] < 1.0
+    # python reference on the same counts
+    per = sorted(
+        (row["n"], row["host"]) for row in
+        E._frontier(spark, E.SF001).groupBy("host").count()
+        .withColumnRenamed("count", "n").collect())
+    h = len(per)
+    t = sum(n for n, _ in per)
+    s = sum((i + 1) * n for i, (n, _) in enumerate(per))
+    want = round(2.0 * s / (h * t) - (h + 1) / h, 6)
+    assert abs(r["gini"] - want) < 1e-9
