@@ -6814,6 +6814,49 @@ FROM deg d LEFT JOIN tri t ON t.id = d.id
 """
 
 
+_FANO_TH = 1.5
+
+
+def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) of daily event counts per type — the
+    model check behind recrawl_lambda: the Poisson revisit math assumes
+    Fano = var/mean ≈ 1; a type with Fano >> 1 is BURSTY (flash crowds,
+    batch imports) and its λ̂-derived revisit interval will under-crawl
+    the bursts. Sample variance rebuilt from exact integer sums (n, Σc,
+    Σc²) exactly like the anomaly z-scores — no stddev built-in, no
+    accumulation-order drift."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("c")))
+    s = (daily.groupBy("event_type")
+         .agg(F.count("*").alias("n"), F.sum("c").alias("sc"),
+              F.sum(F.col("c") * F.col("c")).alias("scc")))
+    mean = F.col("sc") / F.col("n")
+    var = ((F.col("scc") - F.col("sc") * F.col("sc") / F.col("n"))
+           / (F.col("n") - 1))
+    fano = F.round(var / mean, 6)
+    return (s.where(F.col("n") > 1)
+            .select("event_type", F.col("n").cast("bigint").alias("n_days"),
+                    F.round(mean, 6).alias("mean_daily"),
+                    fano.alias("fano"),
+                    (fano > _FANO_TH).alias("bursty")))
+
+
+_Q_FANO_SQL = f"""
+WITH daily AS (
+  SELECT event_type, cast(ts as date) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, count(*) AS n, sum(c) AS sc, sum(c * c) AS scc
+  FROM daily GROUP BY 1)
+SELECT event_type, cast(n as bigint) AS n_days,
+       round(sc * 1.0 / n, 6) AS mean_daily,
+       round(((scc - sc * 1.0 * sc / n) / (n - 1)) / (sc * 1.0 / n), 6) AS fano,
+       round(((scc - sc * 1.0 * sc / n) / (n - 1)) / (sc * 1.0 / n), 6) > {_FANO_TH} AS bursty
+FROM s WHERE n > 1
+"""
+
+
 def q_frontier_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of the frontier's per-host URL distribution —
     the single-number inequality gauge beside the skew report's entropy:
@@ -7211,6 +7254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "graph_mixing_stats": q_graph_mixing_stats,
         "frontier_gini": q_frontier_gini,
+        "event_burstiness": q_event_burstiness,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -7376,6 +7420,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_temperature_mix": _tmix_sql(),
         "graph_mixing_stats": _Q_MIXING_SQL,
         "frontier_gini": _Q_GINI_SQL,
+        "event_burstiness": _Q_FANO_SQL,
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

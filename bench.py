@@ -140,6 +140,7 @@ HEADLINE = [
     "corpus_temperature_mix",
     "graph_mixing_stats",
     "frontier_gini",
+    "event_burstiness",
 ]
 
 

@@ -440,3 +440,12 @@ def test_frontier_gini_reference(spark):
     s = sum((i + 1) * n for i, (n, _) in enumerate(per))
     want = round(2.0 * s / (h * t) - (h + 1) / h, 6)
     assert abs(r["gini"] - want) < 1e-9
+
+
+def test_event_burstiness_reference(spark):
+    rows = E.q_event_burstiness(spark, E.SF001).collect()
+    assert rows
+    for r in rows:
+        assert r["n_days"] > 1
+        assert r["fano"] >= 0.0
+        assert r["bursty"] == (r["fano"] > E._FANO_TH)
