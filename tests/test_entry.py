@@ -449,3 +449,13 @@ def test_event_burstiness_reference(spark):
         assert r["n_days"] > 1
         assert r["fano"] >= 0.0
         assert r["bursty"] == (r["fano"] > E._FANO_TH)
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE entry must exist in queries() — a stale
+    name would crash the driver's per-round benchmark run."""
+    import bench
+
+    qs = set(E.queries())
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
