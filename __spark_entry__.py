@@ -6814,6 +6814,32 @@ FROM deg d LEFT JOIN tri t ON t.id = d.id
 """
 
 
+def q_grouped_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group approximate quantiles (p50/p95 of extended price per
+    return flag) from ONE shared histogram pass — the grouped
+    generalization of approx_quantile_hist (operators/sketch.py
+    binned_quantiles_by): shuffle width is groups × bins, the cumulative
+    window runs per group over the bounded bin dimension, and no
+    per-group row sort exists anywhere — the shape that survives 10^10
+    rows × 10^4 groups where exact grouped percentile cannot."""
+    from distributed_webcrawler_spark.operators.sketch import binned_quantiles_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (binned_quantiles_by(li, "l_extendedprice", "l_returnflag",
+                                _AQ_BIN_W, [("p50", 0.5), ("p95", 0.95)])
+            .select(F.col("l_returnflag").alias("returnflag"),
+                    "label", "q", "est_value"))
+
+
+def _gq_sql() -> str:
+    from distributed_webcrawler_spark.operators.sketch import binned_quantiles_by_sql
+
+    inner = binned_quantiles_by_sql("l_extendedprice", "l_returnflag",
+                                    "lineitem", _AQ_BIN_W,
+                                    [("p50", 0.5), ("p95", 0.95)])
+    return f"SELECT grp AS returnflag, label, q, est_value FROM ({inner})"
+
+
 _FANO_TH = 1.5
 
 
@@ -7255,6 +7281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mixing_stats": q_graph_mixing_stats,
         "frontier_gini": q_frontier_gini,
         "event_burstiness": q_event_burstiness,
+        "grouped_quantile_hist": q_grouped_quantile_hist,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -7421,6 +7448,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_mixing_stats": _Q_MIXING_SQL,
         "frontier_gini": _Q_GINI_SQL,
         "event_burstiness": _Q_FANO_SQL,
+        "grouped_quantile_hist": _gq_sql(),
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

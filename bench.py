@@ -141,6 +141,7 @@ HEADLINE = [
     "graph_mixing_stats",
     "frontier_gini",
     "event_burstiness",
+    "grouped_quantile_hist",
 ]
 
 

@@ -208,6 +208,69 @@ FROM cand WHERE rk = 1
 """
 
 
+def binned_quantiles_by(df: DataFrame, col: str, group_col: str,
+                        bin_width: float,
+                        qs: list[tuple[str, float]]) -> DataFrame:
+    """Grouped :func:`binned_quantiles`: (group, label, q, est_value) —
+    per-group approximate quantiles from one shared histogram pass. The
+    shuffle is (group × bins) wide, the cumulative window is per group
+    over the bounded bin dimension, and the crossing pick is a per-
+    (group, label) rank window — no per-group sort of rows anywhere,
+    which is the entire point at 10^10 rows × 10^4 groups."""
+    from pyspark.sql import Window
+    bins = (df.select(F.col(group_col).alias("grp"),
+                      F.floor(F.col(col) / F.lit(bin_width)).cast("bigint")
+                      .alias("bin"))
+            .groupBy("grp", "bin").agg(F.count("*").alias("cnt")))
+    w = (Window.partitionBy("grp").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = bins.select("grp", "bin", "cnt", F.sum("cnt").over(w).alias("cum"))
+    tot = bins.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    qdim = tot.select(
+        "grp", "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(label).alias("label"), F.lit(q).alias("q"))
+            for label, q in qs])).alias("s")).select("grp", "n", "s.label", "s.q")
+    cand = (cum.join(qdim, "grp")
+            .where(F.col("cum") >= F.col("q") * F.col("n")))
+    wq = Window.partitionBy("grp", "label").orderBy("bin")
+    first = (cand.withColumn("rk", F.row_number().over(wq))
+             .where(F.col("rk") == 1))
+    est = (F.col("bin") * F.lit(bin_width)
+           + F.lit(bin_width) * (F.col("q") * F.col("n")
+                                 - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+    return first.select(F.col("grp").alias(group_col), "label", "q",
+                        F.round(est, 6).alias("est_value"))
+
+
+def binned_quantiles_by_sql(expr: str, group_expr: str, source: str,
+                            bin_width: float,
+                            qs: list[tuple[str, float]]) -> str:
+    """DuckDB restatement of :func:`binned_quantiles_by`."""
+    qrows = ", ".join(f"('{label}', {q!r}::DOUBLE)" for label, q in qs)
+    return f"""
+WITH bins AS (
+  SELECT {group_expr} AS grp, cast(floor(({expr}) / {bin_width!r}) as bigint) AS bin,
+         count(*) AS cnt
+  FROM {source} GROUP BY 1, 2),
+cum AS (
+  SELECT grp, bin, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM bins),
+tot AS (SELECT grp, sum(cnt) AS n FROM bins GROUP BY grp),
+qdim AS (SELECT * FROM (VALUES {qrows}) v(label, q)),
+cand AS (
+  SELECT c.grp, q.label, q.q, c.bin, c.cnt, c.cum, t.n,
+         row_number() OVER (PARTITION BY c.grp, q.label ORDER BY c.bin) AS rk
+  FROM cum c JOIN tot t ON t.grp = c.grp CROSS JOIN qdim q
+  WHERE c.cum >= q.q * t.n)
+SELECT grp, label, q,
+       round(bin * {bin_width!r} + {bin_width!r} * (q * n - (cum - cnt)) / cnt, 6) AS est_value
+FROM cand WHERE rk = 1
+"""
+
+
 def weighted_sample(df: DataFrame, weight_col, k: int = 100,
                     id_col: str = "doc_id") -> DataFrame:
     """Deterministic Efraimidis-Spirakis weighted sample WITHOUT

@@ -163,3 +163,22 @@ def test_cms_tiny_width_overcounts_but_never_under(spark):
     assert all(r.exact_count == 10 for r in out)
     assert all(r.est_count >= 10 for r in out)          # never undercounts
     assert any(r.overcount > 0 for r in out)            # w=8 must collide
+
+
+def test_binned_quantiles_by_matches_per_group_reference(spark):
+    from distributed_webcrawler_spark.operators.sketch import binned_quantiles, binned_quantiles_by
+
+    rows = [("a", float(5 + (i * 13) % 200)) for i in range(900)] + \
+           [("b", float(300 + (i * 7) % 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {(r["g"], r["label"]): r["est_value"]
+           for r in binned_quantiles_by(df, "x", "g", 5.0,
+                                        [("p50", 0.5), ("p95", 0.95)]).collect()}
+    # each group must equal the ungrouped operator run on that slice
+    for g in ("a", "b"):
+        sub = df.where(df.g == g)
+        want = {r["label"]: r["est_value"]
+                for r in binned_quantiles(sub, "x", 5.0,
+                                          [("p50", 0.5), ("p95", 0.95)]).collect()}
+        for lbl, v in want.items():
+            assert got[(g, lbl)] == v, (g, lbl, got[(g, lbl)], v)
