@@ -222,6 +222,43 @@ def hll_cardinality_stream(spark: SparkSession, url_dir: str) -> DataFrame:
     return hll_registers(raw, "url", p=8)
 
 
+def hll_windowed_stream(spark: SparkSession, url_dir: str, *,
+                        window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Windowed twin of hll_cardinality_stream: per event-time window,
+    the HLL register table of the URLs seen in that window — the
+    "distinct URLs per hour" dashboard series, still 2^p rows of state
+    per LIVE window (watermark-bounded), never a distinct-count shuffle.
+    Input: parquet stream of (url, ts). Feed each window's registers to
+    hll_estimate for the number."""
+    from ..functions.hashes import h64
+
+    raw = (spark.readStream
+           .schema(T.StructType([
+               T.StructField("url", T.StringType()),
+               T.StructField("ts", T.TimestampType())]))
+           .parquet(url_dir)
+           .withColumn("ts", F.col("ts").cast("timestamp_ltz")))
+    # hll_registers' register/rho math inlined (that helper ends in a
+    # GLOBAL groupBy; here the same pure projections feed the windowed
+    # agg instead — the parity test pins the two to identical registers)
+    m = 256
+    h = h64("url")
+    rows = (raw.withWatermark("ts", watermark)
+            .select("ts", F.pmod(h, F.lit(m)).cast("int").alias("register"),
+                    (h / m).cast("bigint").alias("w"))
+            .select("ts", "register",
+                    F.when(F.col("w") == 0, F.lit(53))
+                    .otherwise(F.lit(53) - F.length(
+                        F.conv(F.col("w").cast("string"), 10, 2)))
+                    .cast("int").alias("rho")))
+    return (rows.groupBy(F.window("ts", window).alias("win"), "register")
+            .agg(F.max("rho").cast("int").alias("max_rho"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "register", "max_rho"))
+
+
 def image_decode_stream(spark: SparkSession, payload_dir: str) -> DataFrame:
     """Streaming twin of the batch image-decode stage (axes A+B: the
     image pipeline as a continuous ingest): a file-source parquet stream

@@ -212,3 +212,45 @@ def test_politeness_violation_stream_matches_batch(spark, tmpdir):
     # ha: gaps 1.0s (not < floor), 2.0s, 0.4s (violation), 5.6s;
     # hb: 0.4s (violation), 4.1s; hc: single fetch, no gap
     assert sum(1 for _, v in got.values() if v) == 2
+
+
+def test_hll_windowed_stream_matches_batch_per_window(spark, tmpdir):
+    """Each event-time window's streamed register table must equal the
+    batch hll_registers of exactly that window's URLs."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.sketch import hll_registers
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(3000):
+        hour = i % 3
+        rows.append((f"https://h{i % 83}.test/p/{i}",
+                     base + dt.timedelta(hours=hour, seconds=i % 3600)))
+    pdf = pd.DataFrame(rows, columns=["url", "ts"])
+    src = f"{tmpdir}/urlts"
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+
+    q = (I.hll_windowed_stream(spark, src, window="1 hour",
+                               watermark="4 hours")
+         .writeStream.format("memory").queryName("hllwin")
+         .outputMode("complete")
+         .option("checkpointLocation", f"{tmpdir}/ckptw")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT window_start, register, max_rho FROM hllwin").collect()
+    by_win = {}
+    for r in got:
+        by_win.setdefault(r["window_start"].hour, set()).add(
+            (r["register"], r["max_rho"]))
+    assert set(by_win) == {0, 1, 2}
+    batch = spark.createDataFrame(pdf)
+    for hour, regs in by_win.items():
+        sub = batch.where(
+            (F.hour("ts") == hour))
+        want = {(r["register"], r["max_rho"])
+                for r in hll_registers(sub, "url", p=8).collect()}
+        assert regs == want, hour
