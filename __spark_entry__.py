@@ -6917,6 +6917,50 @@ FROM s
 """
 
 
+def q_frontier_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz deciles of host load — the curve behind the Gini number:
+    hosts ranked lightest-first into 10 deciles, each with its host and
+    URL counts and the cumulative URL share ("the bottom 50% of hosts
+    hold X% of the frontier"). The rank window runs over the bounded
+    host dimension; cumulative sums are over the 10-row decile dimension
+    and integer-exact, so the only float is the final share division."""
+    fr = _frontier(spark, sf_dir)
+    per = fr.groupBy("host").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").asc(), F.col("host").asc())
+    ranked = per.withColumn("rk", F.row_number().over(w))
+    hcount = per.agg(F.count("*").alias("h"))
+    dec = (ranked.crossJoin(F.broadcast(hcount))
+           .select(F.expr("CAST((rk * 10 + h - 1) DIV h AS INT)").alias("decile"),
+                   "n")
+           .groupBy("decile")
+           .agg(F.count("*").cast("bigint").alias("n_hosts"),
+                F.sum("n").cast("bigint").alias("n_urls")))
+    tot = dec.agg(F.sum("n_urls").alias("t"))
+    cw = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (dec.crossJoin(F.broadcast(tot))
+            .select("decile", "n_hosts", "n_urls",
+                    F.round(F.sum("n_urls").over(cw) / F.col("t"), 6)
+                    .alias("cum_url_share")))
+
+
+_Q_LORENZ_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+per AS (SELECT host, count(*) AS n FROM frontier GROUP BY host),
+hc AS (SELECT count(*) AS h FROM per),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n ASC, host ASC) AS rk FROM per),
+dec AS (
+  SELECT cast((rk * 10 + (SELECT h FROM hc) - 1) // (SELECT h FROM hc) as int) AS decile,
+         count(*) AS n_hosts, sum(n) AS n_urls
+  FROM ranked GROUP BY 1),
+tot AS (SELECT sum(n_urls) AS t FROM dec)
+SELECT decile, cast(n_hosts as bigint) AS n_hosts, cast(n_urls as bigint) AS n_urls,
+       round(sum(n_urls) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1.0 / (SELECT t FROM tot), 6) AS cum_url_share
+FROM dec
+"""
+
+
 def q_graph_mixing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row host-graph mixing summary: reciprocity (fraction of
     directed edges whose reverse also exists — high between mirrored /
@@ -7282,6 +7326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_gini": q_frontier_gini,
         "event_burstiness": q_event_burstiness,
         "grouped_quantile_hist": q_grouped_quantile_hist,
+        "frontier_lorenz": q_frontier_lorenz,
         "graph_triangles": q_graph_triangles,
         "graph_seed_distance": q_graph_seed_distance,
         "approx_quantile_hist": q_approx_quantile_hist,
@@ -7449,6 +7494,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_gini": _Q_GINI_SQL,
         "event_burstiness": _Q_FANO_SQL,
         "grouped_quantile_hist": _gq_sql(),
+        "frontier_lorenz": _Q_LORENZ_SQL,
         "graph_triangles": _Q_TRI_SQL,
         "graph_seed_distance": _bfs_sql(),
         "approx_quantile_hist": _aq_sql(),

@@ -142,6 +142,7 @@ HEADLINE = [
     "frontier_gini",
     "event_burstiness",
     "grouped_quantile_hist",
+    "frontier_lorenz",
 ]
 
 

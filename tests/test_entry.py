@@ -459,3 +459,14 @@ def test_bench_headline_names_resolve():
     qs = set(E.queries())
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, missing
+
+
+def test_frontier_lorenz_curve(spark):
+    rows = sorted(E.q_frontier_lorenz(spark, E.SF001).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["cum_url_share"] for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))  # monotone
+    assert abs(shares[-1] - 1.0) < 1e-9                      # sums to 1
+    # lightest-first ranking: the bottom decile holds <= its uniform share
+    assert shares[0] <= 0.1 + 1e-9
