@@ -89,11 +89,18 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 20,
     exits early at the fixpoint (LIMIT-1 probe, never a full count) and
     the unrolled-CTE oracle can simply run a fixed generous round count.
     Each round: one degree agg + two semi-joins; the edge table is
-    localCheckpoint()ed per round to keep lineage flat."""
+    localCheckpoint()ed per round to keep lineage flat.
+
+    Raises RuntimeError if ``max_rounds`` is exhausted BEFORE the peel
+    fixpoint — an under-peeled edge set (nodes of degree < k still
+    present) is indistinguishable from a true k-core to the caller, and
+    at a cascade depth beyond the oracle's unrolled rounds both engines
+    would quietly agree on the same wrong answer; fail loudly instead."""
     a, b = F.col(src), F.col(dst)
     e = (edges.where(a != b)
          .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
          .distinct().localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_rounds):
         deg = (e.select(F.col("a").alias("id"))
                .unionAll(e.select(F.col("b").alias("id")))
@@ -105,7 +112,13 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 20,
         dropped = e.join(e2, ["a", "b"], "left_anti").limit(1)
         e = e2
         if not dropped.take(1):
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"k_core(k={k}) did not reach the peel fixpoint within "
+            f"max_rounds={max_rounds}; result would be under-peeled — "
+            f"raise max_rounds (and the oracle's unrolled round count)")
     return (e.select(F.col("a").alias("id"))
             .unionAll(e.select(F.col("b").alias("id")))
             .groupBy("id").agg(F.count("*").cast("bigint").alias("core_degree")))

@@ -99,22 +99,26 @@ FROM smallest
 
 def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     """HyperLogLog register table for ``col``: (register int, max_rho int),
-    occupied registers only. register = h % m, rho = 53 - bitlen(h div m)
-    (h is the 60-bit portable hash, so the rank field is 60 - p bits; p=8
-    gives the standard 52-bit field). One groupBy(register) with map-side
-    partial max — constant 2^p-row state per partition, mergeable across
-    rounds/checkpoints exactly like the bloom shards.
+    occupied registers only. register = h % m, rho = (61-p) - bitlen(h >> p)
+    (h is the 60-bit portable hash, so the rank field is 60 - p bits wide
+    for ANY p; p=8 gives the standard 52-bit field and rho_max = 53).
+    One groupBy(register) with map-side partial max — constant 2^p-row
+    state per partition, mergeable across rounds/checkpoints exactly like
+    the bloom shards.
 
-    Everything is integer arithmetic (bitlen via the unpadded base-2
-    string, the same trick DuckDB's bin() allows), so two engines agree
-    bit-for-bit — no float enters until the estimate."""
+    Everything is integer arithmetic: w = shiftright(h, p) — NOT float
+    division, which differs from exact integer `//` for h > 2^53 — and
+    bitlen via the unpadded base-2 string (the same trick DuckDB's bin()
+    allows), so two engines agree bit-for-bit — no float enters until
+    the estimate."""
     m = 1 << p
+    rho_max = 61 - p  # w == 0 ⇒ all (60-p) field bits are zero ⇒ rho = field+1
     h = h64(col)
     return (df.select(F.pmod(h, F.lit(m)).cast("int").alias("register"),
-                      (h / m).cast("bigint").alias("w"))
+                      F.shiftright(h, p).alias("w"))
             .select("register",
-                    F.when(F.col("w") == 0, F.lit(53))
-                    .otherwise(F.lit(53) - F.length(
+                    F.when(F.col("w") == 0, F.lit(rho_max))
+                    .otherwise(F.lit(rho_max) - F.length(
                         F.conv(F.col("w").cast("string"), 10, 2)))
                     .cast("int").alias("rho"))
             .groupBy("register").agg(F.max("rho").cast("int").alias("max_rho")))
@@ -122,21 +126,24 @@ def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
 
 def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     """One-row (hll_estimate double) from a register table. The harmonic
-    sum is the EXACT integer Σ 2^(53-max_rho) (empty registers contribute
-    2^53 each; max 2^p·2^53 < 2^63), so the only float operations are one
-    multiply chain and one division — identical IEEE on any engine.
-    Includes the standard small-range correction E = m·ln(m/V)."""
+    sum is the EXACT integer Σ 2^(rho_max - max_rho) with rho_max = 61-p
+    (empty registers contribute 2^(61-p) each; max 2^p·2^(61-p) = 2^61
+    < 2^63 for any p), so the only float operations are one multiply
+    chain and one division — identical IEEE on any engine. Includes the
+    standard small-range correction E = m·ln(m/V)."""
     m = 1 << p
+    rho_max = 61 - p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    two53 = 9007199254740992
+    two_field = 1 << rho_max  # 2^(61-p); 2^53 at the default p=8
     summ = registers.agg(
-        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - max_rho)")).alias("s_occ"),
+        F.sum(F.expr(
+            f"shiftleft(cast(1 as bigint), {rho_max} - max_rho)")).alias("s_occ"),
         F.count("*").alias("n_occ"),
     ).select(
-        (F.col("s_occ") + (F.lit(m) - F.col("n_occ")) * F.lit(two53)).alias("s_int"),
+        (F.col("s_occ") + (F.lit(m) - F.col("n_occ")) * F.lit(two_field)).alias("s_int"),
         (F.lit(m) - F.col("n_occ")).cast("bigint").alias("v_empty"),
     )
-    raw = (F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(two53))) / F.col("s_int")
+    raw = (F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(two_field))) / F.col("s_int")
     est = F.round(
         F.when((F.col("v_empty") > 0) & (raw <= F.lit(2.5 * m)),
                F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty")))

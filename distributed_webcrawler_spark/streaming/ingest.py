@@ -140,7 +140,11 @@ def politeness_violation_stream(fetches: DataFrame, min_gap_us: int):
     from pyspark.sql.streaming.state import GroupState
 
     def audit(key, pdfs, state: GroupState):
+        # -1 is the stored "no fetch yet" sentinel — translate it back to
+        # None on read so an empty batch for a known key can't turn the
+        # next gap into t_us-(-1) and silently drop first-fetch semantics
         last = state.get[0] if state.exists else None
+        last = None if last == -1 else last
         rows = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["t_us", "event_id"])
@@ -242,14 +246,14 @@ def hll_windowed_stream(spark: SparkSession, url_dir: str, *,
     # hll_registers' register/rho math inlined (that helper ends in a
     # GLOBAL groupBy; here the same pure projections feed the windowed
     # agg instead — the parity test pins the two to identical registers)
-    m = 256
+    m, p, rho_max = 256, 8, 53  # keep in lockstep with sketch.hll_registers
     h = h64("url")
     rows = (raw.withWatermark("ts", watermark)
             .select("ts", F.pmod(h, F.lit(m)).cast("int").alias("register"),
-                    (h / m).cast("bigint").alias("w"))
+                    F.shiftright(h, p).alias("w"))
             .select("ts", "register",
-                    F.when(F.col("w") == 0, F.lit(53))
-                    .otherwise(F.lit(53) - F.length(
+                    F.when(F.col("w") == 0, F.lit(rho_max))
+                    .otherwise(F.lit(rho_max) - F.length(
                         F.conv(F.col("w").cast("string"), 10, 2)))
                     .cast("int").alias("rho")))
     return (rows.groupBy(F.window("ts", window).alias("win"), "register")

@@ -60,6 +60,35 @@ def test_hll_estimate_accuracy(spark):
     assert abs(est - n) / n < 0.26, est
 
 
+def test_hll_nondefault_p_accuracy_and_exact_w(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_webcrawler_spark.operators.sketch import hll_estimate, hll_registers
+    from distributed_webcrawler_spark.functions.hashes import h64
+
+    # p != 8 must widen/narrow the rank field with p, not silently keep
+    # the 52-bit constants (round-2 ADVICE): at p=12 the stderr halves
+    # twice vs p=8 and every rho must fit 1..61-p
+    n = 20000
+    df = spark.createDataFrame([(f"url-{i}",) for i in range(n)], "x string")
+    for p, tol in ((4, 1.1), (12, 0.07)):  # 4·1.04/sqrt(2^p)
+        reg = hll_registers(df, "x", p=p)
+        lo, hi = reg.agg(F.min("max_rho"), F.max("max_rho")).first()
+        assert 1 <= lo and hi <= 61 - p, (p, lo, hi)
+        est = hll_estimate(reg, p=p).first()["hll_estimate"]
+        assert abs(est - n) / n < tol, (p, est)
+    # w is the EXACT integer h >> p — float division truncation differs
+    # from it for h > 2^53, which is what the oracle's `//` computes
+    probe = (df.select(h64("x").alias("h"))
+             .where(F.col("h") > F.lit(1 << 53)).limit(50)
+             .select("h", F.shiftright("h", 8).alias("w_exact"),
+                     (F.col("h") / 256).cast("bigint").alias("w_float")))
+    rows = probe.collect()
+    assert rows, "fixture produced no >2^53 hashes"
+    for r in rows:
+        assert r.w_exact == r.h // 256
+
+
 def test_hll_insensitive_to_duplicates_and_partitioning(spark):
     from distributed_webcrawler_spark.operators.sketch import hll_estimate, hll_registers
 
