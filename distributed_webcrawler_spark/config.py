@@ -77,6 +77,16 @@ class CrawlConfig:
     # engine mechanics
     reference_compat: bool = False
     use_bloom: bool = True
+    # seen-set filter implementation (the north rule's "bloom/cuckoo"):
+    #   "bloom"  — append-only; pairs with bloom_shards for the 10^10 tier.
+    #   "cuckoo" — deletable fingerprints: REQUIRED for TTL recrawl
+    #       eviction (CrawlEngine.evict_for_recrawl) — a bloom cannot
+    #       remove dead keys, so under recrawl its fpp only degrades while
+    #       a cuckoo sized for the LIVE seen set runs forever. Single-
+    #       filter mode only (bloom_shards must be 1); the sharded-store
+    #       twin mirrors ShardedBloomStore when a deployment needs it.
+    # Both are PREFILTERS: hits still route through the exact anti-join.
+    seen_filter: str = "bloom"
     bloom_expected_insertions: int = 10_000_000  # application.properties:33
     bloom_fpp: float = 0.01                      # application.properties:34
     # >1 = the 10^10-tier bloom lifecycle: one filter per shard (keyed by

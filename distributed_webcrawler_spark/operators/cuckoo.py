@@ -21,6 +21,7 @@ build over hashes, same shapes as the bloom builder).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 _EMPTY = 0  # fingerprints are forced nonzero
 _KICKS = 500
@@ -72,6 +73,39 @@ class CuckooFilter:
                 self.table[i, slot[0][0]] = fp
                 return True
         # evict: bounded random-walk kicks (deterministic seed from fp)
+        return self._insert_with_kicks(fp, i1, i2)
+
+    def add_many(self, hashes: np.ndarray) -> int:
+        """Bulk insert: fingerprints and bucket indexes are computed
+        VECTORIZED up front (the numpy-call-per-key overhead of looping
+        `add` dominates at frontier batch sizes); only the placement —
+        inherently sequential, since each insert changes occupancy —
+        walks a python loop over plain ints."""
+        hv = np.asarray(hashes, dtype=np.int64)
+        if len(hv) == 0:
+            return 0
+        fps, i1s = self._fp_and_index(hv)
+        i2s = self._alt_index(i1s, fps).astype(np.int64)
+        table, bsize = self.table, self.bucket_size
+        ok = 0
+        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+            placed = False
+            for i in (i1, i2):
+                row = table[i]
+                for j in range(bsize):
+                    if row[j] == _EMPTY:
+                        row[j] = fp
+                        placed = True
+                        ok += 1
+                        break
+                if placed:
+                    break
+            if not placed:
+                # rare path: fall back to the kicking insert
+                ok += bool(self._insert_with_kicks(fp, i1, i2))
+        return ok
+
+    def _insert_with_kicks(self, fp: int, i1: int, i2: int) -> bool:
         rng = np.random.default_rng(fp)
         i = i1 if rng.integers(2) else i2
         for _ in range(_KICKS):
@@ -84,8 +118,21 @@ class CuckooFilter:
                 return True
         return False  # table too full — caller should resize
 
-    def add_many(self, hashes: np.ndarray) -> int:
-        return sum(self.add(int(h)) for h in hashes)
+    def delete_many(self, hashes: np.ndarray) -> int:
+        """Bulk delete — THE operation the bloom cannot do, and the reason
+        the engine's recrawl eviction (CrawlEngine.evict_for_recrawl)
+        requires seen_filter="cuckoo": over an infinite crawl with TTL
+        recrawl the LIVE seen set is bounded, so a cuckoo sized for live
+        keys runs forever, while a bloom only accumulates dead fingerprints
+        until its fpp collapses the prefilter. Only delete keys previously
+        inserted (standard cuckoo caveat); returns #found-and-removed."""
+        hv = np.asarray(hashes, dtype=np.int64)
+        return sum(self.delete(int(h)) for h in hv)
+
+    @property
+    def occupancy(self) -> int:
+        """Number of stored fingerprints (monitoring / tests)."""
+        return int((self.table != _EMPTY).sum())
 
     def delete(self, h: int) -> bool:
         fp, i1 = self._fp_and_index(np.array([h], dtype=np.int64))
@@ -118,3 +165,40 @@ class CuckooFilter:
         bucket_size = int.from_bytes(data[8:12], "little")
         table = np.frombuffer(data[12:], dtype=np.uint16).reshape(n_buckets, bucket_size).copy()
         return cls(n_buckets, bucket_size, table)
+
+
+def build_cuckoo(df, col: str, expected_insertions: int) -> "CuckooFilter":
+    """Build a filter from a DataFrame column, driver-side. The single-
+    filter twin of bloom.build_bloom for the engine's seen_filter="cuckoo"
+    mode: right for the ≲10^8-insertion tier where the table (2 bytes/slot
+    ≈ 2.4·n bytes at load 0.84) fits the driver. The 10^10 path is the
+    sharded-store shape (one filter per host_bucket shard, built executor-
+    side exactly like ShardedBloomStore) — same contract, deferred until a
+    deployment needs it; the engine refuses shards+cuckoo explicitly.
+
+    Collects ONLY the 8-byte hash column (toPandas via Arrow), never rows."""
+    cf = CuckooFilter.for_capacity(max(expected_insertions, 16))
+    hv = df.select(col).toPandas()[col].dropna().to_numpy(dtype=np.int64)
+    cf.add_many(hv)
+    return cf
+
+
+def cuckoo_prefilter_udf(cf: "CuckooFilter"):
+    """Series->Series pandas UDF: might_contain over Arrow batches — the
+    drop-in twin of bloom_prefilter_udf. Table bytes ship once via closure
+    broadcast; each worker re-materializes the numpy table once per task,
+    not per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    blob = cf.to_bytes()
+    memo: dict = {}
+
+    @pandas_udf("boolean")
+    def _might_contain(hashes: pd.Series) -> pd.Series:
+        f = memo.get("cf")
+        if f is None:
+            f = memo["cf"] = CuckooFilter.from_bytes(blob)
+        vals = hashes.fillna(0).to_numpy(dtype=np.int64)
+        return pd.Series(f.might_contain_many(vals))
+
+    return _might_contain

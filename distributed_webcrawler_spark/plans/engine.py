@@ -197,6 +197,11 @@ class CrawlEngine:
                 config.budget_per_host_per_round).cache()
         self.bloom: BloomFilter | None = None
         self.bloom_shards = None            # ShardedBloomStore (cfg.bloom_shards > 1)
+        self.cuckoo = None                  # CuckooFilter (cfg.seen_filter == "cuckoo")
+        if config.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {config.seen_filter!r}")
+        if config.seen_filter == "cuckoo" and config.bloom_shards > 1:
+            raise ValueError("seen_filter='cuckoo' is single-filter mode; bloom_shards must be 1")
         self._robots_http_cache: dict = {}  # host -> (allow, disallow); http mode
         self._round_caches: list = []
         self.last_stage_secs: dict[str, float] = {}
@@ -265,7 +270,11 @@ class CrawlEngine:
         self._set_session_status(session_id, "RUNNING")
         if cfg.use_bloom:
             fr = self._t("frontier").read(self.spark)
-            if cfg.bloom_shards > 1:
+            if cfg.seen_filter == "cuckoo":
+                from ..operators.cuckoo import build_cuckoo
+
+                self.cuckoo = build_cuckoo(fr, "url_hash", cfg.bloom_expected_insertions)
+            elif cfg.bloom_shards > 1:
                 from ..operators.bloom import ShardedBloomStore
 
                 if self.bloom_shards is None:
@@ -811,7 +820,15 @@ class CrawlEngine:
         seen = (self._t("frontier").read(self.spark)
                 .select("session_id", "url").hint("shuffle_hash"))
         tagged = None
-        if cfg.use_bloom and self.bloom_shards is not None:
+        if cfg.use_bloom and self.cuckoo is not None:
+            # cuckoo prefilter: identical plan shape to the bloom (closure-
+            # broadcast table, Arrow-batched membership); the difference is
+            # lifecycle — evict_for_recrawl can DELETE fingerprints
+            from ..operators.cuckoo import cuckoo_prefilter_udf
+
+            maybe_c = cuckoo_prefilter_udf(self.cuckoo)
+            tagged = cand.withColumn("__maybe_seen", maybe_c(F.col("url_hash"))).cache()
+        elif cfg.use_bloom and self.bloom_shards is not None:
             # sharded prefilter (10^10 tier): each task consults only the
             # shard files its rows reference (worker-local lazy load)
             maybe_s = self.bloom_shards.prefilter_udf()
@@ -915,6 +932,8 @@ class CrawlEngine:
                     self._t("frontier").read_snapshot(self.spark, fsnap)
                         .select("url_hash", self._bloom_shard_col()),
                     "url_hash", "__shard", version=rnd)
+            elif n_new > 0 and cfg.use_bloom and self.cuckoo is not None:
+                self.cuckoo.add_many(self._t("frontier").read_column_local(fsnap, "url_hash"))
             elif n_new > 0 and cfg.use_bloom and self.bloom is not None:
                 # feed the bloom from the parquet the append JUST wrote —
                 # a driver-side pyarrow column read, no Spark collect job
@@ -1019,6 +1038,11 @@ class CrawlEngine:
             with open(os.path.join(self.store.warehouse, bloom_file), "wb") as f:
                 f.write(self.bloom.to_bytes())
         ckpt = {"round": rnd, "tables": tables, "bloom": bloom_file}
+        if self.cuckoo is not None:
+            cuckoo_file = f"cuckoo-r{rnd:05d}.bin"
+            with open(os.path.join(self.store.warehouse, cuckoo_file), "wb") as f:
+                f.write(self.cuckoo.to_bytes())
+            ckpt["cuckoo"] = cuckoo_file
         if self.bloom_shards is not None:
             # the shard manifest is a small {shard: version} dict — blob
             # files themselves are already durable (versioned, os.replace'd)
@@ -1035,7 +1059,12 @@ class CrawlEngine:
         if ckpt is None:
             raise RuntimeError("no checkpoint to resume from")
         self.store.rollback_to_checkpoint(ckpt)
-        if ckpt.get("bloom_shard_versions") is not None:
+        if ckpt.get("cuckoo"):
+            from ..operators.cuckoo import CuckooFilter
+
+            with open(os.path.join(self.store.warehouse, ckpt["cuckoo"]), "rb") as f:
+                self.cuckoo = CuckooFilter.from_bytes(f.read())
+        elif ckpt.get("bloom_shard_versions") is not None:
             from ..operators.bloom import ShardedBloomStore
 
             proto = BloomFilter.for_capacity(
@@ -1050,5 +1079,113 @@ class CrawlEngine:
                 self.bloom = BloomFilter.from_bytes(f.read())
         elif self.cfg.use_bloom:
             fr = self._t("frontier").read(self.spark)
-            self.bloom = build_bloom(fr, "url_hash", self.cfg.bloom_expected_insertions, self.cfg.bloom_fpp)
+            if self.cfg.seen_filter == "cuckoo":
+                from ..operators.cuckoo import build_cuckoo
+
+                self.cuckoo = build_cuckoo(fr, "url_hash", self.cfg.bloom_expected_insertions)
+            else:
+                self.bloom = build_bloom(fr, "url_hash", self.cfg.bloom_expected_insertions, self.cfg.bloom_fpp)
         return self.run()
+
+    # ----------------------------------------------------- recrawl eviction
+    def evict_for_recrawl(self, urls: DataFrame | None = None,
+                          ttl_rounds: int | None = None,
+                          allow_stale_filter: bool = False) -> dict:
+        """FORGET (session_id, url) keys from every seen structure so that
+        a later link rediscovering them re-enters the frontier as a fresh
+        fetch — recrawl-on-rediscovery, the scheduling side of Cho &
+        Garcia-Molina's freshness model (q_recrawl_lambda computes WHICH
+        ages are due; this is the operator that makes acting on it
+        possible). Keys come either from ``urls`` (session_id, url) or,
+        with ``ttl_rounds``, every URL whose LAST fetch is at least that
+        many rounds old.
+
+        Mechanics: copy-on-write rewrite of `frontier` and `done`
+        (Table.overwrite_compacted — on real Iceberg, a positional
+        DELETE), a fingerprint delete from the cuckoo filter, and a fresh
+        checkpoint (pre-rewrite checkpoints reference dead snapshot ids).
+
+        seen_filter="cuckoo" is REQUIRED: a bloom cannot remove the dead
+        fingerprints, so under perpetual TTL recrawl its fpp only ratchets
+        toward 1 and the prefilter collapses (every candidate routes
+        through the exact anti-join). ``allow_stale_filter=True``
+        acknowledges that degradation explicitly — results stay correct
+        (prefilter-only contract) but the filter keeps counting ghosts —
+        for one-off evictions on a bloom deployment."""
+        cfg = self.cfg
+        if cfg.use_bloom and self.cuckoo is None and not allow_stale_filter:
+            raise RuntimeError(
+                "evict_for_recrawl with seen_filter='bloom': a bloom cannot "
+                "delete fingerprints, so TTL recrawl would only degrade its "
+                "fpp. Use seen_filter='cuckoo', or pass "
+                "allow_stale_filter=True to accept the stale filter.")
+        last_rnd = (self.store.latest_checkpoint() or {"round": 0})["round"]
+        if urls is None:
+            if ttl_rounds is None:
+                raise ValueError("pass urls or ttl_rounds")
+            pg = self._t("pages").read(self.spark)
+            if pg is None:
+                return {"evicted": 0, "round": last_rnd}
+            urls = (pg.groupBy("session_id", "url")
+                    .agg(F.max("round").alias("last_round"))
+                    .where(F.col("last_round") <= F.lit(last_rnd - ttl_rounds))
+                    .select("session_id", "url"))
+        evict = urls.select("session_id", "url").distinct().cache()
+        fr_t, done_t = self._t("frontier"), self._t("done")
+        fr = fr_t.read(self.spark)
+        # one hash per evicted FRONTIER ROW (not distinct): the filter holds
+        # one fingerprint copy per inserted row, cross-session keys included
+        victims = (fr.join(evict, ["session_id", "url"], "left_semi")
+                   .select("url_hash").toPandas()["url_hash"]
+                   .dropna().to_numpy(dtype="int64"))
+        n_evicted = int(len(victims))
+        if n_evicted:
+            fr_t.overwrite_compacted(fr.join(evict, ["session_id", "url"], "left_anti"))
+            done = done_t.read(self.spark)
+            if done is not None:
+                done_t.overwrite_compacted(
+                    done.join(evict, ["session_id", "url"], "left_anti"))
+            if self.cuckoo is not None:
+                self.cuckoo.delete_many(victims)
+            self._checkpoint(last_rnd)
+        evict.unpersist()
+        return {"evicted": n_evicted, "round": last_rnd}
+
+    def reinject_for_recrawl(self, urls: DataFrame,
+                             allow_stale_filter: bool = False) -> dict:
+        """Recrawl due URLs NOW: forget them (evict_for_recrawl) and
+        re-inject each as a fresh frontier row at the current round —
+        seed-shaped (depth 0, priority 1.0), so the next run() round
+        schedules them under the normal politeness budget and their fetch
+        appends a SECOND pages row with the new round. This is the acting
+        half of the Cho & Garcia-Molina freshness loop: feed it the due
+        set q_recrawl_lambda computes. The cuckoo filter's occupancy stays
+        exactly the live frontier keys (delete + re-add); on a bloom the
+        re-add is an idempotent no-op over the ghost fingerprint."""
+        res = self.evict_for_recrawl(urls=urls, allow_stale_filter=allow_stale_filter)
+        rnd = res["round"]
+        cfg = self.cfg
+        rows = urls.select("session_id", "url").distinct().select(
+            "session_id", "url",
+            U.url_hash(F.col("url")).alias("url_hash"),
+            U.url_host(F.col("url")).alias("host"),
+            U.host_bucket(U.url_host(F.col("url")), cfg.n_host_buckets).alias("host_bucket"),
+            F.lit(0).alias("depth"),
+            F.lit(1.0).alias("priority"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(rnd).alias("discovered_round"),
+            self._discovered_at(F.lit(rnd)).alias("discovered_at"))
+        fsnap, n = self._t("frontier").append_counted(
+            rows.select(*self._frontier_row_cols()), skip_empty=True)
+        if n > 0 and cfg.use_bloom:
+            if self.cuckoo is not None:
+                self.cuckoo.add_many(self._t("frontier").read_column_local(fsnap, "url_hash"))
+            elif self.bloom_shards is not None:
+                self.bloom_shards.update(
+                    self._t("frontier").read_snapshot(self.spark, fsnap)
+                        .select("url_hash", self._bloom_shard_col()),
+                    "url_hash", "__shard", version=rnd)
+            elif self.bloom is not None:
+                self.bloom.add_many(self._t("frontier").read_column_local(fsnap, "url_hash"))
+        self._checkpoint(rnd)
+        return {**res, "reinjected": int(n)}

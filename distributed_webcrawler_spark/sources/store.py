@@ -74,6 +74,15 @@ class Table:
             json.dump({"snapshots": snapshots, "rows": rows or {}}, f)
         os.replace(tmp, self._manifest_path)  # atomic commit point
 
+    @staticmethod
+    def _next_snap_name(snaps: list[str]) -> str:
+        """Monotonic dir name: max(existing)+1, NOT len+1 — after a
+        compaction (overwrite_compacted) the manifest shrinks to one entry
+        while higher-numbered dirs were already used; len+1 would collide
+        with the compacted snapshot itself."""
+        nxt = 1 + max((int(s.split("-")[1]) for s in snaps), default=0)
+        return f"snap-{nxt:08d}"
+
     # -- write -------------------------------------------------------------
     def append(self, df: DataFrame) -> int:
         """Append df as a new snapshot; returns the new snapshot id
@@ -92,7 +101,7 @@ class Table:
         returns the UNCHANGED snapshot id with 0."""
         m = self._read_full_manifest()
         snaps, rows = m["snapshots"], m["rows"]
-        snap_name = f"snap-{len(snaps) + 1:08d}"
+        snap_name = self._next_snap_name(snaps)
         out = os.path.join(self.path, snap_name)
         df.write.mode("errorifexists").parquet(out)
         n = _parquet_num_rows(out)
@@ -113,7 +122,7 @@ class Table:
 
         m = self._read_full_manifest()
         snaps, rows = m["snapshots"], m["rows"]
-        snap_name = f"snap-{len(snaps) + 1:08d}"
+        snap_name = self._next_snap_name(snaps)
         out = os.path.join(self.path, snap_name)
         os.makedirs(out)
         cols = {f.name: [r[f.name] for r in rows_data] for f in schema}
@@ -122,6 +131,28 @@ class Table:
         rows[snap_name] = len(rows_data)
         self._write_manifest(snaps + [snap_name], rows)
         return len(snaps) + 1
+
+    def overwrite_compacted(self, df: DataFrame) -> int:
+        """Replace the table's whole content with ``df`` as ONE snapshot —
+        the copy-on-write DELETE/REWRITE an Iceberg `DELETE FROM` performs
+        (new data files, one new manifest, old files unreferenced then
+        removed). Used by recrawl eviction, which must FORGET keys from
+        append-only tables; rare (once per TTL epoch), so the full rewrite
+        is acceptable even at scale — on real Iceberg the same call site
+        becomes a metadata-level positional delete. The caller must write
+        a fresh engine checkpoint right after: older checkpoints' snapshot
+        ids refer to pre-compaction positions. Returns the new snapshot id
+        (always 1)."""
+        m = self._read_full_manifest()
+        old = m["snapshots"]
+        snap_name = self._next_snap_name(old)
+        out = os.path.join(self.path, snap_name)
+        df.write.mode("errorifexists").parquet(out)
+        n = _parquet_num_rows(out)
+        self._write_manifest([snap_name], {snap_name: n})  # atomic swap
+        for s in old:
+            shutil.rmtree(os.path.join(self.path, s), ignore_errors=True)
+        return 1
 
     def read_column_local(self, snapshot_id: int, column: str):
         """Read ONE column of ONE snapshot driver-side via pyarrow (no

@@ -389,3 +389,122 @@ def test_adaptive_budget_throttles_failing_host(spark, warehouse):
     assert sum(ok.values()) == 12 and set(ok) == {1, 2}
     # the throttled host still drains every URL eventually
     assert sum(flaky.values()) == 12
+
+
+def test_cuckoo_seen_filter_engine_equivalence(spark, fixture_dir, tmp_path):
+    """seen_filter="cuckoo" must change NOTHING about crawl output vs the
+    exact no-filter path — same prefilter-only contract as the bloom
+    (SURVEY.md §7b), different lifecycle (deletable)."""
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+
+    def run(wh, **kw):
+        cfg = CrawlConfig(max_depth=2, budget_per_host_per_round=4,
+                          max_rounds=3, respect_robots=False, **kw)
+        store = SnapshotStore(str(wh))
+        eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+        eng.start_session(seeds)
+        eng.run()
+        return store, eng
+
+    st_exact, _ = run(tmp_path / "wh-exact", use_bloom=False)
+    st_ck, eng = run(tmp_path / "wh-ck", use_bloom=True, seen_filter="cuckoo",
+                     bloom_expected_insertions=10_000)
+    assert eng.cuckoo is not None and eng.bloom is None and eng.bloom_shards is None
+    assert eng.cuckoo.occupancy == st_ck.table("frontier").total_rows()
+
+    def rows(store, table):
+        df = store.table(table).read(spark)
+        cols = [c for c in df.columns if c != "partition_id"]
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(st_exact, "frontier") == rows(st_ck, "frontier")
+    assert rows(st_exact, "pages") == rows(st_ck, "pages")
+
+
+def test_recrawl_eviction_and_reinject_cuckoo(spark, fixture_dir, warehouse):
+    """The TTL recrawl loop seen_filter="cuckoo" exists for: evict a
+    fetched URL (forgotten from frontier/done AND the filter — occupancy
+    drops, which a bloom cannot do), re-inject it, and the next run()
+    round re-fetches it, appending a second pages row at the new round."""
+    import numpy as np
+
+    from distributed_webcrawler_spark.functions.urls import url_hash as _uh
+
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+    cfg = CrawlConfig(max_depth=2, budget_per_host_per_round=4, max_rounds=12,
+                      respect_robots=False, use_bloom=True, seen_filter="cuckoo",
+                      bloom_expected_insertions=10_000)
+    store = SnapshotStore(warehouse)
+    eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+    eng.start_session(seeds)
+    hist = eng.run()
+    drained_round = hist[-1]["round"]
+    assert drained_round < 12, "fixture crawl should drain before max_rounds"
+
+    target = (store.table("pages").read(spark)
+              .where(F.col("status_code") == 200)
+              .select("session_id", "url").orderBy("url").limit(1)).cache()
+    (t_sess, t_url), = target.collect()
+    t_hash = int(target.select(_uh(F.col("url")).alias("h")).first()["h"])
+    occ_before = eng.cuckoo.occupancy
+    assert bool(eng.cuckoo.might_contain_many(np.array([t_hash]))[0])
+
+    res = eng.evict_for_recrawl(urls=target)
+    assert res["evicted"] == 1
+    assert eng.cuckoo.occupancy == occ_before - 1
+    # forgotten everywhere: frontier, done, filter (fpp-level residual ok)
+    fr = store.table("frontier").read(spark)
+    assert fr.where((F.col("session_id") == t_sess) & (F.col("url") == t_url)).count() == 0
+    done = store.table("done").read(spark)
+    assert done.where((F.col("session_id") == t_sess) & (F.col("url") == t_url)).count() == 0
+
+    res2 = eng.reinject_for_recrawl(target)
+    assert res2["reinjected"] == 1 and res2["evicted"] == 0  # already forgotten
+    assert eng.cuckoo.occupancy == occ_before
+    hist2 = eng.run()
+    assert hist2 and hist2[0]["round"] == drained_round + 1
+    refetched = (store.table("pages").read(spark)
+                 .where((F.col("session_id") == t_sess) & (F.col("url") == t_url))
+                 .select("round", "status_code").orderBy("round").collect())
+    assert [r.status_code for r in refetched] == [200, 200]
+    assert refetched[1].round == drained_round + 1
+    target.unpersist()
+
+
+def test_recrawl_eviction_requires_cuckoo_on_bloom(spark, fixture_dir, warehouse):
+    """bloom mode cannot delete fingerprints: evict_for_recrawl refuses by
+    default (the filter would only accumulate ghosts), and with
+    allow_stale_filter=True proceeds with the documented degradation —
+    tables forget the key but might_contain stays True."""
+    import numpy as np
+    import pytest as _pytest
+
+    from distributed_webcrawler_spark.functions.urls import url_hash as _uh
+
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+    cfg = CrawlConfig(max_depth=1, budget_per_host_per_round=4, max_rounds=3,
+                      respect_robots=False, use_bloom=True,
+                      bloom_expected_insertions=10_000)
+    store = SnapshotStore(warehouse)
+    eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+    eng.start_session(seeds)
+    eng.run()
+    target = (store.table("pages").read(spark)
+              .where(F.col("status_code") == 200)
+              .select("session_id", "url").orderBy("url").limit(1)).cache()
+    with _pytest.raises(RuntimeError, match="cannot delete"):
+        eng.evict_for_recrawl(urls=target)
+    t_hash = int(target.select(_uh(F.col("url")).alias("h")).first()["h"])
+    res = eng.evict_for_recrawl(urls=target, allow_stale_filter=True)
+    assert res["evicted"] == 1
+    (t_sess, t_url), = target.collect()
+    fr = store.table("frontier").read(spark)
+    assert fr.where((F.col("session_id") == t_sess) & (F.col("url") == t_url)).count() == 0
+    assert bool(eng.bloom.might_contain_many(np.array([t_hash]))[0])  # the ghost
+    target.unpersist()
