@@ -202,7 +202,6 @@ class CrawlEngine:
             raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {config.seen_filter!r}")
         if config.seen_filter == "cuckoo" and config.bloom_shards > 1:
             raise ValueError("seen_filter='cuckoo' is single-filter mode; bloom_shards must be 1")
-        self._robots_http_cache: dict = {}  # host -> (allow, disallow); http mode
         self._round_caches: list = []
         self.last_stage_secs: dict[str, float] = {}
         self._pool = None  # lazy persistent pool for the round's side branches
@@ -556,28 +555,43 @@ class CrawlEngine:
 
     def _gate_robots_http(self, sched: DataFrame) -> DataFrame:
         """Live robots (S6, BasicCrawler.java:203-217): fetch robots.txt for
-        hosts not yet cached — a mapInPandas over the round's DISTINCT hosts
+        hosts not yet known — a mapInPandas over the round's DISTINCT hosts
         (dimension-sized, never the frontier), 5s timeout, any error ->
-        allow-all. Parsed (allow, disallow) rules are cached across rounds
-        (the reference caches per-worker, BasicCrawler.java:41, 189-195);
-        the per-round gate is the same broadcast join as table mode."""
+        allow-all. Parsed (allow, disallow) rules persist in the
+        `robots_http` store table (one row per host, empty lists = fetched-
+        and-allow-all), so across-round caching is durable table state, not
+        an unbounded driver dict: at 10^8 hosts the driver holds NOTHING —
+        unknown hosts come from an anti-join of the round's host dimension
+        against the table, and the gate joins the table's rules SEMI-JOINED
+        down to this round's hosts (dimension-sized) broadcast-side, the
+        same plan as table mode. The reference caches per-worker in memory
+        (BasicCrawler.java:41, 189-195); a table is that cache made shared,
+        bounded, and checkpoint/resume-consistent."""
         from ..functions.robots_fn import parse_robots
         from ..sources.httpfetch import fetch_robots_fn
 
-        hosts = [r.host for r in sched.select("host").distinct().collect()]
-        new = [h for h in hosts if h not in self._robots_http_cache]
-        if new:
-            hosts_df = self.spark.createDataFrame([(h,) for h in new], "host string")
-            fetched = hosts_df.mapInPandas(
-                fetch_robots_fn(self.cfg.http_rewrite_base),
-                "host string, robots_txt string").collect()
-            for r in fetched:
-                self._robots_http_cache[r.host] = parse_robots(r.robots_txt)
-        rules = [(h, a, d) for h, (a, d) in self._robots_http_cache.items() if a or d]
-        if not rules:
-            return sched.withColumn("robots_allowed", F.lit(True))
-        rules_df = self.spark.createDataFrame(
-            rules, "host string, allow array<string>, disallow array<string>")
+        tbl = self._t("robots_http")
+        round_hosts = sched.select("host").distinct()
+        known = tbl.read(self.spark)
+        unknown = (round_hosts if known is None else
+                   round_hosts.join(known.select("host").hint("shuffle_hash"),
+                                    "host", "left_anti"))
+        fetched = unknown.mapInPandas(
+            fetch_robots_fn(self.cfg.http_rewrite_base),
+            "host string, robots_txt string").collect()
+        if fetched:
+            import pyarrow as pa
+
+            parsed = [{"host": r.host, **dict(zip(("allow", "disallow"),
+                                                  parse_robots(r.robots_txt)))}
+                      for r in fetched]
+            tbl.append_rows(parsed, pa.schema([
+                pa.field("host", pa.string()),
+                pa.field("allow", pa.list_(pa.string())),
+                pa.field("disallow", pa.list_(pa.string()))]))
+            known = tbl.read(self.spark)
+        rules_df = (known.where((F.size("allow") > 0) | (F.size("disallow") > 0))
+                    .join(F.broadcast(round_hosts), "host", "left_semi"))
         return gate_by_robots(sched, rules_df, U.url_path(F.col("url")))
 
     def _fetch(self, allowed: DataFrame) -> DataFrame:
@@ -1031,7 +1045,8 @@ class CrawlEngine:
     def _checkpoint(self, rnd: int) -> None:
         tables = {n: self._t(n).snapshot_id()
                   for n in ("frontier", "progress", "pages", "metrics",
-                            "done", "retry_log", "sessions", "host_stats")}
+                            "done", "retry_log", "sessions", "host_stats",
+                            "robots_http")}
         bloom_file = None
         if self.bloom is not None:
             bloom_file = f"bloom-r{rnd:05d}.bin"

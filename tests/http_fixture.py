@@ -26,8 +26,11 @@ class FixtureServer:
     """graph: {url: (status_code, out_links, image_id)}; robots: {host: txt}."""
 
     def __init__(self, graph: dict, robots: dict | None = None):
+        import collections
+
         self.graph = graph
         self.robots = robots or {}
+        self.robots_hits = collections.Counter()  # host -> #robots.txt GETs
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -41,6 +44,7 @@ class FixtureServer:
                 host = parts[0]
                 path = "/" + (parts[1] if len(parts) > 1 else "")
                 if path == "/robots.txt":
+                    outer.robots_hits[host] += 1
                     txt = outer.robots.get(host)
                     if txt is None:
                         self.send_error(404)

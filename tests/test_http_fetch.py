@@ -106,3 +106,35 @@ def test_robots_fetch_error_allows_all(spark, fixture_dir, warehouse):
     # themselves also fail (status 0) since the server is down
     assert pages.where(F.col("status_code") == 403).count() == 0
     assert pages.count() > 0
+
+
+def test_robots_fetched_once_per_host_and_no_driver_state(spark, fixture_dir, tmp_path):
+    """Across-round robots caching is the durable `robots_http` table, not
+    an unbounded driver dict (round-2 verdict #4): a multi-round live
+    crawl GETs each host's robots.txt EXACTLY once (the table anti-join
+    makes every later round skip it), the engine object holds no per-host
+    robots attribute, and the table carries one row per fetched host —
+    including allow-all hosts (empty rule lists), which is what prevents
+    refetching them."""
+    graph = graph_from_parquet(spark, fixture_dir)
+    robots = robots_from_parquet(spark, fixture_dir)
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+    store = SnapshotStore(str(tmp_path / "wh"))
+    with FixtureServer(graph, robots) as srv:
+        cfg = CrawlConfig(max_depth=2, budget_per_host_per_round=2, max_rounds=4,
+                          use_bloom=False, respect_robots=True,
+                          fetch_mode="http", http_rewrite_base=srv.base)
+        eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+        eng.start_session(seeds)
+        hist = eng.run()
+        hits = dict(srv.robots_hits)
+    assert len(hist) >= 3, "want a multi-round crawl"
+    assert hits and all(n == 1 for n in hits.values()), hits
+    assert not any("robots" in a and isinstance(getattr(eng, a), dict) and a != "__dict__"
+                   for a in vars(eng) if a.startswith("_robots")), "driver robots dict is back"
+    tbl = store.table("robots_http").read(spark)
+    fetched_hosts = {r.host for r in tbl.select("host").collect()}
+    assert fetched_hosts == set(hits)
+    assert tbl.groupBy("host").count().where("count > 1").count() == 0
