@@ -3875,6 +3875,57 @@ GROUP BY fmt
 """
 
 
+def q_image_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG wire bytes (\\x89PNG magic; the pure-stdlib encoder in
+    sources/codec.py) through the SAME Arrow-batched decode stage the
+    engine uses: per-image dims, channel means, and phash must equal the
+    values computed straight from the pre-encode pixels. Gates that (a)
+    the real-format round-trip is lossless and (b) the pipeline is
+    wire-format-agnostic — decode_image dispatches on magic, so real and
+    DWS1 payloads mix in one corpus (input_hint's real-format column).
+    Scale shape is the standard decode plan: pixels never leave the
+    mapInPandas task; only the 16-byte stat rows shuffle."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import decode_stats
+    from distributed_webcrawler_spark.sources import codec
+
+    pdf = pd.DataFrame(
+        [(iid, codec.encode_png(codec.synth_pixels(iid, w, h)))
+         for iid, w, h, _fmt in _mm_specs()],
+        columns=["image_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    st = decode_stats(payloads).where(F.col("ok"))
+    return (st.select("image_id", "fmt",
+                      F.col("w").cast("int").alias("w"),
+                      F.col("h").cast("int").alias("h"),
+                      "mean_r", "mean_g", "mean_b", "phash")
+            .orderBy("image_id"))
+
+
+def _real_png_sql() -> str:
+    from distributed_webcrawler_spark.sources import codec
+
+    rows = []
+    for iid, w, h, _fmt in _mm_specs():
+        px = codec.synth_pixels(iid, w, h)
+        m = px.astype("float64").mean(axis=(0, 1))
+        rows.append(f"('{iid}', 'png', {w}, {h}, "
+                    f"cast({round(float(m[0]), 4)!r} as double), "
+                    f"cast({round(float(m[1]), 4)!r} as double), "
+                    f"cast({round(float(m[2]), 4)!r} as double), "
+                    f"{codec.phash64(px)})")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT image_id, fmt, cast(w as int) AS w, cast(h as int) AS h,
+       mean_r, mean_g, mean_b, cast(phash as bigint) AS phash
+FROM (VALUES
+{vals}
+) AS t(image_id, fmt, w, h, mean_r, mean_g, mean_b, phash)
+ORDER BY image_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Context-window chunking, URL tracking-param canonicalization, aspect-ratio
 # batch bucketing — the remaining pre-training data-prep steps between
@@ -7391,6 +7442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_circuit_breaker": q_host_circuit_breaker,
         "warc_record_parse": q_warc_record_parse,
         "image_size_stats": q_image_size_stats,
+        "image_real_png_decode": q_image_real_png_decode,
         "doc_chunk": q_doc_chunk,
         "url_param_strip": q_url_param_strip,
         "aspect_bucket_pack": q_aspect_bucket_pack,
@@ -7559,6 +7611,7 @@ def oracle_sql() -> dict[str, str]:
         "host_circuit_breaker": _Q_CIRCUIT_SQL,
         "warc_record_parse": _Q_WARC_SQL,
         "image_size_stats": _img_stats_sql(),
+        "image_real_png_decode": _real_png_sql(),
         "doc_chunk": _Q_DOC_CHUNK_SQL,
         "url_param_strip": _Q_PARAM_STRIP_SQL,
         "aspect_bucket_pack": _Q_ASPECT_SQL,
