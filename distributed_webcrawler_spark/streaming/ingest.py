@@ -283,3 +283,89 @@ def image_decode_stream(spark: SparkSession, payload_dir: str) -> DataFrame:
            ]))
            .parquet(payload_dir))
     return decode_stats(raw)
+
+
+_DEDUP_OUT = "doc_id string, match_id string, est_sim double"
+_DEDUP_STATE = "ids array<string>, sigs array<string>"
+
+
+def minhash_dedup_stream(spark: SparkSession, doc_dir: str, *,
+                         n_hashes: int = 8, band_size: int = 2, k: int = 6,
+                         max_chars: int = 200, min_est: float = 0.5,
+                         max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming near-dup detection — the dedup twin the round-2 verdict
+    called for: every arriving doc is checked against every doc seen
+    EARLIER (prior micro-batches, or lower doc_id within the same batch)
+    that shares an LSH band bucket, which is exactly
+    operators.dedup.minhash_lsh_incremental's asymmetric batch-vs-corpus
+    semantics applied continuously (the drain test pins the two
+    row-identical).
+
+    Shape notes, because each one is what makes the stream possible:
+    - the MinHash signature is the SAME seeded-md5 string-min as the
+      batch operator, but computed as a pure per-doc projection
+      (array_min over transform of the shingle array — a min over an
+      array equals the explode+groupBy-min the batch path uses), so no
+      streaming aggregation/watermark is needed and the query stays in
+      append mode;
+    - docs too short to shingle (null mh) are dropped exactly like the
+      batch path, where they never enter the shingle table;
+    - state per (band, bucket) key is the bucket's member (id, sig)
+      lists — the same memory LSH banding pays in batch, sharded across
+      executors by bucket, never a global structure.
+    """
+    raw = spark.readStream.schema("doc_id string, text string")
+    if max_files_per_trigger is not None:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = raw.parquet(doc_dir)
+    t = f"substring(text, 1, {max_chars})"
+    sh = F.expr(f"transform(sequence(1, greatest(length({t}) - {k} + 1, 0)),"
+                f" i -> substring({t}, i, {k}))")
+    # shingle array materialized ONCE, then pure-SQL lambdas per component:
+    # reusing one F.expr(transform(...)) subtree under several pyspark-
+    # lambda transforms in a single projection miscompiles (lambda-variable
+    # ids collide across the shared subtree — verified empirically: 8-way
+    # select returned wrong mins while each column alone was correct)
+    mh = [F.expr(f"array_min(transform(shingles, v -> md5(concat('{s}:', v))))")
+          .alias(f"mh_{s}") for s in range(n_hashes)]
+    sig = (raw.withColumn("shingles", sh)
+           .select("doc_id", *mh).where(F.col("mh_0").isNotNull()))
+    n_bands = n_hashes // band_size
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh_{bi * band_size + j}")
+                               for j in range(band_size)]).alias("bucket"))
+        for bi in range(n_bands)])
+    rows = (sig.withColumn("sig", F.concat_ws(";", *[F.col(f"mh_{i}")
+                                                     for i in range(n_hashes)]))
+            .select("doc_id", "sig", F.explode(band_arr).alias("bb"))
+            .select(F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket"), "doc_id", "sig"))
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def dedup(key, pdfs, state: GroupState):
+        ids, sigs = ((list(state.get[0]), list(state.get[1]))
+                     if state.exists else ([], []))
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")  # deterministic within-batch order
+            for did, s in zip(pdf["doc_id"], pdf["sig"]):
+                parts = s.split(";")
+                for mid, ms in zip(ids, sigs):
+                    if mid == did:
+                        continue
+                    est = sum(a == b for a, b in zip(parts, ms.split(";"))) \
+                        / float(len(parts))
+                    if est >= min_est:
+                        out.append((did, mid, round(est, 6)))
+                ids.append(did)
+                sigs.append(s)
+        state.update((ids, sigs))
+        yield pd.DataFrame(out, columns=["doc_id", "match_id", "est_sim"])
+
+    return rows.groupBy("band", "bucket").applyInPandasWithState(
+        dedup, outputStructType=_DEDUP_OUT, stateStructType=_DEDUP_STATE,
+        outputMode="append", timeoutConf="NoTimeout")

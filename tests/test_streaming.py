@@ -254,3 +254,63 @@ def test_hll_windowed_stream_matches_batch_per_window(spark, tmpdir):
         want = {(r["register"], r["max_rho"])
                 for r in hll_registers(sub, "url", p=8).collect()}
         assert regs == want, hour
+
+
+def test_minhash_dedup_stream_matches_incremental_batch(spark, tmpdir):
+    """The streaming dedup twin: corpus docs arrive in micro-batch 1,
+    new docs in micro-batch 2 (maxFilesPerTrigger=1 over two parquet
+    files). The stream's batch-2-vs-batch-1 emissions, reduced to the
+    best match per new doc, must be ROW-IDENTICAL to the batch
+    minhash_lsh_incremental(batch, corpus) on the same frames — same
+    signatures, same banding, same est_sim."""
+    import os
+    import time
+
+    from distributed_webcrawler_spark.operators.dedup import minhash_lsh_incremental
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders far across the wide open field looking for food")
+    corpus_rows = [(f"c{i:02d}", f"{base} corpus variant number {i} " + "x" * i)
+                   for i in range(10)]
+    batch_rows = (
+        # near-dups of corpus docs (one-word mutations)
+        [(f"b{i:02d}", corpus_rows[i][1].replace("wide", "vast")) for i in range(4)]
+        # exact dup of a corpus doc
+        + [("b04", corpus_rows[5][1])]
+        # fresh docs that match nothing
+        + [(f"b{i:02d}", f"completely unrelated text payload {i} with its own "
+            f"distinct vocabulary and shape {i*7}") for i in range(5, 9)])
+    schema = "doc_id string, text string"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+
+    src = f"{tmpdir}/docs"
+    os.makedirs(src)
+    corpus.toPandas().to_parquet(f"{src}/f1.parquet", index=False)
+    batch.toPandas().to_parquet(f"{src}/f2.parquet", index=False)
+    now = time.time()
+    os.utime(f"{src}/f1.parquet", (now - 60, now - 60))  # batch order by mtime
+    os.utime(f"{src}/f2.parquet", (now, now))
+
+    out, ckpt = f"{tmpdir}/pairs", f"{tmpdir}/ckpt-dedup"
+    I.run_to_completion(
+        I.minhash_dedup_stream(spark, src, max_files_per_trigger=1), out, ckpt)
+
+    got_raw = spark.read.parquet(out).collect()
+    corpus_ids = {r[0] for r in corpus_rows}
+    # multi-band candidates emit once per shared band -> distinct; then
+    # best match per new doc (max est_sim, ties to min match_id), exactly
+    # the batch operator's reduction
+    cross = {(r.doc_id, r.match_id, r.est_sim) for r in got_raw
+             if r.doc_id.startswith("b") and r.match_id in corpus_ids}
+    best: dict = {}
+    for did, mid, est in sorted(cross, key=lambda t: (t[0], -t[2], t[1])):
+        best.setdefault(did, (mid, est))
+    got = sorted((d, m, e) for d, (m, e) in best.items())
+    want = sorted(tuple(r) for r in minhash_lsh_incremental(batch, corpus).collect())
+    assert got == want and len(want) >= 5, (got, want)
+    # the exact dup is found at est_sim 1.0 (best-match ties go to the
+    # lexicographically smallest corpus id, same as the batch reduction)
+    assert any(d == "b04" and e == 1.0 for d, _m, e in got)
+    # fresh docs match nothing
+    assert not {d for d, _, _ in got} & {f"b{i:02d}" for i in range(5, 9)}
