@@ -30,11 +30,48 @@ def tie_break_cols(df: DataFrame | None = None) -> list[Column]:
 def topk_per_group(df: DataFrame, group_cols: list[str], order_cols: list[Column],
                    k: int | Column, rank_col: str = "rk") -> DataFrame:
     """Keep the top-k rows per group under a total order. The rank column is
-    retained (callers use it as the deterministic in-round sequence)."""
+    retained (callers use it as the deterministic in-round sequence).
+
+    Skew note: with a LITERAL k, Catalyst's InferWindowGroupLimit (Spark
+    3.5+) rewrites this into a map-side partial top-k per group BEFORE the
+    exchange plus a final pass after — so at most k rows per (group, input
+    partition) ever shuffle and a Zipf-hot group cannot pile its whole
+    pending set into one window task. That makes the plain window both the
+    least-shuffle AND the skew-safe plan; measured on a 50%-hot-host
+    80M-row frontier it beats the two-phase salted rank by ~1.5x
+    (tools/bench_skew.py; BENCH.md "Skewed-host salted window"). A COLUMN
+    k disables the rewrite — use :func:`topk_per_group_budget`, which
+    smuggles a literal bound back in."""
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     ranked = df.withColumn(rank_col, F.row_number().over(w))
     k_expr = F.lit(k) if isinstance(k, int) else k
     return ranked.where(F.col(rank_col) <= k_expr)
+
+
+def topk_per_group_budget(df: DataFrame, group_cols: list[str],
+                          order_cols: list[Column], budgets: DataFrame,
+                          key_col: str, k_default: int, max_budget: int,
+                          rank_col: str = "rk") -> DataFrame:
+    """Variable per-group caps (``key_col`` -> ``budget`` in the tiny
+    broadcast ``budgets`` table, ``k_default`` fallback) in ONE window,
+    WindowGroupLimit-shaped: the filter is the conjunction
+    ``rank <= max_budget AND rank <= budget`` where ``max_budget`` is a
+    LITERAL upper bound over all budgets (callers compute it from the
+    budgets table — one tiny agg over a per-host dimension). Catalyst
+    extracts the literal conjunct into a map-side partial top-max_budget
+    per group (verified: 2 WindowGroupLimit nodes in the executed plan),
+    so the hot-host partition receives at most max_budget rows per input
+    partition; the column conjunct then applies the exact per-key cap.
+    Replaces :func:`topk_per_group_budget_salted`'s second window+exchange
+    with zero extra passes. Budgets MUST be unique per key (same contract
+    as the salted variant)."""
+    joined = df.join(F.broadcast(budgets), key_col, "left").withColumn(
+        "__b", F.coalesce(F.col("budget"), F.lit(k_default))).drop("budget")
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    ranked = joined.withColumn(rank_col, F.row_number().over(w))
+    return (ranked.where((F.col(rank_col) <= F.lit(max_budget))
+                         & (F.col(rank_col) <= F.col("__b")))
+            .drop("__b"))
 
 
 def global_topk(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:

@@ -214,3 +214,35 @@ def test_round2c_queries_no_cartesian_or_nl(spark):
     # scalar-broadcast pattern, constant cost at any scale
     plan = _plan(E.queries()["crawl_makespan"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_schedule_rank_is_window_group_limit(spark):
+    """The engine's per-host rank must plan with Catalyst's
+    InferWindowGroupLimit rewrite — TWO WindowGroupLimit nodes (map-side
+    Partial before the exchange, Final after): that partial top-k IS the
+    skew handling (a hot host ships <= k rows per input partition), and
+    it's why the schedule no longer pays the two-phase salted rank
+    (tools/bench_skew.py: plain beats salted 1.5x on a 50%-hot-host
+    frontier). Guards against a regression to a column-only rank filter,
+    which silently disables the rewrite."""
+    from pyspark.sql import functions as F
+
+    from distributed_webcrawler_spark.operators.topk import (
+        tie_break_cols,
+        topk_per_group,
+        topk_per_group_budget,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("h"), F.pmod(F.col("id"), 7).cast("string")).alias("host"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 10 / 10.0).alias("priority"),
+        F.timestamp_seconds(F.col("id") % 5).alias("discovered_at"))
+    budgets = spark.createDataFrame([("h1", 3)], "host string, budget int")
+    order = tie_break_cols()
+    for q in (topk_per_group(df, ["host"], order, 4),
+              topk_per_group_budget(df, ["host"], order, budgets, "host", 4,
+                                    max_budget=4)):
+        q.count()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("WindowGroupLimit") == 2, plan[:800]

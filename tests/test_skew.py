@@ -42,3 +42,65 @@ def test_salted_join_matches_plain_join(spark):
     salted = salted_join(left, right, "host", hot, n_salts=8, salt_source="url") \
         .select("url", "rules")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_budget_salted_topk_exact_on_pathological_host(spark):
+    """The Gini≈1 case q_frontier_gini detects: ONE host holds 50% of the
+    frontier. topk_per_group_budget_salted (variable per-host caps) must
+    be permutation-identical to the unsalted variable-cap rank — same
+    (host, url, rk) set — under that skew, including budget fallbacks."""
+    from distributed_webcrawler_spark.operators.topk import topk_per_group_budget_salted
+
+    df = spark.range(0, 40_000).select(
+        F.when(F.col("id") % 2 == 0, "hot.example.com").otherwise(
+            F.concat(F.lit("h"), (F.col("id") % 97).cast("string"))).alias("host"),
+        F.concat(F.lit("https://h/p/"), F.col("id").cast("string")).alias("url"),
+        (F.pmod(F.col("id") * 37, 1000) / 1000.0).alias("priority"),
+        F.timestamp_seconds(F.col("id") % 7).alias("discovered_at"),
+    )
+    budgets = spark.createDataFrame(
+        [("hot.example.com", 40), ("h1", 3), ("h2", 1)], "host string, budget int")
+    order = tie_break_cols()
+    got = topk_per_group_budget_salted(
+        df, ["host"], order, budgets, "host", k_default=5, n_salts=8)
+    # unsalted reference: plain window with the same variable cap
+    from pyspark.sql import Window
+
+    joined = (df.join(F.broadcast(budgets), "host", "left")
+              .withColumn("__b", F.coalesce(F.col("budget"), F.lit(5))))
+    w = Window.partitionBy("host").orderBy(*order)
+    want = (joined.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= F.col("__b")).select("host", "url", "rk"))
+    g = sorted(tuple(r) for r in got.select("host", "url", "rk").collect())
+    e = sorted(tuple(r) for r in want.collect())
+    assert g == e and len(g) > 0
+    # the hot host actually hit its larger budget
+    assert sum(1 for h, _, _ in g if h == "hot.example.com") == 40
+
+
+def test_budget_grouplimit_variant_matches_salted(spark):
+    """topk_per_group_budget (single window, literal max-budget conjunct
+    for the WindowGroupLimit rewrite) is permutation-identical to the
+    two-phase salted variant on the pathological 50%-hot-host frame."""
+    from distributed_webcrawler_spark.operators.topk import (
+        topk_per_group_budget,
+        topk_per_group_budget_salted,
+    )
+
+    df = spark.range(0, 40_000).select(
+        F.when(F.col("id") % 2 == 0, "hot.example.com").otherwise(
+            F.concat(F.lit("h"), (F.col("id") % 97).cast("string"))).alias("host"),
+        F.concat(F.lit("https://h/p/"), F.col("id").cast("string")).alias("url"),
+        (F.pmod(F.col("id") * 37, 1000) / 1000.0).alias("priority"),
+        F.timestamp_seconds(F.col("id") % 7).alias("discovered_at"),
+    )
+    budgets = spark.createDataFrame(
+        [("hot.example.com", 40), ("h1", 3), ("h2", 1)], "host string, budget int")
+    order = tie_break_cols()
+    a = topk_per_group_budget(df, ["host"], order, budgets, "host", 5,
+                              max_budget=40)
+    b = topk_per_group_budget_salted(df, ["host"], order, budgets, "host", 5,
+                                     n_salts=8)
+    ra = sorted(tuple(r) for r in a.select("host", "url", "rk").collect())
+    rb = sorted(tuple(r) for r in b.select("host", "url", "rk").collect())
+    assert ra == rb and len(ra) > 0
