@@ -1,0 +1,47 @@
+"""Dual-backend store contract: the SAME assertions run against the parquet
+SnapshotStore (always) and the Iceberg backend (when a runtime + catalog
+exist — recorded blocker in this sandbox: no iceberg jar, no network)."""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_webcrawler_spark.sources.iceberg import (
+    IcebergStore,
+    iceberg_available,
+)
+from distributed_webcrawler_spark.sources.store import SnapshotStore
+
+
+def _contract(spark, store, suffix):
+    t = store.table(f"t_{suffix}")
+    assert t.read(spark) is None
+    t.append(spark.range(0, 5))
+    t.append(spark.range(5, 9))
+    assert t.snapshot_id() == 2
+    assert t.read(spark).count() == 9
+    assert t.read(spark, as_of=1).count() == 5            # time travel
+    assert t.total_rows() == 9                            # metadata only
+    assert sorted(t.read_snapshot(spark, 2).collect()[i].id
+                  for i in range(4)) == [5, 6, 7, 8]      # incremental read
+    t.rollback(1)
+    assert t.read(spark).count() == 5
+    t.append(spark.range(100, 103))
+    assert sorted(r.id for r in t.read(spark).collect()) == \
+        [0, 1, 2, 3, 4, 100, 101, 102]
+    t.overwrite_compacted(t.read(spark).where("id >= 100"))
+    assert t.snapshot_id() == 1 and t.read(spark).count() == 3
+    t.append(spark.range(200, 202))
+    assert t.snapshot_id() == 2 and t.read(spark).count() == 5
+
+
+def test_store_contract_parquet(spark, warehouse):
+    _contract(spark, SnapshotStore(warehouse), "parquet")
+
+
+def test_store_contract_iceberg(spark, warehouse):
+    if not iceberg_available(spark):
+        pytest.skip("iceberg runtime absent in this sandbox (no jar, no "
+                    "network) — recorded blocker; this leg activates on a "
+                    "cluster with iceberg-spark-runtime + a catalog conf")
+    _contract(spark, IcebergStore(warehouse + "-ice", spark), "iceberg")
