@@ -104,8 +104,15 @@ class CrawlConfig:
     http_rewrite_base: str | None = None
     http_pool_per_task: int = 16    # concurrent GETs per Arrow batch
     n_host_buckets: int = 64        # frontier partitioning key fan-out
-    hot_host_salts: int = 8         # salting factor for skewed fetch joins
-    hot_host_threshold: int = 5000  # rows/round above which a host is salted
+    # salting factor for the LEGACY two-phase salted rank operators
+    # (operators/topk.py topk_per_group_salted / _budget_salted). The
+    # default schedule path no longer salts: Spark 3.5+'s
+    # InferWindowGroupLimit makes the plain literal-k rank map-side
+    # partial (measured 1.5-1.8x faster under a 50%-hot host,
+    # tools/bench_skew.py); these knobs matter only on engines without
+    # that rewrite.
+    hot_host_salts: int = 8
+    hot_host_threshold: int = 5000
     # fetch/payload join strategy — the regime decides the right plan:
     #   "broadcast": per-round scheduled set ≪ web graph (the production
     #       10^10-tier regime: politeness bounds the round to ~budget×hosts

@@ -24,9 +24,12 @@ with 403 and marked FAILED (BasicCrawler.java:54-69 -> markFailed), failed
 URLs never retried (URLFrontier.java:198-202).
 
 Scale design notes:
-- pending/scheduled shuffles on `host` once; the robots join is broadcast;
-  the fetch join is salted for hot hosts above config.hot_host_threshold
-  (plus AQE skew splitting as backstop),
+- pending/scheduled shuffles on `host` once, and the per-host rank ships
+  only <= budget rows per input partition into that exchange (Catalyst's
+  InferWindowGroupLimit map-side partial top-k — the skew handling, see
+  _schedule + tools/bench_skew.py); the robots join is broadcast; the
+  fetch join keys on `url` (unique per row — host skew cannot reach it)
+  with AQE skew splitting as backstop,
 - the seen anti-join is bloom-prefiltered: at fpp 0.01 ~99% of truly-new
   candidates skip the frontier-sized join entirely (J1 scale path),
 - the global `orderBy().limit()` exists ONLY behind reference_compat for
