@@ -441,8 +441,20 @@ design, not extrapolated from single-box numbers.
 
 <!--SCALING_JSON:{json.dumps(scaling)}-->
 """
-        with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-            f.write(md)
+        # preserve hand-written analysis sections appended after the
+        # machine block (allocator lottery, stage accounting, skew /
+        # endurance tables, ...): everything after the SCALING_JSON marker
+        # line of the previous BENCH.md is carried over verbatim
+        bench_path = os.path.join(REPO, "BENCH.md")
+        carry = ""
+        if os.path.exists(bench_path):
+            with open(bench_path) as f:
+                prev = f.read()
+            m = prev.find("-->", prev.find("<!--SCALING_JSON:"))
+            if m != -1:
+                carry = prev[m + len("-->"):]
+        with open(bench_path, "w") as f:
+            f.write(md + carry)
         print(json.dumps(scaling))
     finally:
         if not keep_fix:
