@@ -3875,6 +3875,232 @@ GROUP BY fmt
 """
 
 
+def q_pair_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pair dedup by UNION OF EVIDENCE — the LAION-style rule
+    that a (caption, image) training pair is a duplicate if EITHER side
+    matches: near-dup images (decode -> 64-bit phash -> banded Hamming
+    pairs) OR exact-duplicate captions (64-bit text hash equality), with
+    the two edge sets unioned into one connected-components pass so
+    clusters MERGE ACROSS MODALITIES (pair A ~ B by image, B ~ C by
+    caption => one cluster {A,B,C} — the transitive case per-modality
+    dedup misses). Keep-best by image pixel count, ties to min pair id.
+
+    Fixture: pair i carries planted-dup image pn-i (every 3rd a perturbed
+    copy, phash a few bits off) and a caption shared within every
+    4k/4k+1 pair (exact dup) — so image-only, caption-only, and merged
+    clusters all occur. Scale shape: phash pairs are a banded equi-join
+    (never all-pairs), caption edges one groupBy(h64), components
+    pointer-doubling O(log d); shuffles carry (id, 8-byte sig) rows only,
+    pixels never leave the decode stage."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.functions.hashes import h64
+    from distributed_webcrawler_spark.operators.components import (
+        component_representatives, connected_components)
+    from distributed_webcrawler_spark.operators.dedup import hamming_banded_pairs
+    from distributed_webcrawler_spark.operators.multimodal import decode_stats
+    from distributed_webcrawler_spark.sources import codec
+
+    docs = _t(spark, sf_dir, "documents")
+    payload_list = _pn_payloads()  # bases + planted perturbed copies
+    pdf = pd.DataFrame(
+        [(f"pair-{j:05d}", codec.encode_image(px, "png"))
+         for j, (_iid, px) in enumerate(payload_list)],
+        columns=["pair_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    # decode_stats emits its fixed schema (image_id, ...) whatever the
+    # input id column is named
+    st = decode_stats(payloads, id_col="pair_id").where("ok").select(
+        F.col("image_id").alias("id"), F.col("phash").alias("sig"),
+        (F.col("w").cast("bigint") * F.col("h")).alias("score")).cache()
+    img_edges = hamming_banded_pairs(st.select("id", "sig"), max_hamming=3,
+                                     n_bits=64, n_bands=4).select("id_a", "id_b")
+    # captions: pair j reuses doc (j - j%4) for j%4 in (0,1), else doc j
+    n_pairs = len(payload_list)
+    cap_src = (F.when(F.col("doc_id") % 4 < 2,
+                      F.col("doc_id") - F.col("doc_id") % 4)
+               .otherwise(F.col("doc_id")))
+    caps = (docs.where(F.col("doc_id") < n_pairs)
+            .select(F.format_string("pair-%05d", F.col("doc_id").cast("int"))
+                    .alias("id"), cap_src.alias("src_doc")))
+    cap_text = docs.select(F.col("doc_id").alias("src_doc"),
+                           F.col("text").alias("caption"))
+    ch = (caps.join(cap_text, "src_doc")
+          .select("id", h64("caption").alias("caph")))
+    grp = ch.groupBy("caph").agg(F.min("id").alias("id_a"),
+                                 F.collect_set("id").alias("members"))
+    cap_edges = (grp.select("id_a", F.explode("members").alias("id_b"))
+                 .where(F.col("id_a") != F.col("id_b")))
+    edges = img_edges.unionByName(cap_edges)
+    cc = connected_components(edges, "id_a", "id_b")
+    return component_representatives(cc, st.select("id", "score"))
+
+
+def _pair_union_sql() -> str:
+    from distributed_webcrawler_spark.functions.hashes import h64_sql
+    from distributed_webcrawler_spark.sources import codec
+
+    rows = []
+    for j, (_iid, px) in enumerate(_pn_payloads()):
+        src = j - j % 4 if j % 4 < 2 else j
+        rows.append(f"('pair-{j:05d}', {codec.phash64(px)}, "
+                    f"{px.shape[0] * px.shape[1]}, {src})")
+    vals = ",\n".join(rows)
+    return f"""
+WITH RECURSIVE sig AS (
+  SELECT pair_id, cast(phash as bigint) AS phash, cast(npx as bigint) AS npx,
+         src_doc
+  FROM (VALUES
+{vals}
+  ) AS t(pair_id, phash, npx, src_doc)
+),
+bands AS (
+  SELECT pair_id, phash, b.band, ((phash >> (b.band * 16)) & 65535) AS slice
+  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+),
+img_pairs AS (
+  SELECT DISTINCT a.pair_id AS id_a, b.pair_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.slice = b.slice
+  WHERE a.pair_id < b.pair_id
+    AND bit_count(xor(a.phash, b.phash)) <= 3
+),
+caph AS (
+  SELECT s.pair_id, {h64_sql('d.text')} AS h
+  FROM sig s JOIN documents d ON d.doc_id = s.src_doc
+),
+cap_groups AS (SELECT h, min(pair_id) AS id_a FROM caph GROUP BY h),
+cap_pairs AS (
+  SELECT g.id_a, c.pair_id AS id_b
+  FROM cap_groups g JOIN caph c ON c.h = g.h
+  WHERE g.id_a <> c.pair_id
+),
+all_pairs AS (
+  SELECT id_a, id_b FROM img_pairs UNION SELECT id_a, id_b FROM cap_pairs),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM all_pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM all_pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+scored AS (
+  SELECT cc.component, cc.id, sig.npx AS score,
+         row_number() OVER (PARTITION BY cc.component
+                            ORDER BY sig.npx DESC, cc.id ASC) AS rn,
+         count(*) OVER (PARTITION BY cc.component) AS n_members
+  FROM cc JOIN sig ON sig.pair_id = cc.id
+)
+SELECT component, id AS keep_id, score AS best_score,
+       cast(n_members as bigint) AS n_members
+FROM scored WHERE rn = 1
+"""
+
+
+_CLIP_TH = 0.28  # LAION's published CLIP-similarity keep threshold
+
+
+def q_clip_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-caption alignment filter (Schuhmann et al. '21):
+    score each (caption, image) pair by embedding cosine and keep pairs
+    >= 0.28 — the step that turned Common Crawl into LAION-400M, and the
+    core quality gate of any image+caption crawl (this graft's payload).
+
+    Pair synthesis (fixture-side, SQL-expressible so both engines build
+    the identical pair table): each vector is a caption; a partner vector
+    is the next one in its k-means label group (every 7th caption gets a
+    pseudo-random global partner instead — (id*37+11) mod N, the planted
+    MISALIGNED pair). The aligned image embedding is modeled as
+    0.75*caption + 0.25*partner (a noisy encoding of the same content);
+    its cosine vs the caption is computed ALGEBRAICALLY from three dot
+    products (|c|^2, |p|^2, c.p) so neither engine materializes the mixed
+    array — identical float ops, one terminal 6dp rounding. Misaligned
+    pairs score the plain cosine vs the unrelated partner (~0). Output:
+    one row per pair with the similarity and keep verdict, so the gate
+    checks scoring AND thresholding.
+
+    Scale shape: the OPERATOR is per-pair aggregate/zip_with math — zero
+    shuffle at any corpus size once pairs are materialized; the pairing
+    window here is fixture synthesis over the bounded label dimension,
+    not part of the production plan (a real corpus arrives as pairs)."""
+    from distributed_webcrawler_spark.functions.vectors import dot
+
+    al, be = 0.75, 0.25
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    w = Window.partitionBy("label").orderBy("vec_id")
+    cap = emb.select(
+        "vec_id", "label", "embedding",
+        F.coalesce(F.lead("vec_id").over(w),
+                   F.first("vec_id").over(w)).alias("img_match"))
+    cap = cap.withColumn(
+        "img_id",
+        F.when(F.col("vec_id") % 7 == 0,
+               (F.col("vec_id") * 37 + 11) % F.lit(n))
+        .otherwise(F.col("img_match")))
+    img = emb.select(F.col("vec_id").alias("img_id"),
+                     F.col("embedding").alias("img_emb"))
+    j = cap.join(img, "img_id")
+    nc2 = dot(F.col("embedding"), F.col("embedding"))
+    no2 = dot(F.col("img_emb"), F.col("img_emb"))
+    d = dot(F.col("embedding"), F.col("img_emb"))
+    mixed = ((F.lit(al) * nc2 + F.lit(be) * d)
+             / (F.sqrt(nc2) * F.sqrt(F.lit(al * al) * nc2
+                                     + F.lit(2 * al * be) * d
+                                     + F.lit(be * be) * no2)))
+    plain = d / (F.sqrt(nc2) * F.sqrt(no2))
+    matched = F.col("vec_id") % 7 != 0
+    return (j.select(F.col("vec_id").alias("pair_id"),
+                     F.col("img_id").cast("long").alias("img_id"),
+                     matched.alias("matched"),
+                     F.round(F.when(matched, mixed).otherwise(plain), 6).alias("sim"))
+            .withColumn("kept", F.col("sim") >= _CLIP_TH)
+            .orderBy("pair_id"))
+
+
+_Q_CLIP_PAIR_SQL = f"""
+WITH cap AS (
+  SELECT vec_id, label, embedding,
+         coalesce(lead(vec_id) OVER w, first_value(vec_id) OVER w) AS img_match
+  FROM embeddings
+  WINDOW w AS (PARTITION BY label ORDER BY vec_id)
+), p AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id % 7 = 0
+              THEN (vec_id * 37 + 11) % (SELECT count(*) FROM embeddings)
+              ELSE img_match END AS img_id
+  FROM cap),
+s AS (
+  SELECT p.vec_id AS pair_id, cast(p.img_id as bigint) AS img_id,
+         p.vec_id % 7 <> 0 AS matched,
+         list_dot_product(cast(p.embedding as double[]),
+                          cast(p.embedding as double[])) AS nc2,
+         list_dot_product(cast(i.embedding as double[]),
+                          cast(i.embedding as double[])) AS no2,
+         list_dot_product(cast(p.embedding as double[]),
+                          cast(i.embedding as double[])) AS d
+  FROM p JOIN embeddings i ON i.vec_id = p.img_id)
+SELECT pair_id, img_id, matched,
+       round(CASE WHEN matched
+             THEN (0.75::DOUBLE * nc2 + 0.25::DOUBLE * d)
+                  / (sqrt(nc2) * sqrt(0.5625::DOUBLE * nc2
+                                      + 0.375::DOUBLE * d
+                                      + 0.0625::DOUBLE * no2))
+             ELSE d / (sqrt(nc2) * sqrt(no2)) END, 6) AS sim,
+       round(CASE WHEN matched
+             THEN (0.75::DOUBLE * nc2 + 0.25::DOUBLE * d)
+                  / (sqrt(nc2) * sqrt(0.5625::DOUBLE * nc2
+                                      + 0.375::DOUBLE * d
+                                      + 0.0625::DOUBLE * no2))
+             ELSE d / (sqrt(nc2) * sqrt(no2)) END, 6) >= {_CLIP_TH} AS kept
+FROM s
+ORDER BY pair_id
+"""
+
+
 def q_image_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG wire bytes (\\x89PNG magic; the pure-stdlib encoder in
     sources/codec.py) through the SAME Arrow-batched decode stage the
@@ -5532,6 +5758,61 @@ SELECT source, cast(n as bigint) AS n_pages, cast(x as bigint) AS n_changed,
        round(-ln(1.0 - x * 1.0 / n), 6) AS lambda_hat,
        round(1.0 / (-ln(1.0 - x * 1.0 / n)), 6) AS revisit_interval
 FROM per
+"""
+
+
+def q_recrawl_due_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acting half of the Cho & Garcia-Molina freshness loop: from
+    the per-source λ̂ that q_recrawl_lambda estimates, select which pages
+    are DUE for recrawl now — age (rounds since last fetch, synthesized
+    doc_id % 17) at or past the source's optimal revisit interval 1/λ̂ —
+    and rank them by freshness debt λ̂·age. This is exactly the input the
+    engine's reinject_for_recrawl(urls) consumes after the cuckoo
+    seen-set eviction makes re-entry possible (plans/engine.py).
+
+    Cross-engine determinism: λ̂ is one ln over exact integer ratios, so
+    both engines produce the identical double; the due comparison uses
+    those unrounded doubles; only the reported columns round (6dp).
+    Scale: the λ table is a per-source dimension (broadcast); the due
+    filter is a per-row comparison — one broadcast join, zero extra
+    shuffle over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    both = (docs.where((d % 10 != 0) & (d % 7 != 0))
+            .select("doc_id", "source", (d % 3 == 0).alias("changed")))
+    per = (both.groupBy("source")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("changed").cast("int")).alias("x")))
+    lam = -F.log(F.lit(1.0) - F.col("x") / F.col("n"))
+    rates = per.select("source", lam.alias("lam"),
+                       (F.lit(1.0) / lam).alias("revisit"))
+    aged = both.select("doc_id", "source", (d % 17).cast("double").alias("age"))
+    j = aged.join(F.broadcast(rates), "source")
+    return (j.where(F.col("age") >= F.col("revisit"))
+            .select("doc_id", "source",
+                    F.col("age").cast("int").alias("age_rounds"),
+                    F.round(F.col("lam") * F.col("age"), 6).alias("freshness_debt"))
+            .orderBy(F.col("freshness_debt").desc(), F.col("doc_id").asc()))
+
+
+_Q_RECRAWL_DUE_SQL = """
+WITH both_ AS (
+  SELECT doc_id, source, (doc_id % 3 = 0) AS changed
+  FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0),
+per AS (
+  SELECT source, count(*) AS n, sum(CASE WHEN changed THEN 1 ELSE 0 END) AS x
+  FROM both_ GROUP BY source),
+rates AS (
+  SELECT source, -ln(1.0 - x * 1.0 / n) AS lam,
+         1.0 / (-ln(1.0 - x * 1.0 / n)) AS revisit
+  FROM per),
+aged AS (
+  SELECT doc_id, source, cast(doc_id % 17 as double) AS age FROM both_)
+SELECT a.doc_id, a.source, cast(a.age as int) AS age_rounds,
+       round(r.lam * a.age, 6) AS freshness_debt
+FROM aged a JOIN rates r USING (source)
+WHERE a.age >= r.revisit
+ORDER BY freshness_debt DESC, doc_id ASC
 """
 
 
@@ -7371,6 +7652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_savings_report": q_dedup_savings_report,
         "tokenizer_oov_rate": q_tokenizer_oov_rate,
         "recrawl_lambda": q_recrawl_lambda,
+        "recrawl_due_set": q_recrawl_due_set,
         "embedding_norm_hist": q_embedding_norm_hist,
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "graph_mixing_stats": q_graph_mixing_stats,
@@ -7443,6 +7725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_record_parse": q_warc_record_parse,
         "image_size_stats": q_image_size_stats,
         "image_real_png_decode": q_image_real_png_decode,
+        "clip_pair_filter": q_clip_pair_filter,
+        "pair_dedup_union": q_pair_dedup_union,
         "doc_chunk": q_doc_chunk,
         "url_param_strip": q_url_param_strip,
         "aspect_bucket_pack": q_aspect_bucket_pack,
@@ -7540,6 +7824,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_savings_report": _dedup_savings_sql(),
         "tokenizer_oov_rate": _Q_OOV_SQL,
         "recrawl_lambda": _Q_LAMBDA_SQL,
+        "recrawl_due_set": _Q_RECRAWL_DUE_SQL,
         "embedding_norm_hist": _Q_ENORM_SQL,
         "corpus_temperature_mix": _tmix_sql(),
         "graph_mixing_stats": _Q_MIXING_SQL,
@@ -7612,6 +7897,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_record_parse": _Q_WARC_SQL,
         "image_size_stats": _img_stats_sql(),
         "image_real_png_decode": _real_png_sql(),
+        "clip_pair_filter": _Q_CLIP_PAIR_SQL,
+        "pair_dedup_union": _pair_union_sql(),
         "doc_chunk": _Q_DOC_CHUNK_SQL,
         "url_param_strip": _Q_PARAM_STRIP_SQL,
         "aspect_bucket_pack": _Q_ASPECT_SQL,

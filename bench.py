@@ -61,6 +61,8 @@ HEADLINE = [
     "recrawl_schedule",
     "html_text_extract",
     "dedup_incremental",
+    "image_real_png_decode",
+    "clip_pair_filter",
     "semdedup_pairs",
     "c4_line_filter",
     "paragraph_dedup",
