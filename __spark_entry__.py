@@ -4101,6 +4101,316 @@ ORDER BY pair_id
 """
 
 
+def q_phash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuning evidence for the image near-dup threshold: the Hamming-
+    distance spectrum over BANDED candidate pairs (4x16-bit slices, the
+    pigeonhole prefilter) of the planted-dup image batch. Planted
+    perturbed copies land at 0-3 bits; the prefilter ALSO surfaces a
+    correlated-background tail (the synth images share gradient
+    structure, so their phashes sit closer than random 64-bit values —
+    the same base rate template-heavy real corpora show), which is
+    exactly why banding must feed the exact bit_count verify instead of
+    being trusted alone. Measured numbers, not a magic max_hamming
+    (the dedup_recall_planted / image_phash_recall pattern). Bounded
+    output: one row per observed distance."""
+    from distributed_webcrawler_spark.operators.multimodal import decode_stats
+    from distributed_webcrawler_spark.sources import codec
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(iid, codec.encode_image(px, "png")) for iid, px in _pn_payloads()],
+        columns=["image_id", "bytes"])
+    st = (decode_stats(spark.createDataFrame(pdf).repartition(8))
+          .where("ok").select(F.col("image_id").alias("id"),
+                              F.col("phash").alias("sig")))
+    bands = None
+    for b in range(4):
+        part = st.select("id", "sig", F.lit(b).alias("band"),
+                         F.shiftright("sig", b * 16).bitwiseAND(F.lit(65535))
+                         .alias("slice"))
+        bands = part if bands is None else bands.unionByName(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (a.join(bb, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.slice") == F.col("b.slice"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+                    .alias("hamming"))
+            .distinct())
+    return (cand.groupBy("hamming")
+            .agg(F.count("*").cast("bigint").alias("n_pairs"))
+            .orderBy("hamming"))
+
+
+def _phash_hist_sql() -> str:
+    from distributed_webcrawler_spark.sources import codec
+
+    vals = ",\n".join(f"('{iid}', {codec.phash64(px)})"
+                      for iid, px in _pn_payloads())
+    return f"""
+WITH sig AS (
+  SELECT image_id, cast(phash as bigint) AS phash
+  FROM (VALUES
+{vals}
+  ) AS t(image_id, phash)
+),
+bands AS (
+  SELECT image_id, phash, b.band, ((phash >> (b.band * 16)) & 65535) AS slice
+  FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+         bit_count(xor(a.phash, b.phash)) AS hamming
+  FROM bands a JOIN bands b ON a.band = b.band AND a.slice = b.slice
+  WHERE a.image_id < b.image_id)
+SELECT cast(hamming as int) AS hamming, cast(count(*) as bigint) AS n_pairs
+FROM cand GROUP BY hamming ORDER BY hamming
+"""
+
+
+def q_recrawl_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina's central (and counter-intuitive) freshness
+    result, reproduced on the corpus's own estimated change rates: given
+    a fixed total revisit budget, UNIFORM allocation beats
+    λ-PROPORTIONAL (chasing hot pages wastes visits that can never keep
+    them fresh). Steady-state expected freshness of a Poisson-λ page
+    revisited at rate f is f/(λ+f); per source we compare f_uni = R/n
+    against f_prop = R·λ/Σλ and report page-weighted corpus freshness
+    under both. Everything derives from the SAME integer counts both
+    engines share; one division chain per source, 6dp rounding at the
+    edge."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    both = (docs.where((d % 10 != 0) & (d % 7 != 0))
+            .select("doc_id", "source", (d % 3 == 0).alias("changed")))
+    per = (both.groupBy("source")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("changed").cast("int")).alias("x")))
+    lam = -F.log(F.lit(1.0) - F.col("x") / F.col("n"))
+    rates = per.select("source", F.col("n").cast("double").alias("n"), lam.alias("lam"))
+    tot = rates.agg(F.sum("n").alias("n_tot"),
+                    F.sum(F.col("lam") * F.col("n")).alias("lam_tot"))
+    j = rates.crossJoin(F.broadcast(tot))
+    # budget R = one revisit per page per unit interval (R = n_tot)
+    f_uni = F.lit(1.0)                                  # R/n_tot per page
+    f_prop = F.col("lam") * F.col("n_tot") / F.col("lam_tot")
+    fresh_uni = f_uni / (F.col("lam") + f_uni)
+    fresh_prop = f_prop / (F.col("lam") + f_prop)
+    per_src = j.select(
+        "source",
+        F.round(F.col("lam"), 6).alias("lambda_hat"),
+        F.round(fresh_uni, 6).alias("freshness_uniform"),
+        F.round(fresh_prop, 6).alias("freshness_proportional"),
+        (F.col("n") * fresh_uni).alias("_wu"),
+        (F.col("n") * fresh_prop).alias("_wp"),
+        F.col("n").alias("_n"))
+    corpus = per_src.agg(
+        F.round(F.sum("_wu") / F.sum("_n"), 6).alias("corpus_uniform"),
+        F.round(F.sum("_wp") / F.sum("_n"), 6).alias("corpus_proportional"))
+    return (per_src.drop("_wu", "_wp", "_n")
+            .crossJoin(F.broadcast(corpus))
+            .withColumn("uniform_wins",
+                        F.col("corpus_uniform") > F.col("corpus_proportional"))
+            .orderBy("source"))
+
+
+_Q_RECRAWL_POLICY_SQL = """
+WITH both_ AS (
+  SELECT doc_id, source, (doc_id % 3 = 0) AS changed
+  FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0),
+per AS (
+  SELECT source, count(*) AS n, sum(CASE WHEN changed THEN 1 ELSE 0 END) AS x
+  FROM both_ GROUP BY source),
+rates AS (
+  SELECT source, cast(n as double) AS n, -ln(1.0 - x * 1.0 / n) AS lam
+  FROM per),
+tot AS (SELECT sum(n) AS n_tot, sum(lam * n) AS lam_tot FROM rates),
+j AS (SELECT r.*, t.n_tot, t.lam_tot FROM rates r CROSS JOIN tot t),
+per_src AS (
+  SELECT source, lam, n,
+         1.0 / (lam + 1.0) AS fu,
+         (lam * n_tot / lam_tot) / (lam + lam * n_tot / lam_tot) AS fp
+  FROM j),
+corpus AS (
+  SELECT round(sum(n * fu) / sum(n), 6) AS corpus_uniform,
+         round(sum(n * fp) / sum(n), 6) AS corpus_proportional
+  FROM per_src)
+SELECT p.source, round(p.lam, 6) AS lambda_hat,
+       round(p.fu, 6) AS freshness_uniform,
+       round(p.fp, 6) AS freshness_proportional,
+       c.corpus_uniform, c.corpus_proportional,
+       c.corpus_uniform > c.corpus_proportional AS uniform_wins
+FROM per_src p CROSS JOIN corpus c
+ORDER BY source
+"""
+
+
+_AES_PLANE, _AES_TH = 101, 5.0
+
+
+def _aesthetic_expr():
+    """Deterministic linear aesthetic head on the embedding (the LAION
+    aesthetic-predictor SHAPE: a linear probe over CLIP embeddings,
+    Schuhmann '22) — weights from the md5 hyperplane family so both
+    engines fold the identical literal array; score mapped to the 1-10
+    scale the predictor publishes."""
+    from distributed_webcrawler_spark.operators.similarity import hyperplane_expr
+
+    return F.round(F.lit(5.0) + F.lit(4.0)
+                   * hyperplane_expr("embedding", _AES_PLANE, 64), 6)
+
+
+def q_aesthetic_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aesthetic scoring + keep filter over image embeddings — the
+    second LAION quality gate after CLIP alignment: a linear head scores
+    every image and the corpus keeps score >= threshold. Pure Column
+    math over a constant-folded literal weight array — zero shuffle,
+    whole-stage codegen, identical at 10^10 rows; the keep verdict is
+    computed FROM the 6dp-rounded score on both engines so the threshold
+    boundary cannot flip across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (emb.select("vec_id", _aesthetic_expr().alias("aesthetic"))
+            .withColumn("kept", F.col("aesthetic") >= _AES_TH)
+            .orderBy("vec_id"))
+
+
+def _aesthetic_sql_frag() -> str:
+    from distributed_webcrawler_spark.operators.similarity import hyperplane_weights
+
+    w = ", ".join(f"{x}::DOUBLE" for x in hyperplane_weights(_AES_PLANE, 64))
+    return (f"round(5.0::DOUBLE + 4.0::DOUBLE * "
+            f"list_dot_product(cast(embedding as double[]), [{w}]), 6)")
+
+
+def _aesthetic_sql() -> str:
+    return f"""
+SELECT vec_id, {_aesthetic_sql_frag()} AS aesthetic,
+       {_aesthetic_sql_frag()} >= {_AES_TH} AS kept
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def q_pair_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-caption preprocessing FUNNEL — the attrition report every
+    LAION-style pipeline publishes (how many pairs each gate drops, in
+    order): caption length -> language -> image resolution -> aesthetic
+    score. Gates are cumulative (a pair reaches gate k only by passing
+    1..k-1), counts are exact integers from ONE aggregate pass over the
+    joined pair table (conditional sums — no per-stage rescans), then the
+    5-row funnel is unpivoted from the single aggregate row. Image dims
+    are synthesized integer formulas on the pair id so both engines build
+    the identical fixture; the aesthetic gate reuses the linear head."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "n_chars", "lang", "embedding",
+        (16 + (F.col("doc_id") * 13) % 50).alias("w"),
+        (16 + (F.col("doc_id") * 29) % 50).alias("h"))
+    f1 = F.col("n_chars") >= 50
+    f2 = F.col("lang") == "en"
+    f3 = F.least("w", "h") >= 24
+    f4 = _aesthetic_expr() >= _AES_TH
+    agg = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum(f1.cast("int")).alias("n1"),
+        F.sum((f1 & f2).cast("int")).alias("n2"),
+        F.sum((f1 & f2 & f3).cast("int")).alias("n3"),
+        F.sum((f1 & f2 & f3 & f4).cast("int")).alias("n4"))
+    stages = F.expr(
+        "stack(5, 0, 'total', n0, n0,"
+        " 1, 'caption_len>=50', n0, n1,"
+        " 2, 'lang=en', n1, n2,"
+        " 3, 'min_edge>=24', n2, n3,"
+        " 4, 'aesthetic>=5', n3, n4) AS (stage, gate, n_in, n_out)")
+    return (agg.select(stages)
+            .select(F.col("stage").cast("int").alias("stage"), "gate",
+                    F.col("n_in").cast("bigint").alias("n_in"),
+                    F.col("n_out").cast("bigint").alias("n_out"),
+                    (F.col("n_in") - F.col("n_out")).cast("bigint").alias("dropped"))
+            .orderBy("stage"))
+
+
+def _pair_funnel_sql() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT d.doc_id, d.n_chars, d.lang, e.embedding,
+         16 + (d.doc_id * 13) % 50 AS w, 16 + (d.doc_id * 29) % 50 AS h
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+flags AS (
+  SELECT n_chars >= 50 AS f1, lang = 'en' AS f2, least(w, h) >= 24 AS f3,
+         {_aesthetic_sql_frag()} >= {_AES_TH} AS f4
+  FROM pairs),
+a AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS n3,
+         sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS n4
+  FROM flags)
+SELECT stage, gate, cast(n_in as bigint) AS n_in,
+       cast(n_out as bigint) AS n_out,
+       cast(n_in - n_out as bigint) AS dropped
+FROM (
+  SELECT 0 AS stage, 'total' AS gate, n0 AS n_in, n0 AS n_out FROM a
+  UNION ALL SELECT 1, 'caption_len>=50', n0, n1 FROM a
+  UNION ALL SELECT 2, 'lang=en', n1, n2 FROM a
+  UNION ALL SELECT 3, 'min_edge>=24', n2, n3 FROM a
+  UNION ALL SELECT 4, 'aesthetic>=5', n3, n4 FROM a)
+ORDER BY stage
+"""
+
+
+_WDS_BUDGET = 131072  # bytes per webdataset shard (sandbox-scaled)
+
+
+def q_webdataset_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: pack (caption, image) pairs into
+    byte-budgeted tar shards in deterministic pair order — the output
+    layout step of an image+caption corpus (tar shards are what training
+    dataloaders stream). Pair byte weight = caption chars + raw pixel
+    estimate (integer formulas both engines share). Spark packs with
+    operators/pack.pack_shards — range-repartition + per-partition local
+    running sums + a driver-side offset cumsum (one number per partition,
+    NEVER a single-partition global window); the oracle is the naive
+    global window, which is exactly the contrast the pack operator
+    exists for. Emits one manifest row per shard."""
+    from distributed_webcrawler_spark.operators.pack import pack_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        (F.col("n_chars")
+         + (16 + (F.col("doc_id") * 13) % 50)
+         * (16 + (F.col("doc_id") * 29) % 50) * 3).alias("pair_bytes"))
+    packed = pack_shards(pairs, [F.col("doc_id").asc()], "pair_bytes",
+                         _WDS_BUDGET)
+    return (packed.groupBy(F.col("shard_id").cast("int").alias("shard_id"))
+            .agg(F.count("*").cast("bigint").alias("n_pairs"),
+                 F.sum("pair_bytes").cast("bigint").alias("bytes_total"),
+                 F.min("doc_id").alias("first_id"),
+                 F.max("doc_id").alias("last_id"))
+            .orderBy("shard_id"))
+
+
+_Q_WDS_SQL = f"""
+WITH pairs AS (
+  SELECT doc_id,
+         n_chars + (16 + (doc_id * 13) % 50) * (16 + (doc_id * 29) % 50) * 3
+           AS pair_bytes
+  FROM documents),
+packed AS (
+  SELECT doc_id, pair_bytes,
+         cast(floor(coalesce(sum(pair_bytes) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / {_WDS_BUDGET}) as int) AS shard_id
+  FROM pairs)
+SELECT shard_id, cast(count(*) as bigint) AS n_pairs,
+       cast(sum(pair_bytes) as bigint) AS bytes_total,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM packed GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 def q_image_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG wire bytes (\\x89PNG magic; the pure-stdlib encoder in
     sources/codec.py) through the SAME Arrow-batched decode stage the
@@ -7727,6 +8037,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_real_png_decode": q_image_real_png_decode,
         "clip_pair_filter": q_clip_pair_filter,
         "pair_dedup_union": q_pair_dedup_union,
+        "aesthetic_score_filter": q_aesthetic_score_filter,
+        "pair_filter_funnel": q_pair_filter_funnel,
+        "webdataset_shard_manifest": q_webdataset_shard_manifest,
+        "phash_hamming_histogram": q_phash_hamming_histogram,
+        "recrawl_policy_compare": q_recrawl_policy_compare,
         "doc_chunk": q_doc_chunk,
         "url_param_strip": q_url_param_strip,
         "aspect_bucket_pack": q_aspect_bucket_pack,
@@ -7899,6 +8214,11 @@ def oracle_sql() -> dict[str, str]:
         "image_real_png_decode": _real_png_sql(),
         "clip_pair_filter": _Q_CLIP_PAIR_SQL,
         "pair_dedup_union": _pair_union_sql(),
+        "aesthetic_score_filter": _aesthetic_sql(),
+        "pair_filter_funnel": _pair_funnel_sql(),
+        "webdataset_shard_manifest": _Q_WDS_SQL,
+        "phash_hamming_histogram": _phash_hist_sql(),
+        "recrawl_policy_compare": _Q_RECRAWL_POLICY_SQL,
         "doc_chunk": _Q_DOC_CHUNK_SQL,
         "url_param_strip": _Q_PARAM_STRIP_SQL,
         "aspect_bucket_pack": _Q_ASPECT_SQL,
