@@ -82,9 +82,10 @@ class CrawlConfig:
     #   "cuckoo" — deletable fingerprints: REQUIRED for TTL recrawl
     #       eviction (CrawlEngine.evict_for_recrawl) — a bloom cannot
     #       remove dead keys, so under recrawl its fpp only degrades while
-    #       a cuckoo sized for the LIVE seen set runs forever. Single-
-    #       filter mode only (bloom_shards must be 1); the sharded-store
-    #       twin mirrors ShardedBloomStore when a deployment needs it.
+    #       a cuckoo sized for the LIVE seen set runs forever. With
+    #       bloom_shards > 1 the ShardedCuckooStore runs the 10^10-tier
+    #       lifecycle (executor-side versioned per-shard blobs, adds AND
+    #       deletes shard-parallel, driver holds only the manifest).
     # Both are PREFILTERS: hits still route through the exact anti-join.
     seen_filter: str = "bloom"
     bloom_expected_insertions: int = 10_000_000  # application.properties:33

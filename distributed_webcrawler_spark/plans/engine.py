@@ -200,11 +200,10 @@ class CrawlEngine:
                 config.budget_per_host_per_round).cache()
         self.bloom: BloomFilter | None = None
         self.bloom_shards = None            # ShardedBloomStore (cfg.bloom_shards > 1)
-        self.cuckoo = None                  # CuckooFilter (cfg.seen_filter == "cuckoo")
+        self.cuckoo = None                  # CuckooFilter (seen_filter="cuckoo", 1 shard)
+        self.cuckoo_shards = None           # ShardedCuckooStore (cuckoo + bloom_shards > 1)
         if config.seen_filter not in ("bloom", "cuckoo"):
             raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {config.seen_filter!r}")
-        if config.seen_filter == "cuckoo" and config.bloom_shards > 1:
-            raise ValueError("seen_filter='cuckoo' is single-filter mode; bloom_shards must be 1")
         self._round_caches: list = []
         self.last_stage_secs: dict[str, float] = {}
         self._pool = None  # lazy persistent pool for the round's side branches
@@ -272,7 +271,17 @@ class CrawlEngine:
         self._set_session_status(session_id, "RUNNING")
         if cfg.use_bloom:
             fr = self._t("frontier").read(self.spark)
-            if cfg.seen_filter == "cuckoo":
+            if cfg.seen_filter == "cuckoo" and cfg.bloom_shards > 1:
+                from ..operators.cuckoo import ShardedCuckooStore
+
+                if self.cuckoo_shards is None:
+                    self.cuckoo_shards = ShardedCuckooStore.for_capacity(
+                        os.path.join(self.store.warehouse, "cuckoo_shards"),
+                        cfg.bloom_shards, cfg.bloom_expected_insertions)
+                self.cuckoo_shards.update(
+                    fr.select("url_hash", self._bloom_shard_col()), "url_hash",
+                    "__shard", version=self._next_seen_version())
+            elif cfg.seen_filter == "cuckoo":
                 from ..operators.cuckoo import build_cuckoo
 
                 self.cuckoo = build_cuckoo(fr, "url_hash", cfg.bloom_expected_insertions)
@@ -293,6 +302,19 @@ class CrawlEngine:
     def _bloom_shard_col(self):
         return F.pmod(F.col("host_bucket"), F.lit(self.cfg.bloom_shards)) \
                 .cast("int").alias("__shard")
+
+    def _next_seen_version(self) -> int:
+        """Strictly-monotone blob version for the sharded CUCKOO store.
+        Unlike the append-only bloom (versioned by round number), cuckoo
+        shards also mutate on EVICTION between rounds — reusing the round
+        number there would rewrite a committed version with different
+        bytes and break older manifests' views. max+1 keeps the
+        versioned-blob invariant (a committed version is immutable) AND
+        torn-round idempotence: a resumed re-run recomputes the same
+        max(checkpointed versions)+1 over the same deterministic data."""
+        if self.cuckoo_shards is None or not self.cuckoo_shards.versions:
+            return 1
+        return max(self.cuckoo_shards.versions.values()) + 1
 
     # ------------------------------------------------------------- views
     def pending(self) -> DataFrame:
@@ -848,7 +870,13 @@ class CrawlEngine:
         seen = (self._t("frontier").read(self.spark)
                 .select("session_id", "url").hint("shuffle_hash"))
         tagged = None
-        if cfg.use_bloom and self.cuckoo is not None:
+        if cfg.use_bloom and self.cuckoo_shards is not None:
+            maybe_cs = self.cuckoo_shards.prefilter_udf()
+            tagged = cand.withColumn(
+                "__maybe_seen",
+                maybe_cs(F.col("url_hash"),
+                         F.pmod(F.col("host_bucket"), F.lit(cfg.bloom_shards)).cast("int"))).cache()
+        elif cfg.use_bloom and self.cuckoo is not None:
             # cuckoo prefilter: identical plan shape to the bloom (closure-
             # broadcast table, Arrow-batched membership); the difference is
             # lifecycle — evict_for_recrawl can DELETE fingerprints
@@ -952,7 +980,12 @@ class CrawlEngine:
             fsnap, n_new = self._t("frontier").append_counted(
                 new_rows.select(*self._frontier_row_cols()), skip_empty=True)
             mark_at("expand_frontier")
-            if n_new > 0 and cfg.use_bloom and self.bloom_shards is not None:
+            if n_new > 0 and cfg.use_bloom and self.cuckoo_shards is not None:
+                self.cuckoo_shards.update(
+                    self._t("frontier").read_snapshot(self.spark, fsnap)
+                        .select("url_hash", self._bloom_shard_col()),
+                    "url_hash", "__shard", version=self._next_seen_version())
+            elif n_new > 0 and cfg.use_bloom and self.bloom_shards is not None:
                 # executor-side sharded update from the parquet the append
                 # JUST wrote: group tasks fold their shard's hashes and commit
                 # versioned blob files — the driver never holds filter bits
@@ -1072,6 +1105,9 @@ class CrawlEngine:
             with open(os.path.join(self.store.warehouse, cuckoo_file), "wb") as f:
                 f.write(self.cuckoo.to_bytes())
             ckpt["cuckoo"] = cuckoo_file
+        if self.cuckoo_shards is not None:
+            ckpt["cuckoo_shard_versions"] = {
+                str(k): v for k, v in self.cuckoo_shards.versions.items()}
         if self.bloom_shards is not None:
             # the shard manifest is a small {shard: version} dict — blob
             # files themselves are already durable (versioned, os.replace'd)
@@ -1088,7 +1124,15 @@ class CrawlEngine:
         if ckpt is None:
             raise RuntimeError("no checkpoint to resume from")
         self.store.rollback_to_checkpoint(ckpt)
-        if ckpt.get("cuckoo"):
+        if ckpt.get("cuckoo_shard_versions") is not None:
+            from ..operators.cuckoo import ShardedCuckooStore
+
+            self.cuckoo_shards = ShardedCuckooStore.for_capacity(
+                os.path.join(self.store.warehouse, "cuckoo_shards"),
+                self.cfg.bloom_shards, self.cfg.bloom_expected_insertions)
+            self.cuckoo_shards.versions = {
+                int(k): v for k, v in ckpt["cuckoo_shard_versions"].items()}
+        elif ckpt.get("cuckoo"):
             from ..operators.cuckoo import CuckooFilter
 
             with open(os.path.join(self.store.warehouse, ckpt["cuckoo"]), "rb") as f:
@@ -1108,7 +1152,16 @@ class CrawlEngine:
                 self.bloom = BloomFilter.from_bytes(f.read())
         elif self.cfg.use_bloom:
             fr = self._t("frontier").read(self.spark)
-            if self.cfg.seen_filter == "cuckoo":
+            if self.cfg.seen_filter == "cuckoo" and self.cfg.bloom_shards > 1:
+                from ..operators.cuckoo import ShardedCuckooStore
+
+                self.cuckoo_shards = ShardedCuckooStore.for_capacity(
+                    os.path.join(self.store.warehouse, "cuckoo_shards"),
+                    self.cfg.bloom_shards, self.cfg.bloom_expected_insertions)
+                self.cuckoo_shards.update(
+                    fr.select("url_hash", self._bloom_shard_col()), "url_hash",
+                    "__shard", version=self._next_seen_version())
+            elif self.cfg.seen_filter == "cuckoo":
                 from ..operators.cuckoo import build_cuckoo
 
                 self.cuckoo = build_cuckoo(fr, "url_hash", self.cfg.bloom_expected_insertions)
@@ -1142,7 +1195,8 @@ class CrawlEngine:
         (prefilter-only contract) but the filter keeps counting ghosts —
         for one-off evictions on a bloom deployment."""
         cfg = self.cfg
-        if cfg.use_bloom and self.cuckoo is None and not allow_stale_filter:
+        deletable = self.cuckoo is not None or self.cuckoo_shards is not None
+        if cfg.use_bloom and not deletable and not allow_stale_filter:
             raise RuntimeError(
                 "evict_for_recrawl with seen_filter='bloom': a bloom cannot "
                 "delete fingerprints, so TTL recrawl would only degrade its "
@@ -1162,21 +1216,33 @@ class CrawlEngine:
         evict = urls.select("session_id", "url").distinct().cache()
         fr_t, done_t = self._t("frontier"), self._t("done")
         fr = fr_t.read(self.spark)
-        # one hash per evicted FRONTIER ROW (not distinct): the filter holds
-        # one fingerprint copy per inserted row, cross-session keys included
-        victims = (fr.join(evict, ["session_id", "url"], "left_semi")
-                   .select("url_hash").toPandas()["url_hash"]
-                   .dropna().to_numpy(dtype="int64"))
-        n_evicted = int(len(victims))
+        # one fingerprint per evicted FRONTIER ROW (not distinct): the
+        # filter holds one copy per inserted row, cross-session included.
+        # Single-filter mode collects the 8-byte hash column driver-side;
+        # sharded mode deletes executor-side (the driver never sees keys)
+        victim_rows = fr.join(evict, ["session_id", "url"], "left_semi").cache()
+        if self.cuckoo_shards is not None:
+            n_evicted = int(victim_rows.count())
+        else:
+            hashes = (victim_rows.select("url_hash").toPandas()["url_hash"]
+                      .dropna().to_numpy(dtype="int64"))
+            n_evicted = int(len(hashes))
         if n_evicted:
+            # filter delete FIRST: the sharded delete reads victim rows
+            # from the frontier files the compaction is about to remove
+            if self.cuckoo_shards is not None:
+                self.cuckoo_shards.delete(
+                    victim_rows.select("url_hash", self._bloom_shard_col()),
+                    "url_hash", "__shard", version=self._next_seen_version())
+            elif self.cuckoo is not None:
+                self.cuckoo.delete_many(hashes)
             fr_t.overwrite_compacted(fr.join(evict, ["session_id", "url"], "left_anti"))
             done = done_t.read(self.spark)
             if done is not None:
                 done_t.overwrite_compacted(
                     done.join(evict, ["session_id", "url"], "left_anti"))
-            if self.cuckoo is not None:
-                self.cuckoo.delete_many(victims)
             self._checkpoint(last_rnd)
+        victim_rows.unpersist()
         evict.unpersist()
         return {"evicted": n_evicted, "round": last_rnd}
 
@@ -1207,7 +1273,12 @@ class CrawlEngine:
         fsnap, n = self._t("frontier").append_counted(
             rows.select(*self._frontier_row_cols()), skip_empty=True)
         if n > 0 and cfg.use_bloom:
-            if self.cuckoo is not None:
+            if self.cuckoo_shards is not None:
+                self.cuckoo_shards.update(
+                    self._t("frontier").read_snapshot(self.spark, fsnap)
+                        .select("url_hash", self._bloom_shard_col()),
+                    "url_hash", "__shard", version=self._next_seen_version())
+            elif self.cuckoo is not None:
                 self.cuckoo.add_many(self._t("frontier").read_column_local(fsnap, "url_hash"))
             elif self.bloom_shards is not None:
                 self.bloom_shards.update(

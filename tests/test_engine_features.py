@@ -508,3 +508,74 @@ def test_recrawl_eviction_requires_cuckoo_on_bloom(spark, fixture_dir, warehouse
     assert fr.where((F.col("session_id") == t_sess) & (F.col("url") == t_url)).count() == 0
     assert bool(eng.bloom.might_contain_many(np.array([t_hash]))[0])  # the ghost
     target.unpersist()
+
+
+def test_sharded_cuckoo_engine_equivalence_and_eviction(spark, fixture_dir, tmp_path):
+    """seen_filter='cuckoo' + bloom_shards>1 = the ShardedCuckooStore
+    lifecycle: crawl output identical to the exact path, occupancy equals
+    live frontier rows, eviction deletes fingerprints EXECUTOR-side
+    (occupancy drops; driver never collects keys), and a resumed engine
+    restores the shard manifest from the checkpoint."""
+    import numpy as np
+
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+
+    def run(wh, **kw):
+        cfg = CrawlConfig(max_depth=2, budget_per_host_per_round=4,
+                          max_rounds=3, respect_robots=False, **kw)
+        store = SnapshotStore(str(wh))
+        eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+        eng.start_session(seeds)
+        eng.run()
+        return store, eng
+
+    st_exact, _ = run(tmp_path / "wh-exact", use_bloom=False)
+    st_cs, eng = run(tmp_path / "wh-cs", use_bloom=True, seen_filter="cuckoo",
+                     bloom_shards=4, bloom_expected_insertions=10_000)
+    assert eng.cuckoo_shards is not None and eng.cuckoo is None and eng.bloom is None
+    assert len(eng.cuckoo_shards.versions) > 0
+    assert eng.cuckoo_shards.occupancy() == st_cs.table("frontier").total_rows()
+
+    def rows(store, table):
+        df = store.table(table).read(spark)
+        cols = [c for c in df.columns if c != "partition_id"]
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(st_exact, "frontier") == rows(st_cs, "frontier")
+    assert rows(st_exact, "pages") == rows(st_cs, "pages")
+
+    # executor-side eviction: forget 3 fetched URLs, occupancy drops by 3
+    target = (st_cs.table("pages").read(spark)
+              .where(F.col("status_code") == 200)
+              .select("session_id", "url").orderBy("url").limit(3)).cache()
+    occ_before = eng.cuckoo_shards.occupancy()
+    res = eng.evict_for_recrawl(urls=target)
+    assert res["evicted"] == 3
+    assert eng.cuckoo_shards.occupancy() == occ_before - 3
+
+    # reinject re-adds the fingerprints and a fresh engine resumes from
+    # the checkpointed shard manifest (same versions dict)
+    res2 = eng.reinject_for_recrawl(target)
+    assert res2["reinjected"] == 3
+    assert eng.cuckoo_shards.occupancy() == occ_before
+    versions = dict(eng.cuckoo_shards.versions)
+    # several extra rounds: reinjected URLs compete with other pending
+    # rows under the per-host budget, so one round may not drain them
+    cfg2 = CrawlConfig(max_depth=2, budget_per_host_per_round=4,
+                       max_rounds=8, respect_robots=False, use_bloom=True,
+                       seen_filter="cuckoo", bloom_shards=4,
+                       bloom_expected_insertions=10_000)
+    eng2 = CrawlEngine(spark, SnapshotStore(str(tmp_path / "wh-cs")), cfg2,
+                       wg, pay, None)
+    eng2.resume()
+    assert eng2.cuckoo_shards is not None
+    for k, v in versions.items():
+        assert eng2.cuckoo_shards.versions.get(k, 0) >= v
+    # the reinjected URLs were re-fetched at the resumed round
+    refetched = (SnapshotStore(str(tmp_path / "wh-cs")).table("pages").read(spark)
+                 .join(target, ["session_id", "url"], "left_semi")
+                 .groupBy("session_id", "url").count().collect())
+    assert len(refetched) == 3 and all(r["count"] == 2 for r in refetched)
+    target.unpersist()
