@@ -353,7 +353,7 @@ def main() -> None:
         md = f"""# BENCH — measured throughput + N->4N scaling evidence
 
 Produced by `python tools/bench_scaling.py {n_urls} {n_seeds} {decode_rows}`.
-Job: ONE full engine crawl round (salted rank-window scheduling under a
+Job: ONE full engine crawl round (rank-window scheduling under a
 per-host budget, robots broadcast gate, fetch equi-join vs web_graph,
 Arrow-batched image decode, parquet appends + bloom update; pages
 reference payload blobs by image_id — inlining a second copy of every
@@ -433,8 +433,9 @@ side broadcast), payload blobs never fan out per URL (distinct-payload
 decode + metadata-width stats join — the blob-per-row join was measured
 at 211 JVM-CPU-s @16 cores vs 898 @32 for identical work, pure
 memory-bus burn, and is gone), the seen anti-join is bloom-prefiltered,
-the scheduling window is hot-host-salted, and the global sequence is
-computed without a single-partition sort.
+the scheduling rank plans as a map-side WindowGroupLimit partial (the
+skew handling — see the skewed-host section), and the global sequence
+is computed without a single-partition sort.
 
 Scale honesty rule (BASELINE.md): the 10^10-URL tier is addressed by this
 design, not extrapolated from single-box numbers.
