@@ -6,7 +6,7 @@ same job runs at multiple parallelism levels on IDENTICAL input:
   local[2] -> local[8]   (N=2, 4N=8: all cores genuinely free at both levels)
   local[8] -> local[32]  (N=8, 4N=32: the single-box memory bus saturates)
 
-The job is the real engine crawl round — schedule (salted rank window) ->
+The job is the real engine crawl round — schedule (WindowGroupLimit rank) ->
 robots gate -> fetch join -> Arrow-batched image decode -> appends — over a
 pre-generated fixture with a pre-seeded frontier, i.e. the workload the
 primary metric is defined on. Each level runs in a FRESH subprocess/JVM;
