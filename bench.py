@@ -63,6 +63,13 @@ HEADLINE = [
     "dedup_incremental",
     "image_real_png_decode",
     "clip_pair_filter",
+    "pair_dedup_union",
+    "aesthetic_score_filter",
+    "pair_filter_funnel",
+    "webdataset_shard_manifest",
+    "phash_hamming_histogram",
+    "recrawl_due_set",
+    "recrawl_policy_compare",
     "semdedup_pairs",
     "c4_line_filter",
     "paragraph_dedup",
