@@ -246,3 +246,26 @@ def test_schedule_rank_is_window_group_limit(spark):
         q.count()
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert plan.count("WindowGroupLimit") == 2, plan[:800]
+
+
+def test_round3_queries_no_cartesian_or_nl(spark):
+    """Round-3 report queries plan as keyed equi-joins / broadcast dims /
+    bounded windows — no CartesianProduct, no BroadcastNestedLoopJoin.
+    (clip_pair_filter and aesthetic use constant-folded literal weight
+    arrays, pair_dedup_union is banded+grouped edges into components,
+    the funnel is one aggregate pass.)"""
+    import __spark_entry__ as E
+
+    for name in ("clip_pair_filter", "pair_dedup_union", "recrawl_due_set",
+                 "aesthetic_score_filter", "pair_filter_funnel",
+                 "webdataset_shard_manifest", "phash_hamming_histogram",
+                 "image_real_png_decode"):
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+    # recrawl_policy_compare is excluded from the BNLJ assert: its two
+    # crossJoins broadcast ONE-ROW aggregates (corpus totals) — the
+    # standard scalar-broadcast pattern, constant cost at any scale
+    # (same carve-out as crawl_makespan above)
+    plan = _plan(E.queries()["recrawl_policy_compare"](spark, SF))
+    assert "CartesianProduct" not in plan
