@@ -52,6 +52,11 @@ class CrawlConfig:
     adaptive_budget: bool = False
     adaptive_min_budget: int = 1
     respect_robots: bool = True
+    # live-robots (fetch_mode="http") retry TTL: a TRANSIENT robots.txt
+    # fetch failure (timeout/refused/5xx) is treated as allow-all for this
+    # many rounds, then the host becomes refetch-eligible again. Definitive
+    # answers (200, or 4xx = no robots file) are never refetched.
+    robots_error_ttl_rounds: int = 8
     user_agent: str = "dws-crawler"
     max_pages: int | None = None    # enforced in clean mode; reference stores-but-ignores
     # clean-mode retries for TRANSIENT failures (status_code 0). The reference

@@ -267,10 +267,19 @@ class CrawlEngine:
             F.lit(0).alias("discovered_round"),
             self._discovered_at(F.lit(0)).alias("discovered_at"),
         )
-        self._t("frontier").append(rows)
+        fsnap, n_seeds = self._t("frontier").append_counted(rows, skip_empty=True)
         self._set_session_status(session_id, "RUNNING")
         if cfg.use_bloom:
-            fr = self._t("frontier").read(self.spark)
+            # Sharded stores fold in ONLY the just-appended seed snapshot:
+            # their on-disk blobs already hold every earlier frontier row
+            # (persisted versions survive across sessions and resume), and
+            # cuckoo inserts are NOT idempotent — re-folding the full
+            # frontier on a second start_session would store duplicate
+            # fingerprints, breaking evict_for_recrawl's one-copy-per-
+            # frontier-row accounting and inflating occupancy toward the
+            # shard-full error. The single in-memory filters below instead
+            # rebuild from scratch over the full frontier, which is
+            # equivalent and self-healing.
             if cfg.seen_filter == "cuckoo" and cfg.bloom_shards > 1:
                 from ..operators.cuckoo import ShardedCuckooStore
 
@@ -278,12 +287,15 @@ class CrawlEngine:
                     self.cuckoo_shards = ShardedCuckooStore.for_capacity(
                         os.path.join(self.store.warehouse, "cuckoo_shards"),
                         cfg.bloom_shards, cfg.bloom_expected_insertions)
-                self.cuckoo_shards.update(
-                    fr.select("url_hash", self._bloom_shard_col()), "url_hash",
-                    "__shard", version=self._next_seen_version())
+                if n_seeds > 0:
+                    self.cuckoo_shards.update(
+                        self._t("frontier").read_snapshot(self.spark, fsnap)
+                            .select("url_hash", self._bloom_shard_col()),
+                        "url_hash", "__shard", version=self._next_seen_version())
             elif cfg.seen_filter == "cuckoo":
                 from ..operators.cuckoo import build_cuckoo
 
+                fr = self._t("frontier").read(self.spark)
                 self.cuckoo = build_cuckoo(fr, "url_hash", cfg.bloom_expected_insertions)
             elif cfg.bloom_shards > 1:
                 from ..operators.bloom import ShardedBloomStore
@@ -292,10 +304,13 @@ class CrawlEngine:
                     self.bloom_shards = ShardedBloomStore.for_capacity(
                         os.path.join(self.store.warehouse, "bloom_shards"),
                         cfg.bloom_shards, cfg.bloom_expected_insertions, cfg.bloom_fpp)
-                self.bloom_shards.update(
-                    fr.select("url_hash", self._bloom_shard_col()), "url_hash",
-                    "__shard", version=0)
+                if n_seeds > 0:
+                    self.bloom_shards.update(
+                        self._t("frontier").read_snapshot(self.spark, fsnap)
+                            .select("url_hash", self._bloom_shard_col()),
+                        "url_hash", "__shard", version=self._next_seen_version())
             else:
+                fr = self._t("frontier").read(self.spark)
                 self.bloom = build_bloom(fr, "url_hash", cfg.bloom_expected_insertions, cfg.bloom_fpp)
         self._checkpoint(0)
 
@@ -304,17 +319,20 @@ class CrawlEngine:
                 .cast("int").alias("__shard")
 
     def _next_seen_version(self) -> int:
-        """Strictly-monotone blob version for the sharded CUCKOO store.
-        Unlike the append-only bloom (versioned by round number), cuckoo
-        shards also mutate on EVICTION between rounds — reusing the round
-        number there would rewrite a committed version with different
-        bytes and break older manifests' views. max+1 keeps the
-        versioned-blob invariant (a committed version is immutable) AND
-        torn-round idempotence: a resumed re-run recomputes the same
-        max(checkpointed versions)+1 over the same deterministic data."""
-        if self.cuckoo_shards is None or not self.cuckoo_shards.versions:
+        """Strictly-monotone blob version for whichever sharded seen-store
+        is active (cuckoo or bloom). Round numbers are NOT safe versions:
+        cuckoo shards mutate on eviction between rounds, bloom shards gain
+        extra folds from repeat start_session and reinject_for_recrawl —
+        reusing a round number there would rewrite a committed version
+        with different bytes and break older manifests' views. max+1
+        keeps the versioned-blob invariant (a committed version is
+        immutable) AND torn-round idempotence: a resumed re-run recomputes
+        the same max(checkpointed versions)+1 over the same deterministic
+        data."""
+        store = self.cuckoo_shards if self.cuckoo_shards is not None else self.bloom_shards
+        if store is None or not store.versions:
             return 1
-        return max(self.cuckoo_shards.versions.values()) + 1
+        return max(store.versions.values()) + 1
 
     # ------------------------------------------------------------- views
     def pending(self) -> DataFrame:
@@ -581,54 +599,85 @@ class CrawlEngine:
                                        meta_out=meta)
         return sched.withColumn("round", F.lit(rnd)), meta["total"]
 
-    def _gate_robots(self, sched: DataFrame) -> DataFrame:
+    def _gate_robots(self, sched: DataFrame, rnd: int = 0) -> DataFrame:
         cfg = self.cfg
         if cfg.respect_robots and cfg.fetch_mode == "http" and self.robots_rules is None:
-            return self._gate_robots_http(sched)
+            return self._gate_robots_http(sched, rnd)
         if self.robots_rules is None:
             return sched.withColumn("robots_allowed", F.lit(True))
         return gate_by_robots(sched, self.robots_rules, U.url_path(F.col("url")))
 
-    def _gate_robots_http(self, sched: DataFrame) -> DataFrame:
+    def _gate_robots_http(self, sched: DataFrame, rnd: int = 0) -> DataFrame:
         """Live robots (S6, BasicCrawler.java:203-217): fetch robots.txt for
         hosts not yet known — a mapInPandas over the round's DISTINCT hosts
         (dimension-sized, never the frontier), 5s timeout, any error ->
-        allow-all. Parsed (allow, disallow) rules persist in the
-        `robots_http` store table (one row per host, empty lists = fetched-
-        and-allow-all), so across-round caching is durable table state, not
-        an unbounded driver dict: at 10^8 hosts the driver holds NOTHING —
-        unknown hosts come from an anti-join of the round's host dimension
-        against the table, and the gate joins the table's rules SEMI-JOINED
-        down to this round's hosts (dimension-sized) broadcast-side, the
+        allow-all THIS round. Parsed (allow, disallow) rules persist in the
+        `robots_http` store table with an `ok` flag and `fetched_round`:
+        definitive answers (200 or 4xx-no-file) are final, but TRANSIENT
+        failures (timeout/refused/5xx) become refetch-eligible again after
+        ``cfg.robots_error_ttl_rounds`` rounds — a one-time 5s network blip
+        must not freeze a host as allow-all for the warehouse's lifetime.
+        Across-round caching is durable table state, not an unbounded
+        driver dict: at 10^8 hosts the driver holds NOTHING — unknown
+        hosts come from an anti-join of the round's host dimension against
+        the per-host LATEST row (computed only over the round's hosts, so
+        the window is dimension-sized), and the gate joins the table's
+        rules SEMI-JOINED down to this round's hosts broadcast-side, the
         same plan as table mode. The reference caches per-worker in memory
-        (BasicCrawler.java:41, 189-195); a table is that cache made shared,
-        bounded, and checkpoint/resume-consistent."""
+        (BasicCrawler.java:41, 189-195); a table is that cache made
+        shared, bounded, and checkpoint/resume-consistent."""
+        from pyspark.sql import Window
+
         from ..functions.robots_fn import parse_robots
         from ..sources.httpfetch import fetch_robots_fn
 
         tbl = self._t("robots_http")
         round_hosts = sched.select("host").distinct()
+
+        def _latest(known: DataFrame) -> DataFrame:
+            # latest row per host, restricted to this round's hosts FIRST
+            # so the window ranks a dimension-sized slice, never the table
+            k = known.join(F.broadcast(round_hosts), "host", "left_semi")
+            w = Window.partitionBy("host").orderBy(F.desc("fetched_round"))
+            return (k.withColumn("__rn", F.row_number().over(w))
+                     .where(F.col("__rn") == 1).drop("__rn"))
+
         known = tbl.read(self.spark)
-        unknown = (round_hosts if known is None else
-                   round_hosts.join(known.select("host").hint("shuffle_hash"),
-                                    "host", "left_anti"))
+        latest = None if known is None else _latest(known)
+        if latest is None:
+            unknown = round_hosts
+        else:
+            # a host is settled if its latest answer is definitive, or its
+            # latest transient failure is still within the retry TTL
+            settled = latest.where(
+                F.col("ok") |
+                (F.lit(rnd) - F.col("fetched_round")
+                 < F.lit(self.cfg.robots_error_ttl_rounds)))
+            unknown = round_hosts.join(settled.select("host"), "host", "left_anti")
         fetched = unknown.mapInPandas(
             fetch_robots_fn(self.cfg.http_rewrite_base),
-            "host string, robots_txt string").collect()
+            "host string, robots_txt string, ok boolean").collect()
         if fetched:
             import pyarrow as pa
 
-            parsed = [{"host": r.host, **dict(zip(("allow", "disallow"),
-                                                  parse_robots(r.robots_txt)))}
+            parsed = [{"host": r.host, "ok": bool(r.ok),
+                       "fetched_round": int(rnd),
+                       **dict(zip(("allow", "disallow"),
+                                  parse_robots(r.robots_txt)))}
                       for r in fetched]
             tbl.append_rows(parsed, pa.schema([
                 pa.field("host", pa.string()),
+                pa.field("ok", pa.bool_()),
+                pa.field("fetched_round", pa.int64()),
                 pa.field("allow", pa.list_(pa.string())),
                 pa.field("disallow", pa.list_(pa.string()))]))
-            known = tbl.read(self.spark)
-        rules_df = (known.where((F.size("allow") > 0) | (F.size("disallow") > 0))
-                    .join(F.broadcast(round_hosts), "host", "left_semi"))
-        return gate_by_robots(sched, rules_df, U.url_path(F.col("url")))
+            latest = _latest(tbl.read(self.spark))
+        rules_df = (latest.where((F.size("allow") > 0) | (F.size("disallow") > 0))
+                    if latest is not None else
+                    self.spark.createDataFrame(
+                        [], "host string, allow array<string>, disallow array<string>"))
+        return gate_by_robots(sched, rules_df.select("host", "allow", "disallow"),
+                              U.url_path(F.col("url")))
 
     def _fetch(self, allowed: DataFrame) -> DataFrame:
         """J4: the fetch equi-join against web_graph, SLIM (no payload bytes).
@@ -929,7 +978,7 @@ class CrawlEngine:
         sched = sched.cache()
         self._round_caches.append(sched)
 
-        gated = self._gate_robots(sched)
+        gated = self._gate_robots(sched, rnd)
         blocked = gated.where(~F.col("robots_allowed"))
         allowed = gated.where(F.col("robots_allowed")).drop("robots_allowed")
 
@@ -992,7 +1041,7 @@ class CrawlEngine:
                 self.bloom_shards.update(
                     self._t("frontier").read_snapshot(self.spark, fsnap)
                         .select("url_hash", self._bloom_shard_col()),
-                    "url_hash", "__shard", version=rnd)
+                    "url_hash", "__shard", version=self._next_seen_version())
             elif n_new > 0 and cfg.use_bloom and self.cuckoo is not None:
                 self.cuckoo.add_many(self._t("frontier").read_column_local(fsnap, "url_hash"))
             elif n_new > 0 and cfg.use_bloom and self.bloom is not None:
@@ -1281,10 +1330,14 @@ class CrawlEngine:
             elif self.cuckoo is not None:
                 self.cuckoo.add_many(self._t("frontier").read_column_local(fsnap, "url_hash"))
             elif self.bloom_shards is not None:
+                # monotone next version, NOT rnd: the round-end _expand
+                # already committed v{rnd}; folding the reinjected rows
+                # into that same path would mutate a committed version's
+                # bytes under any reader on the checkpoint manifest
                 self.bloom_shards.update(
                     self._t("frontier").read_snapshot(self.spark, fsnap)
                         .select("url_hash", self._bloom_shard_col()),
-                    "url_hash", "__shard", version=rnd)
+                    "url_hash", "__shard", version=self._next_seen_version())
             elif self.bloom is not None:
                 self.bloom.add_many(self._t("frontier").read_column_local(fsnap, "url_hash"))
         self._checkpoint(rnd)

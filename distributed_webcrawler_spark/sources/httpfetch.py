@@ -140,17 +140,25 @@ def http_fetch_fn(rewrite_base: str | None, timeout: float = FETCH_TIMEOUT_S,
 
 def fetch_robots_fn(rewrite_base: str | None, timeout: float = ROBOTS_TIMEOUT_S,
                     user_agent: str = "DistributedWebCrawler/1.0"):
-    """mapInPandas body over DISTINCT hosts -> (host, robots_txt string).
-    Missing/error -> empty text = allow-all (BasicCrawler.java:211-216)."""
+    """mapInPandas body over DISTINCT hosts -> (host, robots_txt, ok).
+    Missing/error -> empty text = allow-all for THIS round
+    (BasicCrawler.java:211-216), but `ok` distinguishes a definitive
+    answer (200 body, or 4xx = "no robots file", RFC 9309 §2.3.1.3) from
+    a TRANSIENT failure (connection refused/reset/timeout -> status 0, or
+    5xx): transient rows are persisted with ok=false so the caller can
+    re-fetch the host after a TTL instead of freezing a one-time network
+    blip into permanent allow-all."""
 
     def _fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            texts = []
+            texts, oks = [], []
             for host in pdf["host"]:
                 status, body = _get(f"https://{host}/robots.txt", rewrite_base,
                                     timeout, user_agent)
                 texts.append(body.decode("utf-8", "replace")
                              if status == 200 and body is not None else "")
-            yield pd.DataFrame({"host": pdf["host"], "robots_txt": texts})
+                oks.append(status == 200 or 400 <= status < 500)
+            yield pd.DataFrame({"host": pdf["host"], "robots_txt": texts,
+                                "ok": oks})
 
     return _fetch

@@ -349,20 +349,27 @@ def minhash_dedup_stream(spark: SparkSession, doc_dir: str, *,
     def dedup(key, pdfs, state: GroupState):
         ids, sigs = ((list(state.get[0]), list(state.get[1]))
                      if state.exists else ([], []))
+        # membership set: an at-least-once source can re-deliver a doc_id
+        # (and one file can hold duplicate rows); storing a second copy
+        # would make every LATER doc emit duplicate match rows (one per
+        # stored copy) and grow state without bound, so re-deliveries are
+        # dropped entirely — they already contributed their matches.
+        idset = set(ids)
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values("doc_id")  # deterministic within-batch order
             for did, s in zip(pdf["doc_id"], pdf["sig"]):
+                if did in idset:
+                    continue
                 parts = s.split(";")
                 for mid, ms in zip(ids, sigs):
-                    if mid == did:
-                        continue
                     est = sum(a == b for a, b in zip(parts, ms.split(";"))) \
                         / float(len(parts))
                     if est >= min_est:
                         out.append((did, mid, round(est, 6)))
                 ids.append(did)
                 sigs.append(s)
+                idset.add(did)
         state.update((ids, sigs))
         yield pd.DataFrame(out, columns=["doc_id", "match_id", "est_sim"])
 

@@ -25,12 +25,16 @@ def page_html(out_links: list[str] | None, image_id: str | None) -> str:
 class FixtureServer:
     """graph: {url: (status_code, out_links, image_id)}; robots: {host: txt}."""
 
-    def __init__(self, graph: dict, robots: dict | None = None):
+    def __init__(self, graph: dict, robots: dict | None = None,
+                 robots_fail_first: dict | None = None):
         import collections
 
         self.graph = graph
         self.robots = robots or {}
         self.robots_hits = collections.Counter()  # host -> #robots.txt GETs
+        # host -> N: the first N robots.txt GETs for that host answer 503
+        # (simulates a transient outage; later GETs serve the real rules)
+        self.robots_fail_first = dict(robots_fail_first or {})
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -45,6 +49,9 @@ class FixtureServer:
                 path = "/" + (parts[1] if len(parts) > 1 else "")
                 if path == "/robots.txt":
                     outer.robots_hits[host] += 1
+                    if outer.robots_hits[host] <= outer.robots_fail_first.get(host, 0):
+                        self.send_error(503)
+                        return
                     txt = outer.robots.get(host)
                     if txt is None:
                         self.send_error(404)

@@ -579,3 +579,44 @@ def test_sharded_cuckoo_engine_equivalence_and_eviction(spark, fixture_dir, tmp_
                  .groupBy("session_id", "url").count().collect())
     assert len(refetched) == 3 and all(r["count"] == 2 for r in refetched)
     target.unpersist()
+
+
+def test_repeat_start_session_keeps_one_fingerprint_per_frontier_row(
+        spark, fixture_dir, tmp_path):
+    """start_session folds ONLY its own appended seed snapshot into the
+    sharded seen stores (round-4 advice): a second session on the same
+    warehouse (explicitly supported) must not re-insert the existing
+    frontier's fingerprints — cuckoo inserts are not idempotent, so a
+    full-frontier refold would store duplicate copies, break
+    evict_for_recrawl's one-delete-per-row accounting, and inflate
+    occupancy toward the shard-full error."""
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+
+    cfg = CrawlConfig(max_depth=2, budget_per_host_per_round=4, max_rounds=2,
+                      respect_robots=False, use_bloom=True,
+                      seen_filter="cuckoo", bloom_shards=4,
+                      bloom_expected_insertions=10_000)
+    store = SnapshotStore(str(tmp_path / "wh"))
+    eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+    eng.start_session(seeds, "sess-a")
+    eng.run()
+    n_after_crawl = store.table("frontier").total_rows()
+    assert eng.cuckoo_shards.occupancy() == n_after_crawl
+
+    # second session, same seed URLs (new session_id rows in the frontier):
+    # occupancy grows by exactly the appended seed rows, not by a refold
+    eng.start_session(seeds, "sess-b")
+    n_after_second = store.table("frontier").total_rows()
+    assert n_after_second > n_after_crawl
+    assert eng.cuckoo_shards.occupancy() == n_after_second
+
+    # the accounting survives an eviction round-trip after the re-seed
+    target = (store.table("pages").read(spark)
+              .where(F.col("status_code") == 200)
+              .select("session_id", "url").orderBy("url").limit(2)).cache()
+    res = eng.evict_for_recrawl(urls=target)
+    assert res["evicted"] == 2
+    assert eng.cuckoo_shards.occupancy() == n_after_second - 2
+    target.unpersist()

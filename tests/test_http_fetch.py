@@ -138,3 +138,46 @@ def test_robots_fetched_once_per_host_and_no_driver_state(spark, fixture_dir, tm
     fetched_hosts = {r.host for r in tbl.select("host").collect()}
     assert fetched_hosts == set(hits)
     assert tbl.groupBy("host").count().where("count > 1").count() == 0
+
+
+def test_robots_transient_failure_refetched_after_ttl(spark, fixture_dir, tmp_path):
+    """A TRANSIENT robots.txt failure (503) is allow-all only for
+    ``robots_error_ttl_rounds`` rounds, then the host is re-fetched and
+    the real rules apply (round-4 advice: a one-time blip must not freeze
+    a host as allow-all for the warehouse's lifetime). Definitive answers
+    are still fetched exactly once."""
+    graph = graph_from_parquet(spark, fixture_dir)
+    robots = robots_from_parquet(spark, fixture_dir)
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+    seed_hosts = sorted({r.url.split("/")[2]
+                         for r in seeds.select("url").collect()})
+    bad_host = seed_hosts[0]   # scheduled from round 0 and recurs
+    with FixtureServer(graph, robots, robots_fail_first={bad_host: 1}) as srv:
+        cfg = CrawlConfig(max_depth=3, budget_per_host_per_round=2,
+                          max_rounds=6, use_bloom=False, respect_robots=True,
+                          fetch_mode="http", http_rewrite_base=srv.base,
+                          robots_error_ttl_rounds=2)
+        store = SnapshotStore(str(tmp_path / "wh"))
+        eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+        eng.start_session(seeds)
+        hist = eng.run()
+        hits = dict(srv.robots_hits)
+    assert len(hist) >= 4, "want enough rounds to cross the TTL"
+    # failed host: one 503 + exactly one successful refetch (definitive
+    # after that); every other host fetched once
+    assert hits[bad_host] == 2, hits
+    assert all(n == 1 for h, n in hits.items() if h != bad_host), hits
+    tbl = store.table("robots_http").read(spark)
+    rows_bad = sorted(tbl.where(F.col("host") == bad_host).collect(),
+                      key=lambda r: r.fetched_round)
+    assert len(rows_bad) == 2
+    assert rows_bad[0].ok is False
+    assert rows_bad[1].ok is True
+    # the refetch waited out the TTL, not a round sooner
+    assert (rows_bad[1].fetched_round - rows_bad[0].fetched_round
+            >= cfg.robots_error_ttl_rounds)
+    # latest-wins: every OTHER fetched host has exactly one definitive row
+    assert (tbl.where(F.col("host") != bad_host)
+               .groupBy("host").count().where("count > 1").count() == 0)

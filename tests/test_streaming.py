@@ -314,3 +314,47 @@ def test_minhash_dedup_stream_matches_incremental_batch(spark, tmpdir):
     assert any(d == "b04" and e == 1.0 for d, _m, e in got)
     # fresh docs match nothing
     assert not {d for d, _, _ in got} & {f"b{i:02d}" for i in range(5, 9)}
+
+
+def test_minhash_dedup_stream_redelivery_is_dropped(spark, tmpdir):
+    """At-least-once re-delivery of a doc_id must not store a second state
+    copy (round-4 advice): the re-delivered doc emits nothing (it already
+    contributed its matches) and later docs match it exactly once per
+    shared band — with duplicate copies in state, every later doc would
+    emit one match row PER COPY and bucket state would grow without
+    bound."""
+    import os
+    import time
+
+    text = ("the quick brown fox jumps over the lazy dog and then wanders "
+            "far across the wide open field looking for food tonight")
+    schema = "doc_id string, text string"
+    f1 = spark.createDataFrame([("a0", text), ("b0", text)], schema)
+    # batch 2 re-delivers a0 verbatim and adds a fresh exact dup c0
+    f2 = spark.createDataFrame([("a0", text), ("c0", text)], schema)
+
+    src = f"{tmpdir}/docs-redeliver"
+    os.makedirs(src)
+    f1.toPandas().to_parquet(f"{src}/f1.parquet", index=False)
+    f2.toPandas().to_parquet(f"{src}/f2.parquet", index=False)
+    now = time.time()
+    os.utime(f"{src}/f1.parquet", (now - 60, now - 60))
+    os.utime(f"{src}/f2.parquet", (now, now))
+
+    out, ckpt = f"{tmpdir}/pairs-redeliver", f"{tmpdir}/ckpt-redeliver"
+    I.run_to_completion(
+        I.minhash_dedup_stream(spark, src, max_files_per_trigger=1), out, ckpt)
+
+    rows = spark.read.parquet(out).collect()
+    n_bands = 8 // 2   # module defaults: n_hashes=8, band_size=2
+    # the re-delivered a0 emits nothing
+    assert not [r for r in rows if r.doc_id == "a0"], rows
+    # exact dups share every band: one emission per band per stored copy —
+    # exactly n_bands each proves a0 is stored ONCE despite re-delivery
+    from collections import Counter
+
+    pair_counts = Counter((r.doc_id, r.match_id) for r in rows)
+    assert pair_counts == {("b0", "a0"): n_bands,
+                           ("c0", "a0"): n_bands,
+                           ("c0", "b0"): n_bands}, pair_counts
+    assert all(r.est_sim == 1.0 for r in rows)
