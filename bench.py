@@ -3,7 +3,12 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": ..., "value": <urls/sec>, "unit": "urls/sec",
-   "queries": {name: sec, ...}, "sf": ..., "scaling": {...}}
+   "queries": {name: sec, ...}, "query_attempts": {name: [sec, ...]},
+   "sf": ..., "scaling": {...}}
+
+"queries" carries best-of-N per query (two interleaved sweeps + a third
+attempt when the pair disagrees >2x — noise armor against host
+contention); "query_attempts" carries every raw attempt for audit.
 
 - value = the BASELINE.json primary metric: frontier URLs scheduled+fetched
   per second, measured over the flagship crawl-round query (rank-window
@@ -62,6 +67,7 @@ HEADLINE = [
     "html_text_extract",
     "dedup_incremental",
     "image_real_png_decode",
+    "image_real_jpeg_decode",
     "clip_pair_filter",
     "pair_dedup_union",
     "aesthetic_score_filter",
@@ -179,12 +185,28 @@ def main() -> None:
     spark = get_spark(cpus=cpus, app_name="dws-bench")
     qs = E.queries()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
+    def run_once(name: str) -> float:
         t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.monotonic() - t0, 3)
+
+    # Noise armor (round-3 verdict #1): the sandbox host's minute-scale
+    # contention can inflate a single pass 9x (dedup_simhash64 measured
+    # 56s in BENCH_r03.json vs 6.2s idle), so every query gets TWO
+    # INTERLEAVED passes — a contention window hits one full sweep, not
+    # both attempts of one query — plus a tie-breaking third attempt when
+    # the pair still disagrees >2x. Reported time = min (host drift only
+    # ever SLOWS a run); the raw attempts ship in "query_attempts" so a
+    # reader can audit any residual outlier.
+    attempts: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _sweep in range(2):
+        for name in HEADLINE:
+            attempts[name].append(run_once(name))
+    for name in HEADLINE:
+        a = attempts[name]
+        if max(a) > 2.0 * max(min(a), 0.05):
+            attempts[name].append(run_once(name))
+    timings = {name: min(a) for name, a in attempts.items()}
 
     # primary metric: scheduled+fetched URLs/sec on the flagship round
     # (warm; best of 3 — the sandbox host's minute-scale drift only ever
@@ -208,6 +230,7 @@ def main() -> None:
         "value": urls_per_sec,
         "unit": "urls/sec",
         "queries": timings,
+        "query_attempts": attempts,
         "sf": sf_dir,
         "cpus": cpus,
         "flagship_urls": n_urls,

@@ -60,3 +60,23 @@ def test_sim_crawl_invariants(seed_graph, budget, max_depth):
         per_round_host[(rnd, h)] = per_round_host.get((rnd, h), 0) + 1
     assert all(v <= budget for v in per_round_host.values())
     assert res.seen.issuperset(fetched)
+
+
+def test_bench_md_headline_count_matches_artifact():
+    """BENCH.md's stated headline-query count must equal len(bench.HEADLINE)
+    (round-3 verdict #7: the prose said 130 where the artifact held 128).
+    The snapshot block is machine-written (tools/bench_md_snapshot.py);
+    this pins every count the prose states."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sys
+
+    sys.path.insert(0, root)
+    import bench as B
+
+    txt = open(os.path.join(root, "BENCH.md")).read()
+    stated = [int(m) for m in re.findall(r"(\d+) headline quer", txt)]
+    assert stated, "BENCH.md no longer states a headline count"
+    assert all(s == len(B.HEADLINE) for s in stated), (stated, len(B.HEADLINE))
