@@ -4462,6 +4462,83 @@ ORDER BY image_id
 """
 
 
+_JPEG_N = 96
+
+
+def _jpeg_specs() -> list:
+    """Deterministic (image_id, w, h, subsampling) specs for the real-JPEG
+    fidelity corpus — md5-derived in pure python so the Spark query and
+    the DuckDB oracle rebuild the identical payload set."""
+    import hashlib
+
+    subs = ["4:4:4", "4:2:2", "4:2:0"]
+    specs = []
+    for i in range(_JPEG_N):
+        hw = int(hashlib.md5(f"jw:{i}".encode()).hexdigest()[:8], 16)
+        hh = int(hashlib.md5(f"jh:{i}".encode()).hexdigest()[:8], 16)
+        specs.append((f"jpg-{i:05d}", 16 + hw % 41, 16 + hh % 41, subs[i % 3]))
+    return specs
+
+
+def q_image_real_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG wire bytes (\xff\xd8 magic; the pure-stdlib
+    SOF0+Huffman codec in sources/jpeg.py, round-3 verdict #2) through
+    the SAME Arrow-batched decode stage the engine uses, gated on the
+    BASELINE.json per-row invariant: decoded-pixel PSNR >= 40 dB for a
+    lossy format, measured against reference pixels regenerated
+    executor-side from the image_id (photo-spectrum corpus at q95, all
+    three chroma subsamplings interleaved). Scale shape is the standard
+    decode plan: pixels never leave the mapInPandas task; only the
+    ~40-byte (id, psnr) stat rows shuffle."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import decode_fidelity
+    from distributed_webcrawler_spark.sources import codec
+    from distributed_webcrawler_spark.sources import jpeg as jpeglib
+
+    pdf = pd.DataFrame(
+        [(iid, jpeglib.encode_jpeg(codec.synth_pixels_photo(iid, w, h),
+                                   quality=95, subsampling=sub))
+         for iid, w, h, sub in _jpeg_specs()],
+        columns=["image_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    st = decode_fidelity(payloads).where(F.col("ok"))
+    return (st.select("image_id", "fmt",
+                      F.col("w").cast("int").alias("w"),
+                      F.col("h").cast("int").alias("h"),
+                      "psnr_db",
+                      (F.col("psnr_db") >= 40.0).alias("meets_40db"))
+            .orderBy("image_id"))
+
+
+def _real_jpeg_sql() -> str:
+    """Oracle: the identical encode->decode->PSNR pipeline run driver-side
+    in bare numpy (no Spark), emitted as literal rows — gates that the
+    distributed Arrow decode stage computes exactly what the library
+    computes, the same construction as _real_png_sql."""
+    from distributed_webcrawler_spark.sources import codec
+    from distributed_webcrawler_spark.sources import jpeg as jpeglib
+
+    rows = []
+    for iid, w, h, sub in _jpeg_specs():
+        px = codec.synth_pixels_photo(iid, w, h)
+        dec = jpeglib.decode_jpeg(
+            jpeglib.encode_jpeg(px, quality=95, subsampling=sub))
+        p = codec.psnr(px, dec)
+        p = 99.0 if p == float("inf") else round(float(p), 4)
+        rows.append(f"('{iid}', 'jpeg', {w}, {h}, "
+                    f"cast({p!r} as double), {str(p >= 40.0).upper()})")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT image_id, fmt, cast(w as int) AS w, cast(h as int) AS h,
+       psnr_db, meets_40db
+FROM (VALUES
+{vals}
+) AS t(image_id, fmt, w, h, psnr_db, meets_40db)
+ORDER BY image_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Context-window chunking, URL tracking-param canonicalization, aspect-ratio
 # batch bucketing — the remaining pre-training data-prep steps between
@@ -8035,6 +8112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_record_parse": q_warc_record_parse,
         "image_size_stats": q_image_size_stats,
         "image_real_png_decode": q_image_real_png_decode,
+        "image_real_jpeg_decode": q_image_real_jpeg_decode,
         "clip_pair_filter": q_clip_pair_filter,
         "pair_dedup_union": q_pair_dedup_union,
         "aesthetic_score_filter": q_aesthetic_score_filter,
@@ -8212,6 +8290,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_record_parse": _Q_WARC_SQL,
         "image_size_stats": _img_stats_sql(),
         "image_real_png_decode": _real_png_sql(),
+        "image_real_jpeg_decode": _real_jpeg_sql(),
         "clip_pair_filter": _Q_CLIP_PAIR_SQL,
         "pair_dedup_union": _pair_union_sql(),
         "aesthetic_score_filter": _aesthetic_sql(),

@@ -62,6 +62,47 @@ def decode_stats(payloads: DataFrame, id_col: str = "image_id", bytes_col: str =
     return payloads.select(id_col, bytes_col).mapInPandas(batches, schema=DECODE_SCHEMA)
 
 
+FIDELITY_SCHEMA = ("image_id string, ok boolean, fmt string, w int, h int, "
+                   "psnr_db double, err string")
+
+
+def decode_fidelity(payloads: DataFrame, id_col: str = "image_id",
+                    bytes_col: str = "bytes",
+                    ref_pixels=None) -> DataFrame:
+    """Per-row payload-fidelity check (BASELINE.json: decoded-pixel
+    allclose, PSNR >= 40 dB for lossy): decode each payload and measure
+    PSNR against reference pixels regenerated EXECUTOR-side from the
+    image_id (codec.synth_pixels_photo by default — deterministic, so no
+    reference pixels ever move over the wire; in production the reference
+    would come from the source store by id the same way). Same scale
+    shape as decode_stats: pixels live and die inside the Arrow batch,
+    only (id, psnr) metadata rows leave the task."""
+    ref_fn = ref_pixels or codec.synth_pixels_photo
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    px, fmt = codec.decode_image(bytes(data))
+                    ref = ref_fn(iid, px.shape[1], px.shape[0])
+                    p = codec.psnr(ref, px)
+                    if p == float("inf"):
+                        p = 99.0           # lossless sentinel, finite for SQL
+                    rows.append((iid, True, fmt, px.shape[1], px.shape[0],
+                                 round(float(p), 4), None))
+                except codec.CodecError as e:
+                    rows.append((iid, False, None, None, None, None, str(e)))
+            names = ["image_id", "ok", "fmt", "w", "h", "psnr_db", "err"]
+            data = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+            for n in ("w", "h"):
+                data[n] = pd.array(data[n], dtype="Int64")
+            yield pd.DataFrame(data)
+
+    return payloads.select(id_col, bytes_col).mapInPandas(
+        batches, schema=FIDELITY_SCHEMA)
+
+
 def phash_near_dup_pairs(payloads: DataFrame, max_hamming: int = 3,
                          id_col: str = "image_id",
                          bytes_col: str = "bytes") -> DataFrame:

@@ -175,3 +175,55 @@ def test_pil_cross_validation():
         blob = codec.encode_image_real(px, fmt)
         out, ofmt = codec.decode_image(blob)
         assert ofmt == fmt and codec.psnr(px, out) >= 40.0
+
+
+def test_png_all_filters_round_trip_and_wavefront_matches_spec_scalar():
+    """encode_png(filter_type=0..4, and MIXED per-row) -> decode_png is
+    bit-exact, and the diagonal-wavefront unfilter is byte-identical to
+    the spec-literal per-byte reconstruction on random scanlines across
+    shapes and bpp (PNG spec §9 Recon rules)."""
+    import numpy as np
+
+    from distributed_webcrawler_spark.sources import codec as C
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(64, 53, 3), dtype=np.uint8)
+    for ft in range(5):
+        assert np.array_equal(C.decode_png(C.encode_png(px, filter_type=ft)), px)
+    mixed = rng.integers(0, 5, size=64).astype(np.uint8)
+    assert np.array_equal(C.decode_png(C.encode_png(px, filter_type=mixed)), px)
+    for _ in range(25):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        bpp = int(rng.choice([1, 2, 3, 4]))
+        raw = rng.integers(0, 256, size=(h, w * bpp), dtype=np.uint8)
+        fts = rng.integers(0, 5, size=h).astype(np.uint8)
+        assert np.array_equal(
+            C._unfilter_rows_scalar(fts, raw, w * bpp, bpp),
+            C._unfilter_wavefront(fts, raw, w, bpp)), (h, w, bpp)
+
+
+def test_png_paeth_unfilter_speedup_10x():
+    """Round-3 verdict #3 done-criterion: the wavefront unfilter is >=10x
+    the per-pixel spec-scalar loop on a Paeth-filtered 512x512 RGB image,
+    byte-identical output. (Measured ~20x idle; 10x leaves headroom for a
+    loaded test host.)"""
+    import time
+
+    import numpy as np
+
+    from distributed_webcrawler_spark.sources import codec as C
+
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 256, size=(512, 512 * 3), dtype=np.uint8)
+    f4 = np.full(512, 4, dtype=np.uint8)
+    t0 = time.perf_counter()
+    want = C._unfilter_rows_scalar(f4, raw, 512 * 3, 3)
+    t_scalar = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        got = C._unfilter_wavefront(f4, raw, 512, 3)
+        best = min(best, time.perf_counter() - t0)
+    assert np.array_equal(want, got)
+    assert t_scalar / best >= 10.0, (t_scalar, best)
