@@ -4426,9 +4426,15 @@ def q_image_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_webcrawler_spark.operators.multimodal import decode_stats
     from distributed_webcrawler_spark.sources import codec
 
+    # filter_type cycles 0-4 per image: the corpus carries every PNG
+    # scanline filter, so the distributed decode exercises BOTH unfilter
+    # paths (per-row numpy for None/Sub/Up, the diagonal wavefront for
+    # Avg/Paeth). The oracle is pixel-derived, so losslessness of every
+    # filter is what's being gated.
     pdf = pd.DataFrame(
-        [(iid, codec.encode_png(codec.synth_pixels(iid, w, h)))
-         for iid, w, h, _fmt in _mm_specs()],
+        [(iid, codec.encode_png(codec.synth_pixels(iid, w, h),
+                                filter_type=i % 5))
+         for i, (iid, w, h, _fmt) in enumerate(_mm_specs())],
         columns=["image_id", "bytes"])
     payloads = spark.createDataFrame(pdf).repartition(8)
     st = decode_stats(payloads).where(F.col("ok"))
@@ -4535,6 +4541,157 @@ SELECT image_id, fmt, cast(w as int) AS w, cast(h as int) AS h,
 FROM (VALUES
 {vals}
 ) AS t(image_id, fmt, w, h, psnr_db, meets_40db)
+ORDER BY image_id
+"""
+
+
+_JPEG_SWEEP_QUALITIES = [50, 75, 85, 90, 95, 100]
+_JPEG_SWEEP_N = 12
+
+
+def _jpeg_sweep_specs() -> list:
+    import hashlib
+
+    specs = []
+    for i in range(_JPEG_SWEEP_N):
+        hw = int(hashlib.md5(f"jsw:{i}".encode()).hexdigest()[:8], 16)
+        hh = int(hashlib.md5(f"jsh:{i}".encode()).hexdigest()[:8], 16)
+        specs.append((f"swp-{i:03d}", 24 + hw % 33, 24 + hh % 33))
+    return specs
+
+
+def q_jpeg_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG rate/distortion sweep — the compression-tradeoff measurement a
+    training-data pipeline runs before choosing a storage quality: the
+    SAME photo corpus encoded at 6 quality levels, decoded through the
+    distributed Arrow stage, per-row PSNR + bits-per-pixel. Per-IMAGE
+    rows (no float aggregation) so the gate is exact across engines; the
+    curve is a trivial group-by for the reader. Pixels stay inside the
+    mapInPandas task; the join back to byte sizes is id-keyed and
+    corpus-dimension sized."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import decode_fidelity
+    from distributed_webcrawler_spark.sources import codec
+    from distributed_webcrawler_spark.sources import jpeg as jpeglib
+
+    def _ref(image_id, w, h):
+        from distributed_webcrawler_spark.sources import codec as _c
+
+        return _c.synth_pixels_photo(image_id.split("|", 1)[1], w, h)
+
+    rows = []
+    for q in _JPEG_SWEEP_QUALITIES:
+        for iid, w, h in _jpeg_sweep_specs():
+            px = codec.synth_pixels_photo(iid, w, h)
+            data = jpeglib.encode_jpeg(px, quality=q, subsampling="4:4:4")
+            rows.append((f"q{q:03d}|{iid}", data, q, len(data)))
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "quality", "n_bytes"])
+    pay = spark.createDataFrame(pdf[["image_id", "bytes"]]).repartition(8)
+    meta = F.broadcast(spark.createDataFrame(pdf[["image_id", "quality", "n_bytes"]]))
+    fid = decode_fidelity(pay, ref_pixels=_ref).where(F.col("ok"))
+    return (fid.join(meta, "image_id")
+            .select(F.col("quality").cast("int").alias("quality"),
+                    "image_id",
+                    F.col("w").cast("int").alias("w"),
+                    F.col("h").cast("int").alias("h"),
+                    "psnr_db",
+                    F.round(F.col("n_bytes") * 8.0 / (F.col("w") * F.col("h")), 4)
+                     .alias("bits_per_px"))
+            .orderBy("quality", "image_id"))
+
+
+def _jpeg_sweep_sql() -> str:
+    from distributed_webcrawler_spark.sources import codec
+    from distributed_webcrawler_spark.sources import jpeg as jpeglib
+
+    rows = []
+    for q in _JPEG_SWEEP_QUALITIES:
+        for iid, w, h in _jpeg_sweep_specs():
+            px = codec.synth_pixels_photo(iid, w, h)
+            data = jpeglib.encode_jpeg(px, quality=q, subsampling="4:4:4")
+            p = codec.psnr(px, jpeglib.decode_jpeg(data))
+            p = 99.0 if p == float("inf") else round(float(p), 4)
+            bpp = round(len(data) * 8.0 / (w * h), 4)
+            rows.append(f"({q}, 'q{q:03d}|{iid}', {w}, {h}, "
+                        f"cast({p!r} as double), cast({bpp!r} as double))")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT cast(quality as int) AS quality, image_id, cast(w as int) AS w,
+       cast(h as int) AS h, psnr_db, bits_per_px
+FROM (VALUES
+{vals}
+) AS t(quality, image_id, w, h, psnr_db, bits_per_px)
+ORDER BY quality, image_id
+"""
+
+
+_MIXED_WIRES = ["dws1-png", "dws1-jpeg", "dws1-webp", "real-png", "real-jpeg"]
+
+
+def q_mixed_format_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format-agnostic corpus: DWS1 containers, real PNG (mixed
+    scanline filters) and real baseline JPEG interleaved in ONE binary
+    column, decoded by the single magic-sniffing decode stage — the
+    input_hint's fmt column realized end-to-end. Gates per-image decoded
+    dims + phash (for lossy wires, the phash of the DECODED pixels, so
+    codec determinism itself is under the gate). Same scale shape as
+    every decode query: 16-byte stat rows shuffle, pixels never do."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import decode_stats
+    from distributed_webcrawler_spark.sources import codec
+    from distributed_webcrawler_spark.sources import jpeg as jpeglib
+
+    rows = []
+    for i, (iid, w, h, _fmt) in enumerate(_mm_specs()[:120]):
+        wire = _MIXED_WIRES[i % len(_MIXED_WIRES)]
+        px = codec.synth_pixels(iid, w, h)
+        if wire == "real-png":
+            data = codec.encode_png(px, filter_type=i % 5)
+        elif wire == "real-jpeg":
+            data = jpeglib.encode_jpeg(codec.synth_pixels_photo(iid, w, h),
+                                       quality=95, subsampling="4:4:4")
+        else:
+            data = codec.encode_image(px, wire.split("-", 1)[1])
+        rows.append((f"{wire}|{iid}", data))
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes"])
+    pay = spark.createDataFrame(pdf).repartition(8)
+    st = decode_stats(pay).where(F.col("ok"))
+    return (st.select(
+                F.split_part(F.col("image_id"), F.lit("|"), F.lit(1)).alias("wire"),
+                "image_id", "fmt",
+                F.col("w").cast("int").alias("w"),
+                F.col("h").cast("int").alias("h"),
+                "phash")
+            .orderBy("image_id"))
+
+
+def _mixed_format_sql() -> str:
+    from distributed_webcrawler_spark.sources import codec
+    from distributed_webcrawler_spark.sources import jpeg as jpeglib
+
+    rows = []
+    for i, (iid, w, h, _fmt) in enumerate(_mm_specs()[:120]):
+        wire = _MIXED_WIRES[i % len(_MIXED_WIRES)]
+        px = codec.synth_pixels(iid, w, h)
+        if wire == "real-png":
+            data = codec.encode_png(px, filter_type=i % 5)
+        elif wire == "real-jpeg":
+            data = jpeglib.encode_jpeg(codec.synth_pixels_photo(iid, w, h),
+                                       quality=95, subsampling="4:4:4")
+        else:
+            data = codec.encode_image(px, wire.split("-", 1)[1])
+        dec, fmt = codec.decode_image(data)
+        rows.append(f"('{wire}', '{wire}|{iid}', '{fmt}', {dec.shape[1]}, "
+                    f"{dec.shape[0]}, {codec.phash64(dec)})")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT wire, image_id, fmt, cast(w as int) AS w, cast(h as int) AS h,
+       cast(phash as bigint) AS phash
+FROM (VALUES
+{vals}
+) AS t(wire, image_id, fmt, w, h, phash)
 ORDER BY image_id
 """
 
@@ -8113,6 +8270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_size_stats": q_image_size_stats,
         "image_real_png_decode": q_image_real_png_decode,
         "image_real_jpeg_decode": q_image_real_jpeg_decode,
+        "jpeg_quality_sweep": q_jpeg_quality_sweep,
+        "mixed_format_decode": q_mixed_format_decode,
         "clip_pair_filter": q_clip_pair_filter,
         "pair_dedup_union": q_pair_dedup_union,
         "aesthetic_score_filter": q_aesthetic_score_filter,
@@ -8291,6 +8450,8 @@ def oracle_sql() -> dict[str, str]:
         "image_size_stats": _img_stats_sql(),
         "image_real_png_decode": _real_png_sql(),
         "image_real_jpeg_decode": _real_jpeg_sql(),
+        "jpeg_quality_sweep": _jpeg_sweep_sql(),
+        "mixed_format_decode": _mixed_format_sql(),
         "clip_pair_filter": _Q_CLIP_PAIR_SQL,
         "pair_dedup_union": _pair_union_sql(),
         "aesthetic_score_filter": _aesthetic_sql(),

@@ -68,6 +68,8 @@ HEADLINE = [
     "dedup_incremental",
     "image_real_png_decode",
     "image_real_jpeg_decode",
+    "jpeg_quality_sweep",
+    "mixed_format_decode",
     "clip_pair_filter",
     "pair_dedup_union",
     "aesthetic_score_filter",

@@ -5,6 +5,11 @@ real engine on a generated fixture sized so budget-limited rounds stay
 busy for the full horizon; prints one JSON line and a per-decade table.
 
 Usage: python tools/bench_endurance.py [n_urls] [rounds] [budget]
+Env:   DWS_ENDURE_RECRAWL=k  — every k rounds evict+reinject the oldest
+       fetched URLs (TTL recrawl loop) under seen_filter="cuckoo" +
+       ShardedCuckooStore (round-3 verdict #5): adds per-phase cuckoo
+       occupancy==frontier checks and reports them with the flat-cost
+       decades. Without the env var the original pure-drain bench runs.
 """
 
 from __future__ import annotations
@@ -38,15 +43,44 @@ def main() -> None:
     try:
         datagen.write_fixture(spark, fix, n_urls=n_urls, n_hosts=40,
                               n_images=500, n_seeds=60, max_out_degree=12)
+        recrawl_every = int(os.environ.get("DWS_ENDURE_RECRAWL", "0"))
+        extra = ({"seen_filter": "cuckoo", "bloom_shards": 8}
+                 if recrawl_every else {})
         cfg = CrawlConfig(max_depth=3, budget_per_host_per_round=budget,
                           max_rounds=rounds, use_bloom=True,
                           bloom_expected_insertions=max(n_urls * 2, 1000),
-                          respect_robots=False)
+                          respect_robots=False, **extra)
         wg = spark.read.parquet(f"{fix}/web_graph")
         pay = spark.read.parquet(f"{fix}/payloads")
         seeds = spark.read.parquet(f"{fix}/seeds")
-        eng = CrawlEngine(spark, SnapshotStore(wh), cfg, wg, pay, None)
-        hist = eng.run(seeds=seeds)
+        store = SnapshotStore(wh)
+        eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+        if not recrawl_every:
+            hist = eng.run(seeds=seeds)
+            occ_checks = None
+            total_reinjected = 0
+        else:
+            from pyspark.sql import functions as F
+
+            eng.start_session(seeds)
+            hist, occ_checks, total_reinjected = [], [], 0
+            for rnd in range(1, rounds + 1):
+                stats = eng.run_round(rnd)
+                if stats.get("scheduled", 0) == 0:
+                    break
+                hist.append(stats)
+                if rnd % recrawl_every == 0:
+                    pages = store.table("pages").read(spark)
+                    due = (pages.where((F.col("status_code") == 200)
+                                       & (F.col("round") <= rnd - recrawl_every // 2))
+                           .select("session_id", "url").distinct()
+                           .orderBy("url").limit(200)).cache()
+                    res = eng.reinject_for_recrawl(due)
+                    total_reinjected += res["reinjected"]
+                    occ_checks.append(bool(
+                        eng.cuckoo_shards.occupancy()
+                        == store.table("frontier").total_rows()))
+                    due.unpersist()
         decades = {}
         for lo in range(0, len(hist), 10):
             chunk = hist[lo:lo + 10]
@@ -69,6 +103,12 @@ def main() -> None:
             "total_fetched": sum(h["scheduled"] for h in hist),
             "decades": decades,
         }
+        if occ_checks is not None:
+            out["bench"] = "endurance_recrawl"
+            out["recrawl_every"] = recrawl_every
+            out["total_reinjected"] = total_reinjected
+            out["occupancy_checks_passed"] = f"{sum(occ_checks)}/{len(occ_checks)}"
+            assert all(occ_checks), "cuckoo occupancy drifted from live frontier"
         print(json.dumps(out))
     finally:
         shutil.rmtree(fix, ignore_errors=True)

@@ -88,7 +88,13 @@ mem_gb = min(12 + 3 * cpus, 64)
 #   stages at local[32] (vs ~1s at 16); with a pinned heap G1 never
 #   uncommits, so round-1's objection to G1 no longer applies. Measured:
 #   expand_frontier 73s -> 14s at local[32] on the same fixture.
-spark = get_spark(cpus=cpus, app_name=f"dws-scaling-{{cpus}}", shuffle_partitions=64,
+# shuffle_partitions: default 64 = a CLUSTER-sized constant, identical
+# plan at every level (see comment above). DWS_SHUFFLE_PARTS overrides:
+# an int, or "4xcores" = width-scaled (how a real deployment sizes it) —
+# used by tools/bench_width_parts.py for the round-4 verdict-#6 A/B.
+_sp_env = os.environ.get("DWS_SHUFFLE_PARTS", "64")
+shuffle_parts = 4 * cpus if _sp_env == "4xcores" else int(_sp_env)
+spark = get_spark(cpus=cpus, app_name=f"dws-scaling-{{cpus}}", shuffle_partitions=shuffle_parts,
                   extra_conf={{"spark.local.dir": tempfile.mkdtemp(dir=scratch, prefix="sparklocal-"),
                                "spark.driver.memory": f"{{mem_gb}}g",
                                "spark.driver.extraJavaOptions":
@@ -163,6 +169,8 @@ decode_wall = time.monotonic() - t0
 shutil.rmtree(wh, ignore_errors=True)
 print("RESULT " + json.dumps({{"cpus": cpus, "fetched": fetched,
                                "wall": wall, "rounds": len(hist),
+                               "shuffle_parts": shuffle_parts,
+                               "stage_secs": hist[-1].get("stage_secs", {{}}),
                                "decode_n": n_decoded, "decode_wall": decode_wall}}))
 """
 
