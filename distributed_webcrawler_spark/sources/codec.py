@@ -342,25 +342,32 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
 
-def encode_png(pixels: np.ndarray, filter_type: int | np.ndarray = 0) -> bytes:
+def encode_png(pixels: np.ndarray,
+               filter_type: int | str | np.ndarray = 0) -> bytes:
     """(h, w, 3) uint8 -> real PNG bytes (8-bit truecolor, non-interlaced).
     Lossless: decode_png round-trips bit-exactly; any standards-compliant
     reader (PIL, browsers) decodes the output — asserted in the PIL
     cross-validation test where PIL exists.
 
-    ``filter_type``: scanline filter 0-4 (PNG spec §9), either one int for
-    every row or an (h,) per-row array — real-web PNGs are Paeth-heavy,
-    so tests use this to build spec-exact Avg/Paeth fixtures. Filtering
-    at encode time is fully vectorized: every predictor reads RAW (not
-    reconstructed) neighbors, so there is no recurrence."""
+    ``filter_type``: scanline filter 0-4 (PNG spec §9) — one int for
+    every row, an (h,) per-row array, or "adaptive" to pick per row by
+    the minimum-sum-of-absolute-differences heuristic real encoders
+    (libpng) use, which is what makes real-web PNGs Paeth-heavy.
+    Filtering at encode time is fully vectorized: every predictor reads
+    RAW (not reconstructed) neighbors, so there is no recurrence — the
+    adaptive pick just argmins over the five candidate rows."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise CodecError(f"expected (h,w,3) uint8, got {pixels.shape} {pixels.dtype}")
     h, w = pixels.shape[:2]
     bpp, stride = 3, w * 3
-    ftypes = np.full(h, filter_type, dtype=np.uint8) \
-        if np.isscalar(filter_type) else np.asarray(filter_type, dtype=np.uint8)
-    if ftypes.shape != (h,) or ftypes.max(initial=0) > 4:
-        raise CodecError("filter_type must be 0-4, scalar or shape (h,)")
+    adaptive = isinstance(filter_type, str)
+    if adaptive and filter_type != "adaptive":
+        raise CodecError(f"unknown filter_type {filter_type!r}")
+    if not adaptive:
+        ftypes = np.full(h, filter_type, dtype=np.uint8) \
+            if np.isscalar(filter_type) else np.asarray(filter_type, dtype=np.uint8)
+        if ftypes.shape != (h,) or ftypes.max(initial=0) > 4:
+            raise CodecError("filter_type must be 0-4, scalar or shape (h,)")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, truecolor
     flat = pixels.reshape(h, stride).astype(np.int16)
     left = np.zeros_like(flat)
@@ -372,9 +379,17 @@ def encode_png(pixels: np.ndarray, filter_type: int | np.ndarray = 0) -> bytes:
     p = left + up - ul
     pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
     paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+    preds = np.stack([np.zeros_like(flat), left, up,
+                      (left + up) >> 1, paeth])          # (5, h, stride)
+    if adaptive:
+        cand = (flat[None] - preds) & 0xFF               # (5, h, stride)
+        # MSAD: sum per row of the filtered bytes as SIGNED (libpng's
+        # heuristic — small residuals compress best)
+        cost = np.abs(((cand + 127) & 0xFF) - 127).sum(axis=2)
+        ftypes = cost.argmin(axis=0).astype(np.uint8)
     f = ftypes[:, None]
     pred = np.select([f == 1, f == 2, f == 3, f == 4],
-                     [left, up, (left + up) >> 1, paeth], default=0)
+                     [preds[1], preds[2], preds[3], preds[4]], default=0)
     raw = np.empty((h, 1 + stride), dtype=np.uint8)
     raw[:, 0] = ftypes
     raw[:, 1:] = ((flat - pred) & 0xFF).astype(np.uint8)
