@@ -1861,6 +1861,84 @@ FROM (VALUES
 """
 
 
+def _wav_corpus() -> list:
+    """(audio_id, real WAV bytes) — half written by our encode_wav, half
+    by python's stdlib `wave` module (an independent RIFF emitter), so
+    the distributed decode is gated against bytes we did NOT produce."""
+    import io
+    import wave as wavelib
+
+    from distributed_webcrawler_spark.sources import codec
+
+    out = []
+    for i, (aid, n, sr, _fmt) in enumerate(_au_specs()[:48]):
+        x = codec.synth_pcm(aid, n, sr)
+        if i % 2:
+            data = codec.encode_wav(x, sr)
+        else:
+            buf = io.BytesIO()
+            with wavelib.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes(x.tobytes())
+            data = buf.getvalue()
+        out.append((f"wav-{aid}", data))
+    return out
+
+
+def q_audio_real_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE wire bytes through the SAME Arrow-batched audio
+    decode stage (decode_audio magic sniff — the audio twin of
+    image_real_png_decode): per-clip duration/RMS/zero-crossings/
+    spectral-centroid/fingerprint must equal the values computed straight
+    from the source PCM (WAV is lossless). Half the corpus is emitted by
+    python's stdlib `wave` module, so the parser is gated against an
+    independent writer's bytes, not just its own encoder's."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import audio_stats
+
+    pdf = pd.DataFrame(_wav_corpus(), columns=["audio_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    return (audio_stats(payloads).where(F.col("ok"))
+            .select("audio_id", "fmt", "sr", "n_samples", "duration_ms",
+                    "rms", "zcr", "centroid_hz", "afp")
+            .orderBy("audio_id"))
+
+
+def _wav_sql() -> str:
+    import numpy as np
+
+    from distributed_webcrawler_spark.sources import codec
+
+    rows = []
+    for aid, data in _wav_corpus():
+        x, sr, fmt = codec.decode_audio(data)
+        xf = x.astype(np.float64)
+        rms = float(np.sqrt(np.mean(xf * xf)))
+        zcr = float(np.mean(np.signbit(xf[1:]) != np.signbit(xf[:-1])))
+        spec = np.abs(np.fft.rfft(xf))
+        freqs = np.fft.rfftfreq(len(xf), 1.0 / sr)
+        denom = float(spec.sum())
+        centroid = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
+        rows.append(f"('{aid}', '{fmt}', {sr}, {len(x)}, "
+                    f"{len(x) * 1000 // sr}, {round(rms, 4)!r}, "
+                    f"{round(zcr, 6)!r}, {round(centroid, 4)!r}, "
+                    f"{codec.afp64(x)})")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT audio_id, fmt, cast(sr as int) AS sr, cast(n_samples as int) AS n_samples,
+       cast(duration_ms as int) AS duration_ms, cast(rms as double) AS rms,
+       cast(zcr as double) AS zcr, cast(centroid_hz as double) AS centroid_hz,
+       cast(afp as bigint) AS afp
+FROM (VALUES
+{vals}
+) AS t(audio_id, fmt, sr, n_samples, duration_ms, rms, zcr, centroid_hz, afp)
+ORDER BY audio_id
+"""
+
+
 _PN_N = 96
 
 
@@ -8272,6 +8350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_real_jpeg_decode": q_image_real_jpeg_decode,
         "jpeg_quality_sweep": q_jpeg_quality_sweep,
         "mixed_format_decode": q_mixed_format_decode,
+        "audio_real_wav_decode": q_audio_real_wav_decode,
         "clip_pair_filter": q_clip_pair_filter,
         "pair_dedup_union": q_pair_dedup_union,
         "aesthetic_score_filter": q_aesthetic_score_filter,
@@ -8452,6 +8531,7 @@ def oracle_sql() -> dict[str, str]:
         "image_real_jpeg_decode": _real_jpeg_sql(),
         "jpeg_quality_sweep": _jpeg_sweep_sql(),
         "mixed_format_decode": _mixed_format_sql(),
+        "audio_real_wav_decode": _wav_sql(),
         "clip_pair_filter": _Q_CLIP_PAIR_SQL,
         "pair_dedup_union": _pair_union_sql(),
         "aesthetic_score_filter": _aesthetic_sql(),

@@ -227,7 +227,14 @@ def encode_audio(samples: np.ndarray, sr: int, fmt: str) -> bytes:
 
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int, str]:
-    """container bytes -> (1-D int16 samples, sample_rate, fmt)."""
+    """audio bytes -> (1-D int16 samples, sample_rate, fmt). Sniffs the
+    wire: REAL RIFF/WAVE (pure-stdlib parser below — real audio decodes
+    in any container) or the DWSA stand-in; one dispatch point exactly
+    like decode_image, so real and stand-in clips mix in one corpus."""
+    if isinstance(data, (bytes, bytearray)) and len(data) >= 12 \
+            and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        samples, sr = decode_wav(bytes(data))
+        return samples, sr, "wav"
     if not isinstance(data, (bytes, bytearray)) or len(data) < 13 or data[:4] != AUDIO_MAGIC:
         raise CodecError("bad audio magic")
     fmt_code, sr, n = struct.unpack("<BII", bytes(data[4:13]))
@@ -237,6 +244,57 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int, str]:
     if len(raw) != n * 2:
         raise CodecError("audio payload size mismatch")
     return np.frombuffer(raw, dtype=np.int16), sr, _AUDIO_NAMES[fmt_code]
+
+
+def encode_wav(samples: np.ndarray, sr: int) -> bytes:
+    """1-D int16 mono PCM -> REAL RIFF/WAVE bytes (canonical 44-byte
+    header, PCM format 1, 16-bit) — the public Microsoft/IBM wire format;
+    any standards reader (python's `wave`, ffmpeg, browsers) plays the
+    output and decode_wav round-trips bit-exactly."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise CodecError(f"expected 1-D int16, got {samples.shape} {samples.dtype}")
+    if not 1 <= sr <= 0xFFFFFFFF:
+        raise CodecError("bad sample rate")
+    payload = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)  # PCM, mono, 16-bit
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL RIFF/WAVE bytes -> (1-D int16 mono samples, sample_rate).
+    Chunk-order-agnostic parser: PCM (format 1) at 8 or 16 bits, mono or
+    stereo (stereo is averaged to mono — the pipeline's sample space,
+    same policy as decode_png dropping alpha). Extensible/float formats
+    raise CodecError."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise CodecError("bad wav magic")
+    off, fmt_chunk, payload = 12, None, None
+    while off + 8 <= len(data):
+        cid = data[off:off + 4]
+        (ln,) = struct.unpack("<I", data[off + 4:off + 8])
+        chunk = data[off + 8:off + 8 + ln]
+        off += 8 + ln + (ln & 1)            # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt_chunk = chunk
+        elif cid == b"data":
+            payload = chunk
+    if fmt_chunk is None or payload is None:
+        raise CodecError("wav missing fmt /data chunk")
+    audio_fmt, n_ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", fmt_chunk[:16])
+    if audio_fmt != 1:
+        raise CodecError(f"unsupported wav format {audio_fmt} (PCM only)")
+    if n_ch not in (1, 2) or bits not in (8, 16):
+        raise CodecError(f"unsupported wav layout ch={n_ch} bits={bits}")
+    if bits == 16:
+        x = np.frombuffer(payload[: len(payload) & ~1], dtype="<i2").astype(np.int32)
+    else:                                   # 8-bit wav is UNSIGNED per spec
+        x = (np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 128) << 8
+    if n_ch == 2:
+        x = x[: len(x) & ~1].reshape(-1, 2).mean(axis=1).astype(np.int32)
+    return np.clip(x, -32768, 32767).astype(np.int16), sr
 
 
 def afp64(samples: np.ndarray) -> int:
