@@ -70,6 +70,7 @@ HEADLINE = [
     "image_real_jpeg_decode",
     "jpeg_quality_sweep",
     "mixed_format_decode",
+    "audio_real_wav_decode",
     "clip_pair_filter",
     "pair_dedup_union",
     "aesthetic_score_filter",
