@@ -4623,6 +4623,80 @@ ORDER BY image_id
 """
 
 
+_MJ_N = 24
+
+
+def _mjpeg_specs() -> list:
+    import hashlib
+
+    specs = []
+    for i in range(_MJ_N):
+        hw = int(hashlib.md5(f"mjw:{i}".encode()).hexdigest()[:8], 16)
+        hn = int(hashlib.md5(f"mjn:{i}".encode()).hexdigest()[:8], 16)
+        specs.append((f"mj-{i:04d}", 24 + hw % 25, 20 + (hw >> 8) % 21,
+                      3 + hn % 6))
+    return specs
+
+
+def _mjpeg_payload(video_id: str, w: int, h: int, n: int) -> bytes:
+    """Photo-spectrum frames (rolled per index = motion) -> REAL RIFF-AVI
+    Motion-JPEG bytes."""
+    import numpy as np
+
+    from distributed_webcrawler_spark.sources import codec
+
+    base = codec.synth_pixels_photo(video_id, w, h)
+    frames = [np.roll(base, 2 * i, axis=1) for i in range(n)]
+    return codec.encode_avi_mjpeg(frames, fps=12)
+
+
+def q_video_real_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF-AVI Motion-JPEG through the SAME frame-sampling stage as
+    the DWSV stand-in (decode_video magic sniff — the video twin of
+    image_real_png_decode): every 2nd frame's decoded gray_mean + phash
+    must equal the driver-side reference pass over identical bytes. The
+    container is the public Microsoft AVI format with per-frame baseline
+    JPEG, so both layers of the wire (RIFF chunk walk, entropy-coded
+    frames) are under the distributed gate; pixels never leave the
+    mapInPandas task."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import frame_sample
+
+    pdf = pd.DataFrame(
+        [(vid, _mjpeg_payload(vid, w, h, n)) for vid, w, h, n in _mjpeg_specs()],
+        columns=["video_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    return (frame_sample(payloads, every_n=2).where(F.col("ok"))
+            .select("video_id", "fmt", "frame_idx", "t_ms", "n_frames",
+                    "w", "h", "gray_mean", "phash")
+            .orderBy("video_id", "frame_idx"))
+
+
+def _mjpeg_sql() -> str:
+    from distributed_webcrawler_spark.sources import codec
+
+    rows = []
+    for vid, w, h, n in _mjpeg_specs():
+        frames, fmt, fps = codec.decode_video(_mjpeg_payload(vid, w, h, n))
+        for i in range(0, len(frames), 2):
+            px = frames[i]
+            gm = round(float(px.astype("float64").mean()), 4)
+            rows.append(f"('{vid}', '{fmt}', {i}, {i * 1000 // fps}, {n}, "
+                        f"{w}, {h}, {gm!r}, {codec.phash64(px)})")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT video_id, fmt, cast(frame_idx as int) AS frame_idx,
+       cast(t_ms as int) AS t_ms, cast(n_frames as int) AS n_frames,
+       cast(w as int) AS w, cast(h as int) AS h,
+       cast(gray_mean as double) AS gray_mean, cast(phash as bigint) AS phash
+FROM (VALUES
+{vals}
+) AS t(video_id, fmt, frame_idx, t_ms, n_frames, w, h, gray_mean, phash)
+ORDER BY video_id, frame_idx
+"""
+
+
 _JPEG_SWEEP_QUALITIES = [50, 75, 85, 90, 95, 100]
 _JPEG_SWEEP_N = 12
 
@@ -8351,6 +8425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_quality_sweep": q_jpeg_quality_sweep,
         "mixed_format_decode": q_mixed_format_decode,
         "audio_real_wav_decode": q_audio_real_wav_decode,
+        "video_real_mjpeg_decode": q_video_real_mjpeg_decode,
         "clip_pair_filter": q_clip_pair_filter,
         "pair_dedup_union": q_pair_dedup_union,
         "aesthetic_score_filter": q_aesthetic_score_filter,
@@ -8532,6 +8607,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_quality_sweep": _jpeg_sweep_sql(),
         "mixed_format_decode": _mixed_format_sql(),
         "audio_real_wav_decode": _wav_sql(),
+        "video_real_mjpeg_decode": _mjpeg_sql(),
         "clip_pair_filter": _Q_CLIP_PAIR_SQL,
         "pair_dedup_union": _pair_union_sql(),
         "aesthetic_score_filter": _aesthetic_sql(),

@@ -71,6 +71,7 @@ HEADLINE = [
     "jpeg_quality_sweep",
     "mixed_format_decode",
     "audio_real_wav_decode",
+    "video_real_mjpeg_decode",
     "clip_pair_filter",
     "pair_dedup_union",
     "aesthetic_score_filter",

@@ -160,7 +160,14 @@ def encode_video(frames: list, fmt: str, fps: int = 8) -> bytes:
 
 
 def decode_video(data: bytes) -> tuple[list, str, int]:
-    """container bytes -> (list of (h, w, 3) uint8 frames, fmt, fps)."""
+    """video bytes -> (list of (h, w, 3) uint8 frames, fmt, fps). Sniffs
+    the wire: REAL RIFF-AVI MJPEG (pure-stdlib parser below — baseline
+    JPEG per frame via sources/jpeg.py) or the DWSV stand-in; one
+    dispatch point exactly like decode_image/decode_audio."""
+    if isinstance(data, (bytes, bytearray)) and len(data) >= 12 \
+            and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        frames, fps = decode_avi_mjpeg(bytes(data))
+        return frames, "mjpeg", fps
     if not isinstance(data, (bytes, bytearray)) or len(data) < 8 or data[:4] != VIDEO_MAGIC:
         raise CodecError("bad video magic")
     fmt_code, fps, n = struct.unpack("<BBH", bytes(data[4:8]))
@@ -180,6 +187,91 @@ def decode_video(data: bytes) -> tuple[list, str, int]:
     if off != len(data):
         raise CodecError("trailing bytes after last frame")
     return frames, _FMT_NAMES[fmt_code], fps
+
+
+def encode_avi_mjpeg(frames: list, fps: int = 8, quality: int = 95) -> bytes:
+    """frames (same-dim (h, w, 3) uint8) -> REAL RIFF-AVI bytes, Motion
+    JPEG: the public Microsoft AVI container ('avih' main header, 'strl'
+    stream list with 'MJPG' vids stream, 'movi' 00dc chunks, 'idx1'
+    index) with each frame a real baseline JPEG (sources/jpeg.py). Any
+    standards player (ffmpeg, VLC) decodes the output; decode_avi_mjpeg
+    round-trips with the codec's q95 fidelity."""
+    from . import jpeg as _jpeg
+
+    if not frames:
+        raise CodecError("empty frame list")
+    if not 1 <= fps <= 1_000_000:
+        raise CodecError("bad fps")
+    h, w = frames[0].shape[:2]
+    blobs = []
+    for fr in frames:
+        if fr.shape != frames[0].shape:
+            raise CodecError("frame dims differ")
+        b = _jpeg.encode_jpeg(fr, quality=quality, subsampling="4:4:4")
+        blobs.append(b + (b"\x00" if len(b) & 1 else b""))  # word-align
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return cid + struct.pack("<I", len(payload)) + payload \
+            + (b"\x00" if len(payload) & 1 else b"")
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(payload)) + kind + payload
+
+    max_blob = max(len(b) for b in blobs)
+    avih = struct.pack("<14I", 1_000_000 // fps, max_blob * fps, 0, 0x10,
+                       len(frames), 0, 1, max_blob, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0,
+                          len(frames), max_blob, -1, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks, idx, off = [], [], 4
+    for b in blobs:
+        movi_chunks.append(chunk(b"00dc", b))
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(b)))
+        off += 8 + len(b) + (len(b) & 1)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes) -> tuple[list, int]:
+    """REAL RIFF-AVI bytes -> (frames, fps). Lenient chunk walker: finds
+    the 'avih' header (fps = 1e6/dwMicroSecPerFrame) and every 00dc/00db
+    chunk in the 'movi' list, decoding each as baseline JPEG. Non-MJPEG
+    streams fail per-frame in the JPEG decoder with a clear error."""
+    from . import jpeg as _jpeg
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise CodecError("bad avi magic")
+    fps, frames = 8, []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal fps
+        off = lo
+        while off + 8 <= hi:
+            cid = data[off:off + 4]
+            (ln,) = struct.unpack("<I", data[off + 4:off + 8])
+            body_lo, body_hi = off + 8, min(off + 8 + ln, hi)
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)      # skip the list-kind fourcc
+            elif cid == b"avih" and ln >= 4:
+                (mspf,) = struct.unpack("<I", data[body_lo:body_lo + 4])
+                if mspf:
+                    fps = max(1, round(1_000_000 / mspf))
+            elif cid in (b"00dc", b"00db") and ln > 0:
+                frames.append(_jpeg.decode_jpeg(
+                    bytes(data[body_lo:body_hi]).rstrip(b"\x00")))
+            off += 8 + ln + (ln & 1)
+
+    walk(12, min(len(data), 8 + struct.unpack("<I", data[4:8])[0]))
+    if not frames:
+        raise CodecError("avi contains no video frames")
+    return frames, fps
 
 
 def synth_video(video_id: str, w: int, h: int, n_frames: int) -> list:

@@ -259,3 +259,34 @@ def test_png_adaptive_filter_round_trips_and_compresses():
     rng = np.random.default_rng(0)
     nz = rng.integers(0, 256, size=(21, 35, 3), dtype=np.uint8)
     assert np.array_equal(C.decode_png(C.encode_png(nz, "adaptive")), nz)
+
+
+def test_avi_mjpeg_container_round_trip_and_structure():
+    """REAL RIFF-AVI Motion-JPEG: container fields match the public AVI
+    spec (avih fps, MJPG stream fourcc, word-aligned 00dc chunks, idx1),
+    frames round-trip at the JPEG codec's q95 fidelity, DWSV still
+    decodes through the same decode_video sniff, and truncation fails
+    loudly."""
+    import struct
+
+    import numpy as np
+
+    from distributed_webcrawler_spark.sources import codec as C
+
+    frames = [np.roll(C.synth_pixels_photo("avi-fix", 36, 28), 3 * i, axis=1)
+              for i in range(5)]
+    data = C.encode_avi_mjpeg(frames, fps=10)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert b"MJPG" in data[:300] and b"00dc" in data and b"idx1" in data
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    assert riff_len == len(data) - 8
+    dec, fmt, fps = C.decode_video(data)
+    assert fmt == "mjpeg" and fps == 10 and len(dec) == 5
+    assert min(C.psnr(a, b) for a, b in zip(frames, dec)) >= 40.0
+    # the DWSV stand-in still routes through the same function
+    f2, fmt2, _ = C.decode_video(C.encode_video(frames, "png", fps=8))
+    assert fmt2 == "png" and np.array_equal(f2[0], frames[0])
+    import pytest as _pytest
+
+    with _pytest.raises(C.CodecError):
+        C.decode_video(data[:40])
