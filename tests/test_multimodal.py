@@ -270,3 +270,45 @@ def test_channel_histogram_matches_numpy_and_skips_corrupt(spark):
         for b in range(16):
             assert got.get((c, b), 0) == acc[c][b], (c, b)
     assert sum(got.values()) == 3 * npx
+
+
+def test_decode_fidelity_psnr_and_corrupt_rows(spark):
+    """decode_fidelity (round-4): per-row PSNR vs executor-side
+    regenerated reference pixels — lossless payloads hit the 99.0
+    sentinel, real-JPEG payloads land in the q95 photo band (>=40dB),
+    junk becomes ok=false rows instead of failing the task."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.sources import jpeg as J
+
+    rows = []
+    for i in range(6):
+        iid = f"fid-{i:03d}"
+        px = codec.synth_pixels_photo(iid, 30, 24)
+        data = (codec.encode_png(px) if i % 2
+                else J.encode_jpeg(px, quality=95, subsampling="4:4:4"))
+        rows.append((iid, data))
+    rows.append(("fid-junk", b"not an image"))
+    payloads = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes"]))
+    got = {r.image_id: r for r in M.decode_fidelity(payloads).collect()}
+    assert len(got) == 7
+    assert not got["fid-junk"].ok and got["fid-junk"].err
+    for i in range(6):
+        r = got[f"fid-{i:03d}"]
+        assert r.ok
+        if i % 2:   # png lossless -> finite sentinel
+            assert r.psnr_db == 99.0 and r.fmt == "png"
+        else:       # real jpeg q95 photo corpus
+            assert r.fmt == "jpeg" and 40.0 <= r.psnr_db < 99.0
+
+
+def test_jpeg_sweep_join_is_broadcast(spark):
+    """The sweep's byte-size join must be a BroadcastHashJoin (corpus
+    dimension broadcast into the fidelity stats), never a shuffle."""
+    import __spark_entry__ as E
+
+    plan = E.q_jpeg_quality_sweep(spark, "/unused")._jdf.queryExecution() \
+            .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
