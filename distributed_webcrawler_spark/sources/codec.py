@@ -24,20 +24,19 @@ payload = H*W*3 uint8 RGB (quantized for lossy formats).
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 
 import numpy as np
+
+from .codec_errors import CodecError
 
 MAGIC = b"DWS1"
 _FMT_CODES = {"png": 0, "jpeg": 1, "webp": 2}
 _FMT_NAMES = {v: k for k, v in _FMT_CODES.items()}
 # bits kept per channel; png lossless
 _FMT_BITS = {"png": 8, "jpeg": 6, "webp": 7}
-
-
-class CodecError(ValueError):
-    pass
 
 
 def _quantize(pixels: np.ndarray, bits: int) -> np.ndarray:
@@ -367,6 +366,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     while off + 8 <= len(data):
         cid = data[off:off + 4]
         (ln,) = struct.unpack("<I", data[off + 4:off + 8])
+        if ln > len(data) - off - 8:        # chunk length lies past the buffer
+            raise CodecError("truncated wav chunk")
         chunk = data[off + 8:off + 8 + ln]
         off += 8 + ln + (ln & 1)            # chunks are word-aligned
         if cid == b"fmt ":
@@ -375,6 +376,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             payload = chunk
     if fmt_chunk is None or payload is None:
         raise CodecError("wav missing fmt /data chunk")
+    if len(fmt_chunk) < 16:                 # untrusted input: short fmt chunk
+        raise CodecError("short wav fmt chunk")
     audio_fmt, n_ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", fmt_chunk[:16])
     if audio_fmt != 1:
         raise CodecError(f"unsupported wav format {audio_fmt} (PCM only)")
@@ -588,8 +591,37 @@ def _unfilter_rows_scalar(ftypes: np.ndarray, scans: np.ndarray,
     return out
 
 
+def _unfilter_wavefront_banded(ftypes: np.ndarray, scans: np.ndarray,
+                               w: int, bpp: int) -> np.ndarray:
+    """Memory-bounded driver for _unfilter_wavefront (round-4 advice):
+    the diagonal-major buffers are (h+w+1, h+1, bpp) int16 — O((h+w)*h),
+    not O(h*w) — so a 10000x100 RGB PNG would allocate ~1.2 GB for a
+    3 MB image, a memory-bomb vector on untrusted crawled bytes. Filters
+    only ever reach one row up, so we sweep in row bands, seeding each
+    band's wavefront with the previous band's last reconstructed row;
+    band height is chosen so each buffer stays near ~64 MB regardless of
+    the image's aspect ratio, making peak memory proportional to the
+    band, not the full diagonal square."""
+    h = len(ftypes)
+    budget = 32 << 20                      # int16 cells per buffer (~64 MB)
+    # largest band with (band + w) * band * bpp <= budget
+    disc = w * w + 4 * (budget // bpp)
+    band = max(64, (math.isqrt(disc) - w) // 2)
+    if band >= h:
+        return _unfilter_wavefront(ftypes, scans, w, bpp)
+    out = np.empty((h, w * bpp), dtype=np.uint8)
+    prev = None
+    for y0 in range(0, h, band):
+        y1 = min(h, y0 + band)
+        out[y0:y1] = _unfilter_wavefront(
+            ftypes[y0:y1], scans[y0:y1], w, bpp, prev_row=prev)
+        prev = out[y1 - 1]
+    return out
+
+
 def _unfilter_wavefront(ftypes: np.ndarray, scans: np.ndarray,
-                        w: int, bpp: int) -> np.ndarray:
+                        w: int, bpp: int,
+                        prev_row: np.ndarray | None = None) -> np.ndarray:
     """Vectorized un-filtering for Average/Paeth scanlines (round-3
     verdict #3 -- real-web PNGs are Paeth-heavy and the per-pixel python
     loop was the next live-ingest bottleneck).
@@ -617,6 +649,11 @@ def _unfilter_wavefront(ftypes: np.ndarray, scans: np.ndarray,
     Pc = np.zeros((n_diag + 2, h + 1, bpp), dtype=np.int16)
     Pc[dg, yg] = c                      # one vectorized scatter in
     P = np.zeros_like(Pc)
+    if prev_row is not None:
+        # seed the y=-1 context row (band continuation): cell (-1, i)
+        # lives at (dg=i+1, yg=0), so up/upper-left reads of the band's
+        # first row see the previous band's last reconstructed row
+        P[1:w + 1, 0] = prev_row.reshape(w, bpp).astype(np.int16)
     f_all = ftypes.astype(np.int16)
     uniq = np.unique(f_all)
     uniform = int(uniq[0]) if len(uniq) == 1 else None
@@ -695,7 +732,7 @@ def decode_png(data: bytes) -> np.ndarray:
     if (ftypes >= 3).any():
         # Average/Paeth present: one wavefront sweep reconstructs every
         # row (mixed filters included) in h+w-1 vectorized steps
-        out = _unfilter_wavefront(ftypes, scans, w, bpp)
+        out = _unfilter_wavefront_banded(ftypes, scans, w, bpp)
     else:
         # None/Sub/Up only (what our own encoder emits by default):
         # per-row numpy, no python-per-pixel work

@@ -33,11 +33,16 @@ import struct
 
 import numpy as np
 
+from .codec_errors import CodecError
+
 __all__ = ["encode_jpeg", "decode_jpeg", "JpegError"]
 
 
-class JpegError(ValueError):
-    pass
+class JpegError(CodecError):
+    """Malformed/unsupported JPEG. Subclasses CodecError so every
+    `except CodecError` handler in the pipeline (decode_stats,
+    decode_fidelity, engine payload decode) turns a bad crawled payload
+    into an ok=false row instead of failing the Spark task."""
 
 
 # --------------------------------------------------------------- tables
@@ -437,9 +442,25 @@ def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF/EXIF bytes -> (h, w, 3) uint8 RGB. Supports SOF0,
-    8-bit, 1 or 3 components, any sampling factors up to 2x2, restart
+    8-bit, 1 or 3 components, sampling factors 1 or 2 per axis, restart
     markers, tables in any marker order. Progressive/arithmetic raise
-    JpegError (caller may fall back to Pillow)."""
+    JpegError (caller may fall back to Pillow).
+
+    Contract: EVERY failure on malformed bytes is JpegError (a
+    CodecError) — crawled payloads are untrusted, and a raw
+    struct.error/ValueError/StopIteration here would escape the
+    pipeline's `except CodecError` handlers and kill the Spark task
+    (StopIteration inside a generator-based mapInPandas body is the
+    nastiest variant: it silently truncates iteration)."""
+    try:
+        return _decode_jpeg_impl(data)
+    except JpegError:
+        raise
+    except Exception as e:  # struct.error, ValueError, IndexError, ...
+        raise JpegError(f"malformed jpeg: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("bad jpeg magic")
     qtabs: dict[int, np.ndarray] = {}
@@ -460,6 +481,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 0xF
+                end = j + (65 if pq == 0 else 129)
+                if end > len(seg):
+                    raise JpegError("truncated DQT segment")
                 if pq == 0:
                     tab = np.frombuffer(seg[j + 1:j + 65], dtype=np.uint8)
                     j += 65
@@ -482,10 +506,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise JpegError(f"unsupported precision {prec}")
+            if len(seg) < 6 + 3 * nc or fh == 0 or fw == 0:
+                raise JpegError("truncated/degenerate SOF segment")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                hs, vs = hv >> 4, hv & 0xF
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise JpegError(f"unsupported sampling {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -498,9 +527,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
             scan = []
+            by_id = {x["id"]: x for x in frame["comps"]}
             for c in range(ns):
+                if 2 + 2 * c >= len(seg):
+                    raise JpegError("truncated SOS segment")
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                comp = by_id.get(cs)
+                if comp is None:  # dict miss, never StopIteration
+                    raise JpegError(f"SOS references unknown component {cs}")
                 scan.append((comp, tt >> 4, tt & 0xF))
             intervals, i = _split_entropy(data, i)
             return _decode_scan(frame, scan, qtabs, htabs,
