@@ -5469,10 +5469,15 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingle_table(docs, _MH_K, _MH_CHARS)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     sha = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    shb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # the matching shingle is named sh_a on BOTH sides so the second join
+    # carries the (id_b, sh_a) equi-key pair EXPLICITLY — r4 verdict #3:
+    # the old form joined on id_b alone and trusted Catalyst to hoist a
+    # post-join sh_a == sh_b filter into the hash keys; if that rewrite
+    # ever failed the plan would be |pairs|·sz_a·sz_b. test_plans pins
+    # the physical plan (no BNLJ/Cartesian) either way.
+    shb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_a"))
     inter = (pairs.join(sha, "id_a")
-             .join(shb, "id_b")
-             .where(F.col("sh_a") == F.col("sh_b"))
+             .join(shb, ["id_b", "sh_a"])
              .groupBy("id_a", "id_b", "est_sim")
              .agg(F.count("*").alias("inter")))
     exact = F.round(F.col("inter")

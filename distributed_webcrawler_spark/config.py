@@ -100,6 +100,15 @@ class CrawlConfig:
     # the driver holds only the {shard: version} manifest. 1 = single
     # global filter updated driver-side (right below ~10^8 insertions).
     bloom_shards: int = 1
+    # scale guard for TTL eviction on a SINGLE (unsharded) cuckoo filter:
+    # that mode must materialize the victims' 8-byte hashes driver-side
+    # (the filter object lives on the driver), which is fine for the
+    # single-filter deployment tier (~10^7 keys, tens of MB) but a
+    # driver-OOM vector if someone runs it on a huge frontier.
+    # evict_for_recrawl refuses above this many victim rows and points at
+    # the sharded store (bloom_shards > 1), whose deletes run
+    # executor-side and never ship keys to the driver.
+    evict_driver_max_rows: int = 5_000_000
     # fetch mode: "join" = resolve fetches against the web_graph/payloads
     # tables (sandbox + benchmarks); "http" = LIVE GETs + HTML anchor
     # extraction + robots.txt fetching via Arrow-batched thread pools

@@ -38,39 +38,66 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _graph_setup(edges, src, dst):
+    """Shared iterative-operator setup: the distinct edge set and node
+    table, eagerly localCheckpoint()ed so every iteration's query plans
+    against a materialized RDD scan instead of re-analyzing the full
+    source lineage (measured: per-iteration planning dominated the wall
+    on host-tier graphs — r4 verdict #8), then coalesced to a partition
+    count that follows the GRAPH's size rather than the session shuffle
+    default (the repo's width-parts measured truth: partitions follow
+    data volume). At the 10^10-edge tier the counts leave the layout at
+    the session default; a host-tier graph collapses to a handful of
+    partitions so 10+ iteration stages stop paying 64 empty tasks each.
+
+    Returns (e, nodes, n_nodes)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+              .distinct().localCheckpoint(eager=True))
+    n_edges = e.count()
+    nodes = (e.select(F.col("src").alias("id"))
+              .unionByName(e.select(F.col("dst").alias("id")))
+              .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    default = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(1, min(default, -(-max(n, n_edges // 8) // 50_000)))
+    if parts < e.rdd.getNumPartitions():
+        e = e.coalesce(parts)
+    if parts < nodes.rdd.getNumPartitions():
+        nodes = nodes.coalesce(parts)
+    return e, nodes, n
+
+
 def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
              src: str = "src", dst: str = "dst") -> DataFrame:
     """(id, rank) after ``n_iter`` power iterations over the distinct edge
-    set. Ranks sum to 1 (modulo the per-iteration 1e-12 rounding)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
-    nodes = (e.select(F.col("src").alias("id"))
-              .unionByName(e.select(F.col("dst").alias("id")))
-              .distinct().persist())
-    n = nodes.count()
-    deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    set. Ranks sum to 1 (modulo the per-iteration 1e-12 rounding).
+
+    Per iteration, ONE Spark query: the dangling-mass scalar rides the
+    rank-update query as a broadcast one-row aggregate (the repo's
+    documented scalar-broadcast carve-out) instead of a separate
+    .first() job — r4 verdict #8: on host-tier graphs the loop's wall
+    was per-query planning/scheduling, not data."""
+    e, nodes, n = _graph_setup(edges, src, dst)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
     teleport = (1.0 - damping) / n
     r = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    try:
-        for _ in range(n_iter):
-            dangling = (r.join(deg.withColumnRenamed("src", "id"), "id", "left_anti")
-                          .agg(F.sum("rank")).first()[0]) or 0.0
-            contribs = (e.join(r.withColumnRenamed("id", "src"), "src")
-                         .join(deg, "src")
-                         .select(F.col("dst").alias("id"),
-                                 (F.col("rank") / F.col("deg")).alias("c"))
-                         .groupBy("id").agg(F.sum("c").alias("contrib")))
-            r = (nodes.join(contribs, "id", "left")
-                      .select("id",
-                              F.round(F.lit(teleport)
-                                      + F.lit(damping)
-                                      * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                                         + F.lit(dangling / n)),
-                                      12).alias("rank"))
-                      .localCheckpoint(eager=True))
-    finally:
-        e.unpersist()
-        nodes.unpersist()
-        deg.unpersist()
+    for _ in range(n_iter):
+        dangling = (r.join(deg.withColumnRenamed("src", "id"), "id", "left_anti")
+                      .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")))
+        contribs = (e.join(r.withColumnRenamed("id", "src"), "src")
+                     .join(deg, "src")
+                     .select(F.col("dst").alias("id"),
+                             (F.col("rank") / F.col("deg")).alias("c"))
+                     .groupBy("id").agg(F.sum("c").alias("contrib")))
+        r = (nodes.join(contribs, "id", "left")
+                  .crossJoin(F.broadcast(dangling))
+                  .select("id",
+                          F.round(F.lit(teleport)
+                                  + F.lit(damping)
+                                  * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                                     + F.col("__dangling") / F.lit(float(n))),
+                                  12).alias("rank"))
+                  .localCheckpoint(eager=True))
     return r
 
 
@@ -91,48 +118,46 @@ def hits(edges: DataFrame, n_iter: int = 5,
 
     Scale design mirrors pagerank (10^10-edge graphs): each half-step is
     ONE equi-join of the edge table with a node-score table on its key
-    plus ONE partial/final sum keyed by the other endpoint; the
-    normalizer is a scalar aggregate (one double to the driver, same cost
-    class as a convergence check); scores are localCheckpoint()ed per
-    iteration so plan depth stays O(1) in iteration count. Mega-hub
-    fan-in lands in the sum aggregate, which map-side combines before the
-    shuffle.
+    plus ONE partial/final sum keyed by the other endpoint; each L1
+    normalizer is a broadcast one-row aggregate over the half-step's own
+    raw-sum subtree (Spark's exchange/subquery reuse computes that
+    subtree once per query — no second pass, no .first() job). The a and
+    h half-steps of one iteration fuse into a single checkpointed query
+    (r4 verdict #8: per-query planning overhead dominated host-tier
+    walls), so the loop runs n_iter+1 queries total. Mega-hub fan-in
+    lands in the sum aggregates, which map-side combine before the
+    shuffle; scores are localCheckpoint()ed per iteration so plan depth
+    stays O(1) in iteration count.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
-    nodes = (e.select(F.col("src").alias("id"))
-              .unionByName(e.select(F.col("dst").alias("id")))
-              .distinct().persist())
-    n = nodes.count()
+    e, nodes, n = _graph_setup(edges, src, dst)
+
+    def a_step(h):
+        araw = (e.join(h.withColumnRenamed("id", "src"), "src")
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.sum("h").alias("s")))
+        az = araw.agg(F.sum("s").alias("__z"))
+        return (nodes.join(araw, "id", "left")
+                     .crossJoin(F.broadcast(az))
+                     .select("id", F.round(F.coalesce(F.col("s"), F.lit(0.0))
+                                           / F.col("__z"), 12).alias("a")))
+
+    def h_step(a):
+        hraw = (e.join(a.withColumnRenamed("id", "dst"), "dst")
+                 .groupBy(F.col("src").alias("id"))
+                 .agg(F.sum("a").alias("s")))
+        hz = hraw.agg(F.sum("s").alias("__z"))
+        return (nodes.join(hraw, "id", "left")
+                     .crossJoin(F.broadcast(hz))
+                     .select("id", F.round(F.coalesce(F.col("s"), F.lit(0.0))
+                                           / F.col("__z"), 12).alias("h")))
+
     h = nodes.withColumn("h", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    a = None
-    try:
-        for _ in range(n_iter):
-            # each raw-sum table feeds TWO jobs (the scalar normalizer and
-            # the checkpointed normalized table) — persist so the edge join
-            # + agg runs once per half-step, not twice
-            araw = (e.join(h.withColumnRenamed("id", "src"), "src")
-                     .groupBy(F.col("dst").alias("id"))
-                     .agg(F.sum("h").alias("s"))
-                     .persist())
-            az = araw.agg(F.sum("s")).first()[0]
-            a = (nodes.join(araw, "id", "left")
-                      .select("id", F.round(F.coalesce(F.col("s"), F.lit(0.0))
-                                            / F.lit(az), 12).alias("a"))
-                      .localCheckpoint(eager=True))
-            araw.unpersist()
-            hraw = (e.join(a.withColumnRenamed("id", "dst"), "dst")
-                     .groupBy(F.col("src").alias("id"))
-                     .agg(F.sum("a").alias("s"))
-                     .persist())
-            hz = hraw.agg(F.sum("s")).first()[0]
-            h = (nodes.join(hraw, "id", "left")
-                      .select("id", F.round(F.coalesce(F.col("s"), F.lit(0.0))
-                                            / F.lit(hz), 12).alias("h"))
-                      .localCheckpoint(eager=True))
-            hraw.unpersist()
-    finally:
-        e.unpersist()
-        nodes.unpersist()
+    for _ in range(n_iter - 1):
+        h = h_step(a_step(h)).localCheckpoint(eager=True)
+    # last iteration unfused: the report needs ITS a (a_t = f(h_{t-1}),
+    # not a recompute from the updated h_t)
+    a = a_step(h).localCheckpoint(eager=True)
+    h = h_step(a).localCheckpoint(eager=True)
     return a.join(h, "id").select("id", "a", "h")
 
 
@@ -153,14 +178,12 @@ def trustrank(edges: DataFrame, seeds: DataFrame, n_iter: int = 5,
     OFF non-seed dead ends.
 
     Same scale/parity scheme as :func:`pagerank`: per-iteration rounds to
-    12 on both engines, one edge equi-join + one partial/final sum per
-    iteration, scalar dangling agg, localCheckpoint lineage truncation.
-    The trust vector column rides the node table — no extra shuffle.
+    12 on both engines, ONE query per iteration (edge equi-join +
+    partial/final sum + broadcast one-row dangling aggregate),
+    localCheckpoint lineage truncation. The trust vector column rides
+    the node table — no extra shuffle.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
-    nodes = (e.select(F.col("src").alias("id"))
-              .unionByName(e.select(F.col("dst").alias("id")))
-              .distinct().persist())
+    e, nodes, _n = _graph_setup(edges, src, dst)
     n_seeds = (nodes.join(seeds.select("id").distinct(), "id", "left_semi").count())
     if n_seeds == 0:
         raise ValueError("trustrank: no seed appears in the graph")
@@ -168,29 +191,26 @@ def trustrank(edges: DataFrame, seeds: DataFrame, n_iter: int = 5,
                        "id", "left")
                  .select("id", F.when(F.col("_s").isNotNull(), F.lit(1.0 / n_seeds))
                                .otherwise(F.lit(0.0)).alias("t"))
-                 .persist())
-    deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+                 .localCheckpoint(eager=True))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
     r = tele.select("id", F.col("t").alias("trust")).localCheckpoint(eager=True)
-    try:
-        for _ in range(n_iter):
-            dangling = (r.join(deg.withColumnRenamed("src", "id"), "id", "left_anti")
-                          .agg(F.sum("trust")).first()[0]) or 0.0
-            contribs = (e.join(r.withColumnRenamed("id", "src"), "src")
-                         .join(deg, "src")
-                         .select(F.col("dst").alias("id"),
-                                 (F.col("trust") / F.col("deg")).alias("c"))
-                         .groupBy("id").agg(F.sum("c").alias("contrib")))
-            r = (tele.join(contribs, "id", "left")
-                     .select("id",
-                             F.round(F.lit(1.0 - damping) * F.col("t")
-                                     + F.lit(damping)
-                                     * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                                        + F.lit(dangling) * F.col("t")),
-                                     12).alias("trust"))
-                     .localCheckpoint(eager=True))
-    finally:
-        e.unpersist()
-        nodes.unpersist()
-        tele.unpersist()
-        deg.unpersist()
+    for _ in range(n_iter):
+        dangling = (r.join(deg.withColumnRenamed("src", "id"), "id", "left_anti")
+                      .agg(F.coalesce(F.sum("trust"), F.lit(0.0)).alias("__dangling")))
+        contribs = (e.join(r.withColumnRenamed("id", "src"), "src")
+                     .join(deg, "src")
+                     .select(F.col("dst").alias("id"),
+                             (F.col("trust") / F.col("deg")).alias("c"))
+                     .groupBy("id").agg(F.sum("c").alias("contrib")))
+        r = (tele.join(contribs, "id", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("id",
+                         F.round(F.lit(1.0 - damping) * F.col("t")
+                                 + F.lit(damping)
+                                 * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                                    + F.col("__dangling") * F.col("t")),
+                                 12).alias("trust"))
+                 .localCheckpoint(eager=True))
     return r
+
+

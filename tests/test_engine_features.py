@@ -620,3 +620,51 @@ def test_repeat_start_session_keeps_one_fingerprint_per_frontier_row(
     assert res["evicted"] == 2
     assert eng.cuckoo_shards.occupancy() == n_after_second - 2
     target.unpersist()
+
+
+def test_evict_driver_guard_single_filter_refuses_above_threshold(
+        spark, fixture_dir, tmp_path):
+    """r4 verdict "what's wrong" #2: single-filter cuckoo eviction
+    materializes victim url_hashes driver-side (the CuckooFilter is a
+    driver object) — fine at the single-filter tier, a driver-OOM vector
+    on a big frontier. Above cfg.evict_driver_max_rows it must REFUSE
+    and point at the sharded store; the sharded path evicts the same
+    >threshold set executor-side with no driver key materialization."""
+    import pytest as _pytest
+
+    wg = spark.read.parquet(f"{fixture_dir}/web_graph")
+    pay = spark.read.parquet(f"{fixture_dir}/payloads")
+    seeds = spark.read.parquet(f"{fixture_dir}/seeds")
+
+    def run(wh, **kw):
+        cfg = CrawlConfig(max_depth=2, budget_per_host_per_round=4,
+                          max_rounds=3, respect_robots=False, use_bloom=True,
+                          seen_filter="cuckoo", bloom_expected_insertions=10_000,
+                          evict_driver_max_rows=2, **kw)
+        store = SnapshotStore(str(wh))
+        eng = CrawlEngine(spark, store, cfg, wg, pay, None)
+        eng.start_session(seeds)
+        eng.run()
+        return store, eng
+
+    st1, eng1 = run(tmp_path / "wh-single")
+    target = (st1.table("pages").read(spark)
+              .where(F.col("status_code") == 200)
+              .select("session_id", "url").orderBy("url").limit(3)).cache()
+    assert target.count() == 3  # > evict_driver_max_rows
+    with _pytest.raises(RuntimeError, match="evict_driver_max_rows"):
+        eng1.evict_for_recrawl(urls=target)
+    # under the threshold the driver path still works
+    small = target.limit(2).cache()
+    assert eng1.evict_for_recrawl(urls=small)["evicted"] == 2
+
+    # sharded store: same >threshold eviction succeeds (executor-side)
+    st2, eng2 = run(tmp_path / "wh-sharded", bloom_shards=4)
+    target2 = (st2.table("pages").read(spark)
+               .where(F.col("status_code") == 200)
+               .select("session_id", "url").orderBy("url").limit(3)).cache()
+    occ = eng2.cuckoo_shards.occupancy()
+    assert eng2.evict_for_recrawl(urls=target2)["evicted"] == 3
+    assert eng2.cuckoo_shards.occupancy() == occ - 3
+    for df in (target, small, target2):
+        df.unpersist()
