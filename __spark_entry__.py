@@ -4546,6 +4546,58 @@ ORDER BY image_id
 """
 
 
+def q_image_real_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless WebP wire bytes (RIFF....WEBPVP8L; the pure-stdlib
+    VP8L codec in sources/webp.py, RFC 9649) through the SAME
+    Arrow-batched decode stage as every other format: per-image dims,
+    channel means, and phash must equal the values computed straight
+    from the pre-encode pixels — VP8L is lossless, so the gate is
+    bit-exactness of the subtract-green + canonical-Huffman round trip.
+    Closes the last input_hint format (png/jpeg/webp) that rode the DWS1
+    stand-in. Scale shape is the standard decode plan: pixels never
+    leave the mapInPandas task; only the 16-byte stat rows shuffle."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.operators.multimodal import decode_stats
+    from distributed_webcrawler_spark.sources import codec
+    from distributed_webcrawler_spark.sources import webp as webplib
+
+    pdf = pd.DataFrame(
+        [(iid, webplib.encode_webp_lossless(codec.synth_pixels(iid, w, h)))
+         for iid, w, h, _fmt in _mm_specs()],
+        columns=["image_id", "bytes"])
+    payloads = spark.createDataFrame(pdf).repartition(8)
+    st = decode_stats(payloads).where(F.col("ok"))
+    return (st.select("image_id", "fmt",
+                      F.col("w").cast("int").alias("w"),
+                      F.col("h").cast("int").alias("h"),
+                      "mean_r", "mean_g", "mean_b", "phash")
+            .orderBy("image_id"))
+
+
+def _real_webp_sql() -> str:
+    from distributed_webcrawler_spark.sources import codec
+
+    rows = []
+    for iid, w, h, _fmt in _mm_specs():
+        px = codec.synth_pixels(iid, w, h)
+        m = px.astype("float64").mean(axis=(0, 1))
+        rows.append(f"('{iid}', 'webp', {w}, {h}, "
+                    f"cast({round(float(m[0]), 4)!r} as double), "
+                    f"cast({round(float(m[1]), 4)!r} as double), "
+                    f"cast({round(float(m[2]), 4)!r} as double), "
+                    f"{codec.phash64(px)})")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT image_id, fmt, cast(w as int) AS w, cast(h as int) AS h,
+       mean_r, mean_g, mean_b, cast(phash as bigint) AS phash
+FROM (VALUES
+{vals}
+) AS t(image_id, fmt, w, h, mean_r, mean_g, mean_b, phash)
+ORDER BY image_id
+"""
+
+
 _JPEG_N = 96
 
 
@@ -4778,7 +4830,8 @@ ORDER BY quality, image_id
 """
 
 
-_MIXED_WIRES = ["dws1-png", "dws1-jpeg", "dws1-webp", "real-png", "real-jpeg"]
+_MIXED_WIRES = ["dws1-png", "dws1-jpeg", "dws1-webp", "real-png",
+                "real-jpeg", "real-webp"]
 
 
 def q_mixed_format_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4804,6 +4857,9 @@ def q_mixed_format_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         elif wire == "real-jpeg":
             data = jpeglib.encode_jpeg(codec.synth_pixels_photo(iid, w, h),
                                        quality=95, subsampling="4:4:4")
+        elif wire == "real-webp":
+            from distributed_webcrawler_spark.sources import webp as webplib
+            data = webplib.encode_webp_lossless(px)
         else:
             data = codec.encode_image(px, wire.split("-", 1)[1])
         rows.append((f"{wire}|{iid}", data))
@@ -4832,6 +4888,9 @@ def _mixed_format_sql() -> str:
         elif wire == "real-jpeg":
             data = jpeglib.encode_jpeg(codec.synth_pixels_photo(iid, w, h),
                                        quality=95, subsampling="4:4:4")
+        elif wire == "real-webp":
+            from distributed_webcrawler_spark.sources import webp as webplib
+            data = webplib.encode_webp_lossless(px)
         else:
             data = codec.encode_image(px, wire.split("-", 1)[1])
         dec, fmt = codec.decode_image(data)
@@ -8426,6 +8485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_record_parse": q_warc_record_parse,
         "image_size_stats": q_image_size_stats,
         "image_real_png_decode": q_image_real_png_decode,
+        "image_real_webp_decode": q_image_real_webp_decode,
         "image_real_jpeg_decode": q_image_real_jpeg_decode,
         "jpeg_quality_sweep": q_jpeg_quality_sweep,
         "mixed_format_decode": q_mixed_format_decode,
@@ -8608,6 +8668,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_record_parse": _Q_WARC_SQL,
         "image_size_stats": _img_stats_sql(),
         "image_real_png_decode": _real_png_sql(),
+        "image_real_webp_decode": _real_webp_sql(),
         "image_real_jpeg_decode": _real_jpeg_sql(),
         "jpeg_quality_sweep": _jpeg_sweep_sql(),
         "mixed_format_decode": _mixed_format_sql(),

@@ -83,7 +83,17 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
                 return _decode_with_pil(data)
             raise
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
-        return _decode_with_pil(data)
+        # pure-stdlib VP8L (lossless) decoder first (sources/webp.py);
+        # lossy VP8 / VP8X-only containers fall back to Pillow when
+        # importable — same ladder as the JPEG branch above
+        from . import webp as _webp
+
+        try:
+            return _webp.decode_webp(bytes(data)), "webp"
+        except _webp.WebpError:
+            if pil_available():
+                return _decode_with_pil(data)
+            raise
     if data[:4] != MAGIC:
         raise CodecError("bad magic")
     fmt_code, w, h = struct.unpack("<BHH", bytes(data[4:9]))
