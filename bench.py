@@ -72,6 +72,7 @@ HEADLINE = [
     "mixed_format_decode",
     "audio_real_wav_decode",
     "video_real_mjpeg_decode",
+    "image_real_webp_decode",
     "clip_pair_filter",
     "pair_dedup_union",
     "aesthetic_score_filter",
@@ -202,28 +203,35 @@ def main() -> None:
     # the pair still disagrees >2x. Reported time = min (host drift only
     # ever SLOWS a run); the raw attempts ship in "query_attempts" so a
     # reader can audit any residual outlier.
+    # Flagship metric attempts are INTERLEAVED with the suite sweeps
+    # (r4 verdict #1: three back-to-back attempts share one contention
+    # window — BENCH_r04.json's flagship landed 35% under the same-code
+    # pinned run exactly that way). One attempt before sweep 1, one
+    # between the sweeps, one after — minutes apart, so a degraded
+    # window can inflate at most one of them; min is the estimate and
+    # the raw attempts ship in "flagship_attempts" for audit.
+    flagship = qs["crawl_round_schedule"]
+    n_urls = flagship(spark, sf_dir).count()   # also warms the tables
+
+    def flagship_once() -> float:
+        t0 = time.monotonic()
+        flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.monotonic() - t0, 3)
+
+    flagship_walls = [flagship_once()]
     attempts: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _sweep in range(2):
         for name in HEADLINE:
             attempts[name].append(run_once(name))
+        flagship_walls.append(flagship_once())
     for name in HEADLINE:
         a = attempts[name]
         if max(a) > 2.0 * max(min(a), 0.05):
             attempts[name].append(run_once(name))
     timings = {name: min(a) for name, a in attempts.items()}
-
-    # primary metric: scheduled+fetched URLs/sec on the flagship round
-    # (warm; best of 3 — the sandbox host's minute-scale drift only ever
-    # SLOWS a run, so min is the least-noise estimate, same rule as
-    # tools/bench_scaling.py)
-    flagship = qs["crawl_round_schedule"]
-    n_urls = flagship(spark, sf_dir).count()
-    walls = []
-    for _ in range(3):
-        t0 = time.monotonic()
-        flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        walls.append(time.monotonic() - t0)
-    flagship_sec = min(walls)
+    if max(flagship_walls) > 1.5 * min(flagship_walls):
+        flagship_walls.append(flagship_once())   # tie-break attempt
+    flagship_sec = min(flagship_walls)
     urls_per_sec = round(n_urls / flagship_sec, 1)
 
     scaling = _read_scaling_from_bench_md(
@@ -239,6 +247,7 @@ def main() -> None:
         "cpus": cpus,
         "flagship_urls": n_urls,
         "flagship_sec": round(flagship_sec, 3),
+        "flagship_attempts": flagship_walls,
         "total_sec": round(sum(timings.values()), 3),
     }
     if scaling:

@@ -1,9 +1,11 @@
 """Iceberg backend for the store interface — the 1:1 swap SnapshotStore's
 contract promises (store.py:1-28; SURVEY.md §1.3).
 
-RECORDED BLOCKER (round-3): this sandbox has no Iceberg runtime jar and no
-network to fetch one (verified: no *iceberg* jar under the pyspark dist,
-DNS resolution fails), so this module cannot execute here. It exists so
+RECORDED BLOCKER (round-3, RE-VERIFIED round-5): this sandbox has no
+Iceberg runtime jar and no network to fetch one (round-5 attempt:
+`find / -name '*iceberg*jar'` over the whole container returns nothing,
+and urllib to repo1.maven.org fails DNS resolution — "Name or service
+not known"), so this module cannot execute here. It exists so
 the swap is CODE with tests, not a claim: tests/test_iceberg_store.py runs
 the exact SnapshotStore contract suite against this backend and skips with
 the blocker message when `iceberg_available(spark)` is false; on a cluster

@@ -33,6 +33,15 @@ def _contract(spark, store, suffix):
     assert t.snapshot_id() == 1 and t.read(spark).count() == 3
     t.append(spark.range(200, 202))
     assert t.snapshot_id() == 2 and t.read(spark).count() == 5
+    # engine-critical surfaces run_round depends on (engine.py
+    # _branch_expand): counted append with empty-skip, list-of-dict
+    # append, and the driver-local column read off a just-written snapshot
+    snap, n = t.append_counted(spark.range(300, 304))
+    assert n == 4 and snap == t.snapshot_id()
+    snap2, n2 = t.append_counted(spark.range(0, 0), skip_empty=True)
+    assert n2 == 0 and t.snapshot_id() == snap
+    col = sorted(int(v) for v in t.read_column_local(snap, "id"))
+    assert col == [300, 301, 302, 303]
 
 
 def test_store_contract_parquet(spark, warehouse):

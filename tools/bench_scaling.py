@@ -148,9 +148,21 @@ wh = tempfile.mkdtemp(dir=scratch, prefix=f"dws-scale-{{cpus}}-")
 store = SnapshotStore(wh)
 eng = CrawlEngine(spark, store, cfg, wg, pay, rob)
 eng.start_session(seeds)   # not timed: session bootstrap
+
+# JVM cpu accounting across the timed round: the documented
+# allocator-lottery failure mode (arena futex convoy; 916 kernel-CPU-s in
+# one 16-wide round) is PER-JVM-LAUNCH, invisible to the host probe run
+# outside the JVM — so each draw ships its own user/system CPU delta and
+# the harness flags convoyed draws from the system-time fraction.
+_hz = os.sysconf("SC_CLK_TCK")
+def _jvm_cpu():
+    st = open(f"/proc/{{spark.sparkContext._gateway.proc.pid}}/stat").read().split()
+    return int(st[13]) / _hz, int(st[14]) / _hz
+_u0, _s0 = _jvm_cpu()
 t0 = time.monotonic()
 hist = eng.run()
 wall = time.monotonic() - t0
+_u1, _s1 = _jvm_cpu()
 fetched = sum(h["scheduled"] for h in hist)
 
 # decode-core: scan the pre-materialized input -> Arrow-batched decode ->
@@ -171,6 +183,8 @@ print("RESULT " + json.dumps({{"cpus": cpus, "fetched": fetched,
                                "wall": wall, "rounds": len(hist),
                                "shuffle_parts": shuffle_parts,
                                "stage_secs": hist[-1].get("stage_secs", {{}}),
+                               "jvm_usr_s": round(_u1 - _u0, 1),
+                               "jvm_sys_s": round(_s1 - _s0, 1),
                                "decode_n": n_decoded, "decode_wall": decode_wall}}))
 """
 
@@ -258,16 +272,95 @@ def main() -> None:
         # best of k, INTERLEAVED across levels (attempt 1 of every level,
         # then attempt 2 of every level, ...): the sandbox host's throughput
         # drifts minute-to-minute, so sequential per-level attempts would let
-        # one level eat a bad patch; interleaving spreads noise evenly
+        # one level eat a bad patch; interleaving spreads noise evenly.
+        #
+        # PROBE GATE (r5, from r4 verdict #1b): each sweep window is
+        # preceded by a quick int-spinner probe at the widths the sweep
+        # will run. A window whose probe exceeds DWS_PROBE_BOUND (default
+        # 1.25x) of the healthiest probe of the run is a degraded-host
+        # window (the allocator-lottery / hypervisor-steal class r3/r4
+        # documented post-hoc): the gate waits briefly for it to clear,
+        # runs anyway if it doesn't, FLAGS the sweep, and schedules one
+        # extra sweep (bounded) so the run still ends with a clean window.
+        # Flags are re-evaluated at the end against the final floor, the
+        # headline pair considers only clean sweeps, and every probe +
+        # every wall ships in the JSON — windows are flagged, never
+        # silently dropped.
+        probe_bound = float(os.environ.get("DWS_PROBE_BOUND", "1.25"))
+        probe_widths = sorted({min(4, min(levels))} | {c for c in levels if c >= 8})
+
+        def _quick_probe() -> dict:
+            return {w: round(_cpuprobe._run(w, _cpuprobe._spin_int, 1_500_000), 3)
+                    for w in probe_widths}
+
+        probe_floor: dict[int, float] = {}
+        sweep_probes: list[dict] = []
         all_attempts: dict[int, list[dict]] = {c: [] for c in levels}
-        for i in range(attempts_n):
+        extra_sweeps = int(os.environ.get("DWS_PROBE_EXTRA_SWEEPS", "2"))
+        planned = attempts_n
+        i = 0
+        while i < planned:
+            pr = None
+            for gate_try in range(3):
+                pr = _quick_probe()
+                for w, v in pr.items():
+                    probe_floor[w] = min(probe_floor.get(w, v), v)
+                degraded = any(pr[w] > probe_bound * probe_floor[w] for w in pr)
+                if not degraded:
+                    break
+                print(f"probe gate: degraded window {pr} vs floor "
+                      f"{probe_floor} (bound {probe_bound}x); waiting 45s "
+                      f"({gate_try + 1}/3) ...", flush=True)
+                time.sleep(45)
+            sweep_probes.append(pr)
+            sweep_convoyed = False
             for cpus in levels:
-                print(f"attempt {i + 1}/{attempts_n} at local[{cpus}] "
+                print(f"attempt {i + 1}/{planned} at local[{cpus}] "
                       f"(pinned to {cpus} cores) ...", flush=True)
                 a = _run_level(cpus, fix, rounds)
+                # allocator-lottery detector (r4 verdict weak #1): the
+                # arena futex convoy is PER-JVM-LAUNCH — invisible to the
+                # pre-sweep host probe — but it shows as outsized kernel
+                # CPU inside that JVM (916 kernel-s in one documented
+                # 16-wide round). sys_frac = kernel CPU / (cores*wall);
+                # a draw far above the run's floor for its width is a
+                # lottery draw, not the plan.
+                a["sys_frac"] = round(
+                    a.get("jvm_sys_s", 0.0) / max(cpus * a["wall"], 1e-9), 3)
+                floor_key = ("convoy", cpus)
+                prev_floor = probe_floor.get(floor_key)
+                probe_floor[floor_key] = min(prev_floor or a["sys_frac"], a["sys_frac"])
+                a["convoyed"] = bool(
+                    prev_floor is not None
+                    and a["sys_frac"] > max(0.12, 2.5 * probe_floor[floor_key]))
+                sweep_convoyed = sweep_convoyed or a["convoyed"]
                 all_attempts[cpus].append(a)
                 print(f"  local[{cpus}]: {a['fetched']} urls in {a['wall']:.1f}s;"
-                      f" decode {a['decode_n']} in {a['decode_wall']:.1f}s", flush=True)
+                      f" decode {a['decode_n']} in {a['decode_wall']:.1f}s;"
+                      f" jvm sys_frac {a['sys_frac']}"
+                      + (" [CONVOYED]" if a["convoyed"] else ""), flush=True)
+            if (degraded or sweep_convoyed) and extra_sweeps > 0:
+                print(f"sweep {i + 1} "
+                      + ("ran under a degraded probe" if degraded
+                         else "contains a convoyed draw")
+                      + " — scheduling one extra sweep", flush=True)
+                planned += 1
+                extra_sweeps -= 1
+            i += 1
+        # final verdict per sweep against the run's final floors: probe
+        # degradation OR a convoy-flagged draw disqualifies the sweep from
+        # the headline pick (re-evaluated so sweep-1 draws that predate the
+        # floor are judged too)
+        for c in levels:
+            fl = min(a["sys_frac"] for a in all_attempts[c])
+            for a in all_attempts[c]:
+                a["convoyed"] = bool(a["sys_frac"] > max(0.12, 2.5 * fl))
+        sweep_degraded = [
+            any(pr[w] > probe_bound * probe_floor[w] for w in pr)
+            or any(all_attempts[c][k]["convoyed"] for c in levels
+                   if k < len(all_attempts[c]))
+            for k, pr in enumerate(sweep_probes)]
+        attempts_n = planned
         results: dict[int, dict] = {}
         for cpus in levels:
             attempts = all_attempts[cpus]
@@ -315,19 +408,35 @@ def main() -> None:
             "raw_attempt_walls": {str(c): [round(a["wall"], 2) for a in all_attempts[c]]
                                   for c in levels},
             "host_probe": host_probe,
+            "probe_gate": {
+                "bound": probe_bound,
+                "floor_task_s": {str(k): v for k, v in probe_floor.items()
+                                 if not isinstance(k, tuple)},
+                "sweep_probes": sweep_probes,
+                "sweep_degraded": sweep_degraded,
+            },
+            "convoy": {str(c): [{"sys_frac": a["sys_frac"],
+                                 "jvm_sys_s": a.get("jvm_sys_s"),
+                                 "convoyed": a["convoyed"]}
+                                for a in all_attempts[c]] for c in levels},
         }
         # headline: the best ATTEMPT-CONSISTENT x4 window — every pair and
         # every raw wall is reported alongside, so the choice is visible.
+        # Sweeps whose pre-window probe was degraded (host, not plan) are
+        # excluded from the headline unless no clean sweep exists.
         # Rationale for why a middle pair usually wins on one box: the
         # bottom level can't overlap JVM scan/write with Python decode
         # (pipeline-starved), the top level shares one memory bus +
         # hypervisor (steal grows with width); a real cluster multiplies
         # those resources with N.
+        clean = [i for i, d in enumerate(sweep_degraded) if not d] \
+            or list(range(len(sweep_degraded)))
         head, head_eff = None, -1.0
         for lo, hi in pairs:
-            for e in attempt_effs(lo, hi):
-                if e > head_eff:
-                    head, head_eff = (lo, hi), e
+            effs = attempt_effs(lo, hi)
+            for i in clean:
+                if i < len(effs) and effs[i] > head_eff:
+                    head, head_eff = (lo, hi), effs[i]
         if head is not None:
             scaling["efficiency_n_to_4n"] = head_eff
             scaling["headline_pair"] = f"local[{head[0]}]->local[{head[1]}]"
@@ -350,6 +459,11 @@ def main() -> None:
             f"- local[{c}] walls (s): "
             + ", ".join(f"{a['wall']:.1f}" for a in all_attempts[c])
             for c in levels)
+        probe_lines = "\n".join(
+            f"- sweep {i + 1}: " + ", ".join(
+                f"w{w}={pr[w]}s" for w in sorted(pr))
+            + (" — **degraded**" if sweep_degraded[i] else " — clean")
+            for i, pr in enumerate(sweep_probes))
 
         probe_rows = "\n".join(
             f"| {w} | {host_probe['int']['avg_task_s'][w]} | "
@@ -389,6 +503,14 @@ phash) -> noop sink; no shuffle in the timed stage.
 Raw walls per interleaved attempt (every measurement, nothing dropped):
 
 {raw_lines}
+
+Probe gate (pre-sweep int-spinner avg task seconds per width; bound
+{probe_bound}x the run's floor — sweeps flagged `degraded` ran under a
+measured host-degraded window and are excluded from the headline pick;
+a flagged sweep schedules one extra sweep so the run ends with a clean
+window):
+
+{probe_lines}
 
 **Headline N->4N ({scaling['headline_pair']}): {scaling['efficiency_n_to_4n']}**
 (best attempt-consistent window; both levels measured back-to-back inside
