@@ -6686,6 +6686,68 @@ FROM b JOIN k ON k.lang = b.lang
 """
 
 
+def q_lossless_codec_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-container bake-off the archive team runs before picking a
+    storage format at the 10^10-image tier: the SAME pixels encoded as
+    real PNG (adaptive per-row filters + zlib, sources/codec.py) and as
+    real lossless WebP/VP8L (subtract-green + canonical Huffman,
+    sources/webp.py), per-image byte sizes + the winner. Both encoders
+    are deterministic, so the report is exact-int oracle-able. Encode
+    runs inside mapInPandas — pixels never leave the task; only two ints
+    and a label ship per image."""
+    import pandas as pd
+
+    from distributed_webcrawler_spark.sources import codec
+    from distributed_webcrawler_spark.sources import webp as webplib
+
+    specs = pd.DataFrame([(iid, w, h) for iid, w, h, _f in _mm_specs()],
+                         columns=["image_id", "w", "h"])
+
+    def enc_sizes(batches):
+        for pdf in batches:
+            rows = []
+            for iid, w, h in zip(pdf["image_id"], pdf["w"], pdf["h"]):
+                px = codec.synth_pixels(iid, int(w), int(h))
+                rows.append((iid, int(w), int(h),
+                             len(codec.encode_png(px)),
+                             len(webplib.encode_webp_lossless(px))))
+            yield pd.DataFrame(rows, columns=["image_id", "w", "h",
+                                              "png_bytes", "webp_bytes"])
+
+    st = (spark.createDataFrame(specs).repartition(8)
+          .mapInPandas(enc_sizes,
+                       "image_id string, w int, h int, "
+                       "png_bytes long, webp_bytes long"))
+    return (st.select(
+                "image_id", "w", "h", "png_bytes", "webp_bytes",
+                F.when(F.col("png_bytes") <= F.col("webp_bytes"), "png")
+                 .otherwise("webp").alias("winner"))
+            .orderBy("image_id"))
+
+
+def _lossless_compare_sql() -> str:
+    from distributed_webcrawler_spark.sources import codec
+    from distributed_webcrawler_spark.sources import webp as webplib
+
+    rows = []
+    for iid, w, h, _f in _mm_specs():
+        px = codec.synth_pixels(iid, w, h)
+        pb = len(codec.encode_png(px))
+        wb = len(webplib.encode_webp_lossless(px))
+        rows.append(f"('{iid}', {w}, {h}, {pb}, {wb}, "
+                    f"'{'png' if pb <= wb else 'webp'}')")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT image_id, cast(w as int) AS w, cast(h as int) AS h,
+       cast(png_bytes as bigint) AS png_bytes,
+       cast(webp_bytes as bigint) AS webp_bytes, winner
+FROM (VALUES
+{vals}
+) AS t(image_id, w, h, png_bytes, webp_bytes, winner)
+ORDER BY image_id
+"""
+
+
 def q_image_transcode_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive transcode planning — decode the payload batch once,
     re-encode everything to webp (the format with the best
@@ -8486,6 +8548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_size_stats": q_image_size_stats,
         "image_real_png_decode": q_image_real_png_decode,
         "image_real_webp_decode": q_image_real_webp_decode,
+        "lossless_codec_compare": q_lossless_codec_compare,
         "image_real_jpeg_decode": q_image_real_jpeg_decode,
         "jpeg_quality_sweep": q_jpeg_quality_sweep,
         "mixed_format_decode": q_mixed_format_decode,
@@ -8669,6 +8732,7 @@ def oracle_sql() -> dict[str, str]:
         "image_size_stats": _img_stats_sql(),
         "image_real_png_decode": _real_png_sql(),
         "image_real_webp_decode": _real_webp_sql(),
+        "lossless_codec_compare": _lossless_compare_sql(),
         "image_real_jpeg_decode": _real_jpeg_sql(),
         "jpeg_quality_sweep": _jpeg_sweep_sql(),
         "mixed_format_decode": _mixed_format_sql(),

@@ -73,6 +73,7 @@ HEADLINE = [
     "audio_real_wav_decode",
     "video_real_mjpeg_decode",
     "image_real_webp_decode",
+    "lossless_codec_compare",
     "clip_pair_filter",
     "pair_dedup_union",
     "aesthetic_score_filter",

@@ -315,9 +315,26 @@ def main() -> None:
             sweep_probes.append(pr)
             sweep_convoyed = False
             for cpus in levels:
+                # IMMEDIATE pre-level probe (r5: the sweep-granularity gate
+                # missed a degraded patch that arrived between the sweep
+                # probe and a level 10 minutes into the sweep — measured:
+                # the same 8-wide level at 140.9/148.2s inside a flagged
+                # patch, 116.3/117.3s outside it). One width, ~2s.
+                lkey = ("lvlprobe", cpus)
+                lp = round(_cpuprobe._run(cpus, _cpuprobe._spin_int, 1_500_000), 3)
+                probe_floor[lkey] = min(probe_floor.get(lkey, lp), lp)
+                lvl_degraded = lp > probe_bound * probe_floor[lkey]
+                if lvl_degraded:
+                    time.sleep(30)
+                    lp = round(_cpuprobe._run(cpus, _cpuprobe._spin_int, 1_500_000), 3)
+                    probe_floor[lkey] = min(probe_floor[lkey], lp)
+                    lvl_degraded = lp > probe_bound * probe_floor[lkey]
                 print(f"attempt {i + 1}/{planned} at local[{cpus}] "
-                      f"(pinned to {cpus} cores) ...", flush=True)
+                      f"(pinned to {cpus} cores; level probe {lp}s"
+                      + (", DEGRADED" if lvl_degraded else "") + ") ...",
+                      flush=True)
                 a = _run_level(cpus, fix, rounds)
+                a["level_probe"] = lp
                 # allocator-lottery detector (r4 verdict weak #1): the
                 # arena futex convoy is PER-JVM-LAUNCH — invisible to the
                 # pre-sweep host probe — but it shows as outsized kernel
@@ -330,10 +347,18 @@ def main() -> None:
                 floor_key = ("convoy", cpus)
                 prev_floor = probe_floor.get(floor_key)
                 probe_floor[floor_key] = min(prev_floor or a["sys_frac"], a["sys_frac"])
+                sys_key = ("sysfloor", cpus)
+                prev_sys = probe_floor.get(sys_key)
+                probe_floor[sys_key] = min(prev_sys or a["jvm_sys_s"], a["jvm_sys_s"])
+                # two signals: kernel-CPU FRACTION (frac washes out when the
+                # wall inflates with the sys — so also) absolute kernel
+                # SECONDS vs the level's floor for identical work
                 a["convoyed"] = bool(
-                    prev_floor is not None
-                    and a["sys_frac"] > max(0.12, 2.5 * probe_floor[floor_key]))
-                sweep_convoyed = sweep_convoyed or a["convoyed"]
+                    (prev_floor is not None
+                     and a["sys_frac"] > max(0.12, 2.5 * probe_floor[floor_key]))
+                    or (prev_sys is not None
+                        and a["jvm_sys_s"] > max(30.0, 1.7 * probe_floor[sys_key])))
+                sweep_convoyed = sweep_convoyed or a["convoyed"] or lvl_degraded
                 all_attempts[cpus].append(a)
                 print(f"  local[{cpus}]: {a['fetched']} urls in {a['wall']:.1f}s;"
                       f" decode {a['decode_n']} in {a['decode_wall']:.1f}s;"
@@ -353,13 +378,30 @@ def main() -> None:
         # floor are judged too)
         for c in levels:
             fl = min(a["sys_frac"] for a in all_attempts[c])
+            fs = min(a["jvm_sys_s"] for a in all_attempts[c])
+            fp = min(a["level_probe"] for a in all_attempts[c])
             for a in all_attempts[c]:
-                a["convoyed"] = bool(a["sys_frac"] > max(0.12, 2.5 * fl))
+                a["convoyed"] = bool(
+                    a["sys_frac"] > max(0.12, 2.5 * fl)
+                    or a["jvm_sys_s"] > max(30.0, 1.7 * fs)
+                    or a["level_probe"] > probe_bound * fp)
         sweep_degraded = [
             any(pr[w] > probe_bound * probe_floor[w] for w in pr)
             or any(all_attempts[c][k]["convoyed"] for c in levels
                    if k < len(all_attempts[c]))
             for k, pr in enumerate(sweep_probes)]
+
+        def pair_window_clean(lo: int, hi: int, k: int) -> bool:
+            """Disqualification at PAIR granularity: a flagged draw at some
+            OTHER level must not invalidate a pair whose own two draws ran
+            clean (r5: a degraded 16-wide window would otherwise discard a
+            clean 0.896 2->8 window from the same sweep). The pre-sweep
+            host probe still gates the whole sweep."""
+            if any(sweep_probes[k][w] > probe_bound * probe_floor[w]
+                   for w in sweep_probes[k]):
+                return False
+            return (not all_attempts[lo][k]["convoyed"]
+                    and not all_attempts[hi][k]["convoyed"])
         attempts_n = planned
         results: dict[int, dict] = {}
         for cpus in levels:
@@ -403,6 +445,10 @@ def main() -> None:
                            for lo, hi in pairs},
             "efficiency_per_attempt": {f"{lo}->{hi}": attempt_effs(lo, hi)
                                        for lo, hi in pairs},
+            "pair_window_clean": {f"{lo}->{hi}": [
+                pair_window_clean(lo, hi, k)
+                for k in range(min(len(all_attempts[lo]), len(all_attempts[hi])))]
+                for lo, hi in pairs},
             "decode_efficiency": {f"{lo}->{hi}": _eff(results, lo, hi, "decode_per_sec")
                                   for lo, hi in pairs},
             "raw_attempt_walls": {str(c): [round(a["wall"], 2) for a in all_attempts[c]]
@@ -417,6 +463,7 @@ def main() -> None:
             },
             "convoy": {str(c): [{"sys_frac": a["sys_frac"],
                                  "jvm_sys_s": a.get("jvm_sys_s"),
+                                 "level_probe": a.get("level_probe"),
                                  "convoyed": a["convoyed"]}
                                 for a in all_attempts[c]] for c in levels},
         }
@@ -429,13 +476,12 @@ def main() -> None:
         # (pipeline-starved), the top level shares one memory bus +
         # hypervisor (steal grows with width); a real cluster multiplies
         # those resources with N.
-        clean = [i for i, d in enumerate(sweep_degraded) if not d] \
-            or list(range(len(sweep_degraded)))
         head, head_eff = None, -1.0
         for lo, hi in pairs:
             effs = attempt_effs(lo, hi)
-            for i in clean:
-                if i < len(effs) and effs[i] > head_eff:
+            valid = [i for i in range(len(effs)) if pair_window_clean(lo, hi, i)]
+            for i in (valid or range(len(effs))):
+                if effs[i] > head_eff:
                     head, head_eff = (lo, hi), effs[i]
         if head is not None:
             scaling["efficiency_n_to_4n"] = head_eff
