@@ -94,11 +94,16 @@ mem_gb = min(12 + 3 * cpus, 64)
 # used by tools/bench_width_parts.py for the round-4 verdict-#6 A/B.
 _sp_env = os.environ.get("DWS_SHUFFLE_PARTS", "64")
 shuffle_parts = 4 * cpus if _sp_env == "4xcores" else int(_sp_env)
+_extra = {{"spark.local.dir": tempfile.mkdtemp(dir=scratch, prefix="sparklocal-"),
+          "spark.driver.memory": f"{{mem_gb}}g",
+          "spark.driver.extraJavaOptions":
+              f"-XX:+UseG1GC -Xms{{mem_gb}}g -XX:+AlwaysPreTouch"}}
+# A/B knob (r4 verdict #2): disable AQE partition coalescing so every
+# post-shuffle stage keeps all `shuffle_parts` partitions at every width
+if os.environ.get("DWS_AQE_COALESCE") == "0":
+    _extra["spark.sql.adaptive.coalescePartitions.enabled"] = "false"
 spark = get_spark(cpus=cpus, app_name=f"dws-scaling-{{cpus}}", shuffle_partitions=shuffle_parts,
-                  extra_conf={{"spark.local.dir": tempfile.mkdtemp(dir=scratch, prefix="sparklocal-"),
-                               "spark.driver.memory": f"{{mem_gb}}g",
-                               "spark.driver.extraJavaOptions":
-                                   f"-XX:+UseG1GC -Xms{{mem_gb}}g -XX:+AlwaysPreTouch"}})
+                  extra_conf=_extra)
 wg = spark.read.parquet(f"{{fix}}/web_graph")
 pay = spark.read.parquet(f"{{fix}}/payloads")
 rob = spark.read.parquet(f"{{fix}}/robots")
