@@ -5522,10 +5522,17 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the candidate ids, never all-pairs). Oracle reuses the exact CTE
     chain of dedup_minhash_lsh so both see identical candidates."""
     docs = _t(spark, sf_dir, "documents")
+    # sharing note (measured NEGATIVE, r5): eagerly checkpointing the
+    # shingle table to feed the LSH build and both exact-Jaccard legs
+    # was ~30% SLOWER than recomputing it — materializing ~5M string
+    # rows costs more than re-running the codegen-fused explode from
+    # the parquet scan. The shared-`sh` operator API stays (callers at
+    # larger shingle/doc ratios may win), but this query keeps the
+    # recompute-from-scan plan.
+    sh = D.shingle_table(docs, _MH_K, _MH_CHARS)
     pairs = D.minhash_lsh_pairs(
         docs, n_hashes=_MH_N, band_size=_MH_BAND,
-        k=_MH_K, max_chars=_MH_CHARS, min_est=_MH_MIN)
-    sh = D.shingle_table(docs, _MH_K, _MH_CHARS)
+        k=_MH_K, max_chars=_MH_CHARS, min_est=_MH_MIN, sh=sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     sha = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     # the matching shingle is named sh_a on BOTH sides so the second join

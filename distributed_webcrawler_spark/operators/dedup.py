@@ -80,24 +80,31 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 8, max_chars: int = 128,
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 8, k: int = 6, max_chars: int = 200,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       sh: DataFrame | None = None) -> DataFrame:
     """(id, mh_0..mh_{n-1}) MinHash signature columns (string mins of seeded
-    md5 over the shingle set — see functions.hashes.minhash_min_expr)."""
-    sh = shingle_table(docs, k, max_chars, text_col, id_col)
+    md5 over the shingle set — see functions.hashes.minhash_min_expr).
+    ``sh`` lets a caller that ALSO needs the (id, sh) shingle table (e.g.
+    the calibration report's exact-Jaccard pass) compute it once and share
+    the materialization instead of re-shingling the corpus."""
+    if sh is None:
+        sh = shingle_table(docs, k, max_chars, text_col, id_col)
     aggs = [minhash_min_expr("sh", s).alias(f"mh_{s}") for s in range(n_hashes)]
     return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 8, band_size: int = 2,
                       k: int = 6, max_chars: int = 200, min_est: float = 0.5,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      sh: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs with estimated similarity.
 
     Bands of ``band_size`` components; docs sharing ANY band bucket become
     candidates; est_sim = fraction of matching signature components.
     Output: (id_a, id_b, est_sim) with id_a < id_b, est_sim >= min_est.
     """
-    sig = minhash_signatures(docs, n_hashes, k, max_chars, text_col, id_col).cache()
+    sig = minhash_signatures(docs, n_hashes, k, max_chars, text_col, id_col,
+                             sh=sh).cache()
     n_bands = n_hashes // band_size
     bands = None
     for bi in range(n_bands):
