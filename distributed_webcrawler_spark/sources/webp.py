@@ -502,7 +502,11 @@ def _inv_predictor(pix, w, h, size_bits, sub):
                 l = out[i - 1]
                 t = out[i - w]
                 tl = out[i - w - 1]
-                tr = out[i - w + 1] if x + 1 < w else out[i - w + w]
+                # top-right: for x = w-1 the index i-w+1 lands on the
+                # FIRST pixel of the current row — exactly the spec's
+                # rightmost-column rule (RFC 9649 §4.2.2), already
+                # decoded since x >= 1 here
+                tr = out[i - w + 1]
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:

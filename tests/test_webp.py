@@ -315,3 +315,49 @@ def test_pil_cross_validation():
     buf = io.BytesIO()
     Image.fromarray(px, "RGB").save(buf, format="WEBP", lossless=True, quality=100)
     assert np.array_equal(W.decode_webp(buf.getvalue()), px)
+
+
+def test_crafted_stream_predictor_tr_mode_right_edge():
+    """Predictor mode 3 (top-right) on a 3-wide image: at the rightmost
+    column TR wraps to the FIRST pixel of the CURRENT row (RFC 9649
+    §4.2.2 — in flat layout prev_row[w] IS cur_row[0]). Hand-derived
+    expected pixels pin the wrap (an earlier draft read the unwritten
+    current pixel, i.e. zero)."""
+    w, h = 3, 2
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)          # predictor transform
+    bw.write(0, 3)          # size_bits = 2 -> 1 tile
+    bw.write(0, 1)          # no cache (sub)
+    W._write_simple_code(bw, [3])    # green = mode 3 (TR)
+    W._write_simple_code(bw, [0])
+    W._write_simple_code(bw, [0])
+    W._write_simple_code(bw, [255])
+    W._write_simple_code(bw, [0])
+    bw.write(0, 1)          # no more transforms
+    bw.write(0, 1)          # no cache
+    bw.write(0, 1)          # no meta huffman
+    # greens via a normal code over {0..4} (5 symbols); r/b/a constant
+    glens = [0] * (256 + 24)
+    for sym in (0, 1, 2, 3, 4):
+        glens[sym] = 3
+    glens[5] = 2            # Kraft: 5/8 + 1/4 = 7/8 -> add one more
+    glens[6] = 3            # 5/8 + 1/4 + 1/8 = 1.0
+    W._write_normal_code(bw, glens)
+    W._write_simple_code(bw, [0])    # red residual 0
+    W._write_simple_code(bw, [0])    # blue residual 0
+    W._write_simple_code(bw, [255])  # alpha
+    W._write_simple_code(bw, [0])    # distance
+    gcodes = W._canonical_codes(glens)
+    # residual greens: row0 [2, 1, 1] (row 0 uses L); row1 [0, 0, 3]
+    for gsym in (2, 1, 1, 0, 0, 3):
+        c, ln = gcodes[gsym]
+        bw.write_code(c, ln)
+    out = W.decode_webp(_vp8l_container(bw.bytes()))
+    g = out[..., 1].astype(int)
+    # row0: (0,0) pred black g=0 -> 2; (0,1) L -> 3; (0,2) L -> 4
+    assert list(g[0]) == [2, 3, 4]
+    # row1: (1,0) col0 uses T -> 2+0=2; (1,1) mode3 TR=g[0][2]=4 -> 4;
+    # (1,2) RIGHT EDGE: TR wraps to cur row first pixel g[1][0]=2 -> 2+3=5
+    assert list(g[1]) == [2, 4, 5]
