@@ -29,6 +29,26 @@ from pyspark.sql import functions as F
 from ..functions.hashes import h64, minhash_min_expr, shingles
 
 
+def spread_for_explode(df: DataFrame) -> DataFrame:
+    """Round-robin the input up to the cluster's parallelism BEFORE an
+    explode-heavy stage when the upstream scan carries fewer splits.
+
+    An explode amplifies rows ~(chars/k)x, and everything codegen-fused
+    into the explode's stage (substring slicing, the 8 seeded md5 mins)
+    runs at the SCAN's parallelism — a small corpus that fits one parquet
+    file therefore shingles on one core while 31 idle (measured: the sf0.1
+    5k-doc shingle stage 2.8s -> 0.9s from this spread). At 10^10-doc
+    scale the scan already has >= defaultParallelism splits and this is a
+    no-op — the guard makes the operator safe to keep in the hot path
+    rather than a test-only tweak. The pre-explode rows are the narrow
+    side (raw text, no amplification yet), so the added exchange is the
+    cheap one."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: keep min id as the canonical doc.
     Returns (keep_id, dup_count) for groups, including singletons."""
@@ -43,9 +63,26 @@ def shingle_table(docs: DataFrame, k: int, max_chars: int,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, shingle) pairs, distinct per doc."""
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k, max_chars)).alias("sh"))
+        spread_for_explode(docs)
+        .select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k, max_chars)).alias("sh"))
         .distinct()
     )
+
+
+def shingle_stream(docs: DataFrame, k: int, max_chars: int,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs WITH multiplicity — shingle_table minus its
+    distinct. For duplicate-insensitive consumers (min-aggregation MinHash
+    signatures, collect_set shingle sets) the distinct's full exchange +
+    dedup sort buys nothing: min over a multiset == min over its set, and
+    collect_set dedups as it aggregates. A ~200-char doc emits ~195
+    shingles vs ~150 distinct ones, so skipping the distinct trades ~30%
+    more map-side hash evaluations for one whole shuffle — a win at every
+    scale, and the partial aggregate still shrinks each map partition to
+    one row per (id) before the wire."""
+    return spread_for_explode(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, k, max_chars)).alias("sh"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 8, max_chars: int = 128,
@@ -86,9 +123,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8, k: int = 6, max_chars
     md5 over the shingle set — see functions.hashes.minhash_min_expr).
     ``sh`` lets a caller that ALSO needs the (id, sh) shingle table (e.g.
     the calibration report's exact-Jaccard pass) compute it once and share
-    the materialization instead of re-shingling the corpus."""
+    the materialization instead of re-shingling the corpus. The default
+    path shingles WITHOUT a distinct (shingle_stream): min-aggregation is
+    duplicate-insensitive, so the signatures are identical and the
+    distinct's exchange is saved; a caller-supplied ``sh`` may be either
+    the distinct table or the raw stream."""
     if sh is None:
-        sh = shingle_table(docs, k, max_chars, text_col, id_col)
+        sh = shingle_stream(docs, k, max_chars, text_col, id_col)
     aggs = [minhash_min_expr("sh", s).alias(f"mh_{s}") for s in range(n_hashes)]
     return sh.groupBy("id").agg(*aggs)
 
@@ -140,7 +181,7 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     identical algorithm; widen N_BITS for production.
     """
     n_bits = 16
-    sh = docs.select(
+    sh = spread_for_explode(docs).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, 4, max_chars)).alias("sh"),
     ).withColumn("h", h64("sh"))
@@ -177,7 +218,7 @@ def simhash_wide(docs: DataFrame, n_bits: int = 60, text_col: str = "text",
     divergence between Spark and the DuckDB oracle), so 60 is the widest
     signature both engines reproduce bit-for-bit. Same banded design as a
     64-bit production simhash, 4 x 15-bit bands instead of 4 x 16."""
-    sh = docs.select(
+    sh = spread_for_explode(docs).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, 4, max_chars)).alias("sh"),
     ).withColumn("h", h64("sh"))
@@ -272,7 +313,7 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
     Returns (doc_id, n_paras, n_removed, clean_text) — clean_text is the
     sep-joined surviving paragraphs in original order ('' if none survive).
     """
-    paras = docs.select(
+    paras = spread_for_explode(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     ).withColumn("ph", h64("para"))
