@@ -57,6 +57,11 @@ _FRONTIER_SQL = f"""
 
 
 def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO spread here (measured negative, r5): the frontier projection is
+    # cheap string concat — interleaved A/B showed the guarded pre-explode
+    # repartition that wins on md5-heavy scans (dedup family, DUST mining)
+    # LOSES on every _frontier consumer (frontier_topk_global 0.45->0.99s,
+    # blend +0.9s) because the added exchange outweighs one core's concat.
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         F.concat(F.lit("https://host"), (F.col("l_suppkey") % N_FRONTIER_HOSTS).cast("string"),
@@ -8352,7 +8357,11 @@ def q_dust_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is then a broadcast-size artifact the canonicalizer applies
     map-side, which is the whole point: discovered once, applied for
     free at 10^10 URLs."""
-    li = _t(spark, sf_dir, "lineitem")
+    # spread before the projection (interleaved A/B: 7.3s -> 4.4s): the
+    # digest is a seeded-md5 h64 evaluated per row in the scan stage, and
+    # the urls leg is read by BOTH join sides — exactly the heavy-fused-
+    # compute case the guarded repartition exists for (no-op at scale).
+    li = D.spread_for_explode(_t(spark, sf_dir, "lineitem"))
     host = F.concat(F.lit("host"), (F.col("l_suppkey") % N_FRONTIER_HOSTS).cast("string"))
     tail = F.concat(F.col("l_orderkey").cast("string"), F.lit("-"),
                     F.col("l_linenumber").cast("string"))

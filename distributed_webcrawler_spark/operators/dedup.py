@@ -313,7 +313,11 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
     Returns (doc_id, n_paras, n_removed, clean_text) — clean_text is the
     sep-joined surviving paragraphs in original order ('' if none survive).
     """
-    paras = spread_for_explode(docs).select(
+    # no spread_for_explode here (measured negative): the split+posexplode
+    # scan stage is cheap, and the window exchange on ph parallelizes the
+    # hash anyway — the guarded repartition only pays off when heavy
+    # per-row compute (seeded md5 mins, 60-bit aggs) fuses into the scan.
+    paras = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     ).withColumn("ph", h64("para"))
