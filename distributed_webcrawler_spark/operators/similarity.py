@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, norm
+from ..functions.vectors import cosine, cosine_arrow, norm
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
@@ -32,7 +32,7 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     scored = (
         q.crossJoin(c)  # Catalyst broadcasts the small query side
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim", cosine_arrow(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -191,7 +191,7 @@ def ivf_topk_nprobe(corpus_assigned: DataFrame, probes_assigned: DataFrame,
         q.join(c, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                cosine(F.col("qv"), F.col("cv")).alias("sim"))
+                cosine_arrow(F.col("qv"), F.col("cv")).alias("sim"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -275,6 +275,13 @@ def embedding_near_dup_lsh(df: DataFrame, threshold: float = 0.95,
         .dropDuplicates(["id_a", "id_b"])  # pair may collide in >1 band
     )
     return (
+        # HOF cosine kept here ON PURPOSE (measured): the candidate set is
+        # corpus-sized and each Arrow pair row ships BOTH vectors to the
+        # Python worker — the transfer cost inverted the win
+        # (dedup_embedding_cosine 2.2s -> 5.7s with cosine_arrow). The
+        # Arrow form pays off only when candidates are query-bounded
+        # (brute_force_topk, ivf_topk_nprobe) or vectors never leave the
+        # task (semdedup's per-cell matmul).
         cand.withColumn("sim", cosine(F.col("va"), F.col("vb")))
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
@@ -300,6 +307,8 @@ def semdedup_pairs(df: DataFrame, centroids: list[tuple[int, list[float]]],
 
     Output: (cell, id_a, id_b, sim, drop_id), id_a < id_b, sim >= threshold.
     """
+    import numpy as np
+
     spark = df.sparkSession
     assigned = ivf_assign_broadcast(df, centroids, id_col=id_col, vec_col=vec_col)
     cent_df = spark.createDataFrame(
@@ -308,18 +317,46 @@ def semdedup_pairs(df: DataFrame, centroids: list[tuple[int, list[float]]],
     scored = (assigned.join(F.broadcast(cent_df), "cell")
               .select("cell", "id", "v",
                       cosine(F.col("v"), F.col("cv")).alias("cs")))
-    a = scored.select("cell", F.col("id").alias("id_a"),
-                      F.col("v").alias("va"), F.col("cs").alias("cs_a"))
-    b = scored.select("cell", F.col("id").alias("id_b"),
-                      F.col("v").alias("vb"), F.col("cs").alias("cs_b"))
-    return (a.join(b, "cell")
-            .where(F.col("id_a") < F.col("id_b"))
-            .withColumn("sim", cosine(F.col("va"), F.col("vb")))
-            .where(F.col("sim") >= threshold)
-            .select("cell", "id_a", "id_b", "sim",
-                    F.when(F.col("cs_a") > F.col("cs_b"), F.col("id_a"))
-                     .when(F.col("cs_b") > F.col("cs_a"), F.col("id_b"))
-                     .otherwise(F.greatest("id_a", "id_b")).alias("drop_id")))
+
+    # Within-cell pair search as ONE (n_c x n_c) numpy matmul per cell
+    # inside applyInPandas — the same Arrow matmul + round-6 arithmetic
+    # shape ivf_assign_broadcast established (sim = round(dot/(|a||b|),6)).
+    # The previous self-join evaluated the zip_with/aggregate cosine HOF
+    # per candidate pair (interpreted, no codegen): ~250k pair evals at
+    # sf0.1 took ~4.5s; the matmul form is the classic SemDeDup kernel —
+    # per cell O(n_c^2 d) FLOPs but vectorized, and only thresholded pairs
+    # leave the task. Shuffle volume is unchanged (one exchange on cell);
+    # at production k ~ N/E[n_c] the per-cell matrix is bounded by design.
+    out_schema = ("cell long, id_a long, id_b long, sim double, "
+                  "drop_id long")
+    th = float(threshold)
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cell": [], "id_a": [], "id_b": [], "sim": [],
+                 "drop_id": []}).astype(
+                {"cell": "int64", "id_a": "int64", "id_b": "int64",
+                 "sim": "float64", "drop_id": "int64"})
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        v = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        cs = pdf["cs"].to_numpy(dtype=np.float64)
+        n = np.sqrt((v * v).sum(axis=1))
+        sims = np.round((v @ v.T) / (n[:, None] * n[None, :]), 6)
+        ia, ib = np.triu_indices(len(ids), 1)  # ids sorted -> id_a < id_b
+        keep = sims[ia, ib] >= th
+        ia, ib = ia[keep], ib[keep]
+        s = sims[ia, ib]
+        # drop the member CLOSER to its centroid; round-6 ties -> larger id
+        drop = np.where(cs[ia] > cs[ib], ids[ia],
+                        np.where(cs[ib] > cs[ia], ids[ib],
+                                 np.maximum(ids[ia], ids[ib])))
+        return pd.DataFrame({
+            "cell": np.full(len(ia), int(pdf["cell"].iloc[0]), dtype=np.int64),
+            "id_a": ids[ia], "id_b": ids[ib], "sim": s, "drop_id": drop})
+
+    return scored.groupBy("cell").applyInPandas(_pairs, out_schema)
 
 
 def embedding_quantize_int8(df: DataFrame, id_col: str = "vec_id",
