@@ -240,3 +240,60 @@ def test_embedding_quantize_int8_roundtrip(spark):
         assert r.recon_err <= r.scale / 2 + 1e-9
     assert out[2].scale == 0.0 and out[2].q_csv == "0,0,0,0"
     assert out[2].q_l1 == 0 and out[2].recon_err == 0.0
+
+
+def test_spread_for_explode_guard(spark):
+    """Narrow input spreads to defaultParallelism; already-wide input is
+    untouched (the no-op guard that makes the helper scale-safe)."""
+    narrow = spark.createDataFrame([(i, f"t{i}") for i in range(100)],
+                                   "doc_id long, text string").coalesce(1)
+    spread = D.spread_for_explode(narrow)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # values unchanged (round-robin only moves rows)
+    assert sorted(r.doc_id for r in spread.collect()) == list(range(100))
+    wide = narrow.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert D.spread_for_explode(wide) is wide
+
+
+def test_shingle_stream_signature_parity(spark):
+    """MinHash signatures from the non-distinct shingle stream are
+    identical to those from the distinct shingle table (min-aggregation is
+    duplicate-insensitive) — the invariant that justifies skipping the
+    distinct exchange."""
+    docs = _docs(spark)
+    via_stream = D.minhash_signatures(docs, n_hashes=8, k=4, max_chars=100)
+    via_table = D.minhash_signatures(
+        docs, n_hashes=8, k=4, max_chars=100,
+        sh=D.shingle_table(docs, 4, 100))
+    a = {tuple(r) for r in via_stream.collect()}
+    b = {tuple(r) for r in via_table.collect()}
+    assert a == b
+
+
+def test_cosine_arrow_matches_hof(spark):
+    """Arrow-vectorized cosine agrees with the JVM higher-order-function
+    form at the shared round-6 contract, including negative components and
+    non-unit norms."""
+    from distributed_webcrawler_spark.functions.vectors import cosine, cosine_arrow
+
+    rows = [(i, [((i * 7 + d * 13) % 17 - 8) / 3.0 for d in range(8)],
+             [((i * 5 + d * 11) % 19 - 9) / 4.0 for d in range(8)])
+            for i in range(1, 60)]
+    df = spark.createDataFrame(
+        rows, "id long, a array<float>, b array<float>")
+    out = df.select(
+        cosine(F.col("a"), F.col("b")).alias("hof"),
+        cosine_arrow(F.col("a"), F.col("b")).alias("arrow")).collect()
+    for r in out:
+        assert abs(r.hof - r.arrow) < 1e-9, (r.hof, r.arrow)
+
+
+def test_semdedup_pairs_singleton_cell_empty(spark):
+    """A cell with fewer than two members emits no pairs and the schema
+    survives (the applyInPandas empty-frame branch)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]  # each vector alone in its cell
+    out = S.semdedup_pairs(df, cents, threshold=0.0)
+    assert out.count() == 0
+    assert out.columns == ["cell", "id_a", "id_b", "sim", "drop_id"]
