@@ -2390,8 +2390,15 @@ def q_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)
+    # avg from the EXACT integer hit sum, one double division: averaging
+    # the round-6 recall doubles summed them in shuffle order, and a sum
+    # landing within an ulp of the x.xxxxxx5 boundary flipped the 6th
+    # decimal between engines/runs (observed once at sf0.01: 0.533334 vs
+    # 0.533333 — a latent flake, green for four rounds)
     lvl = (res.groupBy("nprobe")
-           .agg(F.round(F.avg("recall"), 6).alias("avg_recall")))
+           .agg(F.round(F.sum("n_hit")
+                        / (F.lit(float(_IVF_K)) * F.count("*")), 6)
+                .alias("avg_recall")))
     return (res.join(F.broadcast(lvl), "nprobe")
             .select(F.col("nprobe").cast("int").alias("nprobe"), "query_id",
                     "n_hit", "recall", "avg_recall"))
@@ -2440,7 +2447,7 @@ exact AS MATERIALIZED (
 lv AS ({union})
 SELECT cast(l.nprobe as int) AS nprobe, l.query_id, l.n_hit, l.recall,
        a.avg_recall
-FROM lv l JOIN (SELECT nprobe, round(avg(recall), 6) AS avg_recall
+FROM lv l JOIN (SELECT nprobe, round(sum(n_hit) / ({_IVF_K}.0 * count(*)), 6) AS avg_recall
                 FROM lv GROUP BY nprobe) a ON a.nprobe = l.nprobe
 """
 
@@ -3937,7 +3944,11 @@ def q_image_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("w").cast("int").alias("max_w"),
         F.min("h").cast("int").alias("min_h"),
         F.max("h").cast("int").alias("max_h"),
-        F.round(F.avg(F.col("w") * F.col("h") / F.lit(1_000_000.0)), 9).alias("avg_mpix"),
+        # exact integer pixel sum, ONE double division (same flake class
+        # as ann_nprobe_sweep's avg_recall: summing per-row w*h/1e6
+        # doubles in shuffle order can land on a round-9 boundary ulp)
+        F.round(F.sum(F.col("w").cast("bigint") * F.col("h"))
+                / (F.lit(1_000_000.0) * F.count("*")), 9).alias("avg_mpix"),
         F.sum(F.when(F.least("w", "h") < 24, 1).otherwise(0)).cast("int").alias("n_small"),
     ))
 
@@ -3949,7 +3960,7 @@ def _img_stats_sql() -> str:
 SELECT fmt, cast(count(*) as int) AS n,
        cast(min(w) as int) AS min_w, cast(max(w) as int) AS max_w,
        cast(min(h) as int) AS min_h, cast(max(h) as int) AS max_h,
-       round(avg(w * h / 1000000.0), 9) AS avg_mpix,
+       round(sum(cast(w as bigint) * h) / (1000000.0 * count(*)), 9) AS avg_mpix,
        cast(sum(CASE WHEN least(w, h) < 24 THEN 1 ELSE 0 END) as int) AS n_small
 FROM (VALUES
 {vals}
