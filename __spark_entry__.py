@@ -3528,9 +3528,16 @@ def q_ccnet_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = uni.agg(F.sum("c").alias("n"))
     unib = (uni.crossJoin(F.broadcast(tot))
             .select("w", F.round(-F.log(F.col("c") / F.col("n")), 9).alias("nll")))
+    # decimal-exact accumulation (the ann_nprobe_sweep flake class):
+    # nll is a 9-dp grid value, so a per-doc mean can sit exactly on a
+    # 6-dp round boundary where shuffle-order ulps flip the digit; the
+    # decimal sum is exact, its double image engine-identical, and the
+    # single division + round is then deterministic on both engines.
     scored = (tok.join(F.broadcast(unib), "w")
               .groupBy("doc_id")
-              .agg(F.round(F.avg("nll"), 6).alias("nll_mean")))
+              .agg(F.round(F.sum(F.col("nll").cast("decimal(20,9)"))
+                           .cast("double") / F.count("*"), 6)
+                   .alias("nll_mean")))
     return scored.select(
         "doc_id", "nll_mean",
         F.when(F.col("nll_mean") <= _PPL_T_HEAD, F.lit("head"))
@@ -3545,7 +3552,9 @@ uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
 tot AS (SELECT sum(c) AS n FROM uni),
 nll AS (SELECT doc_id, round(-ln(c * 1.0 / (SELECT n FROM tot)), 9) AS v
         FROM tok JOIN uni USING (w)),
-s AS (SELECT doc_id, cast(round(avg(v), 6) as double) AS nll_mean FROM nll GROUP BY doc_id)
+s AS (SELECT doc_id,
+             round(cast(sum(cast(v as decimal(20,9))) as double) / count(*), 6) AS nll_mean
+      FROM nll GROUP BY doc_id)
 SELECT doc_id, nll_mean,
        CASE WHEN nll_mean <= {_PPL_T_HEAD} THEN 'head'
             WHEN nll_mean <= {_PPL_T_MIDDLE} THEN 'middle'
@@ -5393,9 +5402,11 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("b", F.round(F.log(
               ((F.col("ct") + 1) * (F.col("nr") + _DSIR_BUCKETS))
               / ((F.col("cr") + 1) * (F.col("nt") + _DSIR_BUCKETS))), 9).alias("lr")))
+    # decimal-exact sum of the 9-dp log-ratio grid (see nll_mean note)
     w = (tok.join(F.broadcast(lw), "b")
          .groupBy("doc_id")
-         .agg(F.round(F.sum("lr"), 6).alias("log_weight")))
+         .agg(F.round(F.sum(F.col("lr").cast("decimal(20,9)"))
+                      .cast("double"), 6).alias("log_weight")))
     u = F.round(F.log((F.pmod(h64(F.col("doc_id").cast("string")), F.lit(10000))
                        + F.lit(0.5)) / F.lit(10000.0)), 9)
     return (docs.select("doc_id", "lang").join(w, "doc_id")
@@ -5420,7 +5431,8 @@ lw AS (
                   / ((cr + 1) * ((SELECT nt FROM tot) + {_DSIR_BUCKETS}))), 9) AS lr
   FROM cnt),
 w AS (
-  SELECT doc_id, cast(round(sum(lr), 6) as double) AS log_weight
+  SELECT doc_id,
+         round(cast(sum(cast(lr as decimal(20,9))) as double), 6) AS log_weight
   FROM tok JOIN lw USING (b) GROUP BY doc_id)
 SELECT d.doc_id, d.lang, w.log_weight,
        round(ln(({h64_sql("cast(d.doc_id as varchar)")} % 10000 + 0.5) / 10000.0), 9)
@@ -5873,7 +5885,9 @@ def q_host_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = (counts.crossJoin(F.broadcast(tot.select("n")))
            .select(F.round(-(F.col("c") / F.col("n"))
                            * F.log2(F.col("c") / F.col("n")), 9).alias("term"))
-           .agg(F.round(F.sum("term"), 6).alias("entropy_bits")))
+           # decimal-exact sum of the 9-dp term grid (see nll_mean note)
+           .agg(F.round(F.sum(F.col("term").cast("decimal(20,9)"))
+                        .cast("double"), 6).alias("entropy_bits")))
     out = (tot.crossJoin(top10).crossJoin(ent)
            .select(F.col("n_hosts").cast("bigint").alias("n_hosts"),
                    F.col("n").cast("bigint").alias("n_urls"),
@@ -5889,8 +5903,8 @@ counts AS (SELECT host, count(*) AS c FROM frontier GROUP BY host),
 tot AS (SELECT sum(c) AS n, count(*) AS n_hosts, max(c) AS top1 FROM counts),
 rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, host ASC) AS rn FROM counts),
 t10 AS (SELECT sum(c) AS t10 FROM rk WHERE rn <= 10),
-ent AS (SELECT round(sum(round(-(c * 1.0 / (SELECT n FROM tot))
-                               * log2(c * 1.0 / (SELECT n FROM tot)), 9)), 6) AS entropy_bits
+ent AS (SELECT round(cast(sum(cast(round(-(c * 1.0 / (SELECT n FROM tot))
+                               * log2(c * 1.0 / (SELECT n FROM tot)), 9) as decimal(20,9))) as double), 6) AS entropy_bits
         FROM counts)
 SELECT cast(tot.n_hosts as bigint) AS n_hosts, cast(tot.n as bigint) AS n_urls,
        round(tot.top1 * 1.0 / tot.n, 6) AS top1_share,
